@@ -1,0 +1,148 @@
+package graft.analysis
+
+/** One token: term text + token position (post stop-filter positions keep
+  * their gaps, as the reference's StopFilter preserves position increments
+  * — `lucene/core/.../analysis/StopFilter.java` [8x]).
+  */
+final case class Token(term: String, pos: Int)
+
+/** Per-document analysis result: indexed doc length (token count after
+  * stop filtering — what the reference writes to norms) plus per-term
+  * stats aggregated document-locally (tf + positions).
+  */
+final case class DocTerms(dl: Int, terms: Array[TermInDoc])
+final case class TermInDoc(term: String, tf: Int, positions: Array[Int])
+
+/**
+ * Analysis chain reproducing the reference StandardAnalyzer semantics on
+ * the ASCII subset our corpora use (SURVEY.md §2.1, §7.5 #2):
+ * tokenizer (alphanumeric runs, UAX#29-compatible for ASCII
+ * letters/digits; maxTokenLength=255 with overlong runs split at the
+ * limit) → lowercase → stop filter (position increments preserved).
+ *
+ * Reference behaviors mirrored [8x]:
+ *  - `analysis/standard/StandardTokenizer.java`: maxTokenLength default
+ *    255, ALPHANUM runs;
+ *  - `analysis/LowerCaseFilter.java`;
+ *  - `analysis/StopFilter.java` + the classic 33-word English stop set of
+ *    `analysis/en/EnglishAnalyzer.ENGLISH_STOP_WORDS_SET` (note: the
+ *    no-arg StandardAnalyzer in ≥7.0 has an EMPTY stop set, LUCENE-7444 —
+ *    the stop set is a parameter here, defaulting to the English list).
+ */
+object Analyzer {
+
+  /** The classic 33-word English stop set [8x EnglishAnalyzer]. */
+  val EnglishStopWords: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by",
+    "for", "if", "in", "into", "is", "it",
+    "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these",
+    "they", "this", "to", "was", "will", "with")
+
+  val MaxTokenLength = 255
+
+  private def isTokenChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+
+  /** Tokenize only (no stop filter): lowercase alphanumeric runs with
+    * positions 0,1,2,…; runs longer than maxTokenLength split at the
+    * limit (each chunk its own token, like the reference tokenizer).
+    */
+  def tokenizeRaw(text: String): Array[Token] = {
+    val out = Array.newBuilder[Token]
+    var pos = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && !isTokenChar(text.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && isTokenChar(text.charAt(i))) i += 1
+        var s = start
+        while (s < i) {
+          val e = math.min(s + MaxTokenLength, i)
+          out += Token(text.substring(s, e).toLowerCase(java.util.Locale.ROOT), pos)
+          pos += 1
+          s = e
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Full chain: tokenize → lowercase → stop filter (gap-preserving). */
+  def tokenize(text: String, stopWords: Set[String] = EnglishStopWords): Array[Token] =
+    tokenizeRaw(text).filterNot(t => stopWords.contains(t.term))
+
+  /** Document-local inversion: per-term tf + positions, and dl = number of
+    * indexed (post-stop-filter) tokens — the value the norm byte encodes.
+    * Terms are returned sorted for deterministic downstream order.
+    */
+  def analyze(text: String, stopWords: Set[String] = EnglishStopWords): DocTerms = {
+    val toks = tokenize(text, stopWords)
+    val byTerm = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+    toks.foreach { t =>
+      byTerm.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer.empty[Int]) += t.pos
+    }
+    val terms = byTerm.toArray.map { case (term, ps) => TermInDoc(term, ps.length, ps.toArray) }
+      .sortBy(_.term)
+    DocTerms(toks.length, terms)
+  }
+}
+
+/**
+ * Deterministic HTML text extraction — the `html:binary → text:string`
+ * step with the per-row invariant "byte-identical extracted text per url"
+ * (/root/repo/BASELINE.json:15). Pairs with [[HtmlCodec.render]]: the
+ * synthesized corpus builds html FROM text, and extractText inverts it
+ * exactly (golden-tested). Semantics follow the reference's
+ * HTMLStripCharFilter [8x analysis/charfilter/HTMLStripCharFilter.java]
+ * on the subset we emit: tags dropped, basic entities decoded.
+ */
+object HtmlCodec {
+  private val entities = List(
+    "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+
+  def escape(s: String): String = {
+    val sb = new StringBuilder(s.length + 16)
+    s.foreach {
+      case '&'  => sb.append("&amp;")
+      case '<'  => sb.append("&lt;")
+      case '>'  => sb.append("&gt;")
+      case '"'  => sb.append("&quot;")
+      case '\'' => sb.append("&#39;")
+      case c    => sb.append(c)
+    }
+    sb.toString
+  }
+
+  def unescape(s: String): String =
+    entities.foldLeft(s) { case (acc, (e, c)) => acc.replace(e, c) }
+
+  /** Render a page. UTF-8 bytes. */
+  def render(title: String, text: String): Array[Byte] =
+    (s"<html><head><title>${escape(title)}</title></head>" +
+      s"<body><p>${escape(text)}</p></body></html>")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Strip tags, decode entities, return body text. Deterministic pure
+    * function of the bytes.
+    */
+  def extractText(html: Array[Byte]): String = {
+    val s = new String(html, java.nio.charset.StandardCharsets.UTF_8)
+    // take <body> content if present, else whole doc
+    val body = {
+      val b0 = s.indexOf("<body>")
+      val b1 = s.lastIndexOf("</body>")
+      if (b0 >= 0 && b1 > b0) s.substring(b0 + "<body>".length, b1) else s
+    }
+    val sb = new StringBuilder(body.length)
+    var inTag = false
+    body.foreach { c =>
+      if (c == '<') inTag = true
+      else if (c == '>') inTag = false
+      else if (!inTag) sb.append(c)
+    }
+    unescape(sb.toString)
+  }
+}

@@ -1,0 +1,204 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.codec.PostingCodec
+import graft.index.{IndexView, PostingBlockRow}
+
+/**
+ * Block-Max WAND top-k — the fast path of the north rule (SURVEY.md §2.4).
+ *
+ * Algorithm re-derived from the published BMW literature and the public
+ * behavior of the reference's `WANDScorer` / `MaxScoreCache` /
+ * `ImpactsEnum.advanceShallow` [8x search/WANDScorer.java] — NOT a code
+ * port: the unit of skipping here is a posting-block *table row* whose
+ * impact columns (max_tf, min_norm_len) bound its BM25 contribution, and
+ * whose payload is only VByte-decoded when a pivot survives the
+ * block-level bound check.
+ *
+ * Distribution model = the reference's per-leaf search: each doc-range
+ * segment is an independent leaf; a Spark task runs the kernel over the
+ * segments in its partition with a shared top-k heap (the
+ * `setMinCompetitiveScore` analog carries the threshold across leaves),
+ * and the driver merges per-partition heaps — exactly Lucene's
+ * per-leaf collect + `TopDocs.merge` (score desc, docID asc).
+ */
+object BmwSearch {
+
+  /** Per-term cursor over that term's block rows within one segment. */
+  private final class TermCursor(val term: String,
+                                 blocks: Array[PostingBlockRow],
+                                 scorers: QueryScorers) {
+    val termMaxScore: Double =
+      blocks.iterator.map(b => scorers.maxScore(term, b.max_tf, b.min_norm_len)).max
+    private var bi = 0           // current block index
+    private var di = 0           // position within decoded block
+    private var dec: graft.codec.DecodedBlock = null
+    var curDoc: Long = -1L
+
+    advanceToFirst()
+
+    private def decodeCurrent(): Unit = {
+      dec = PostingCodec.decode(blocks(bi).docs, blocks(bi).freqs, blocks(bi).norms)
+      di = 0
+    }
+    private def advanceToFirst(): Unit = {
+      if (bi < blocks.length) { decodeCurrent(); curDoc = dec.docIds(0) }
+      else curDoc = Long.MaxValue
+    }
+    def exhausted: Boolean = curDoc == Long.MaxValue
+    def tf: Int = dec.freqs(di)
+    def normByte: Int = dec.norms(di).toInt & 0xff
+    def lossyDl: Int = graft.codec.SmallFloat.byte4ToInt(dec.norms(di))
+    /** Upper bound of the block that contains (or would contain) target. */
+    def blockMaxScore(target: Long): Double = {
+      var j = bi
+      while (j < blocks.length && blocks(j).last_doc_id < target) j += 1
+      if (j >= blocks.length) 0d
+      else scorers.maxScore(term, blocks(j).max_tf, blocks(j).min_norm_len)
+    }
+    /** Last docID of the block containing/following target (skip boundary). */
+    def blockLastDoc(target: Long): Long = {
+      var j = bi
+      while (j < blocks.length && blocks(j).last_doc_id < target) j += 1
+      if (j >= blocks.length) Long.MaxValue else blocks(j).last_doc_id
+    }
+    /** Advance to the first doc >= target; block-skips without decoding
+      * blocks whose last_doc_id < target (the skip-pointer walk).
+      */
+    def advance(target: Long): Unit = {
+      if (curDoc >= target) return
+      // skip whole blocks
+      var moved = false
+      while (bi < blocks.length && blocks(bi).last_doc_id < target) { bi += 1; moved = true }
+      if (bi >= blocks.length) { curDoc = Long.MaxValue; return }
+      if (moved || dec == null) decodeCurrent()
+      if (moved) di = 0
+      while (di < dec.docIds.length && dec.docIds(di) < target) di += 1
+      if (di >= dec.docIds.length) { // target fell in a gap at block end
+        bi += 1
+        if (bi >= blocks.length) { curDoc = Long.MaxValue; return }
+        decodeCurrent()
+      }
+      curDoc = dec.docIds(di)
+    }
+    def next(): Unit = advance(curDoc + 1)
+  }
+
+  /** Bounded top-k heap with the reference tie-break (score desc, docID
+    * asc): the worst element is the one a new hit must beat.
+    */
+  private final class TopKHeap(k: Int) {
+    // ordering where "max" = worst hit
+    private val worstFirst = new Ordering[(Long, Double)] {
+      def compare(a: (Long, Double), b: (Long, Double)): Int = {
+        val c = java.lang.Double.compare(b._2, a._2) // lower score = worse
+        if (c != 0) c else java.lang.Long.compare(a._1, b._1) // bigger doc = worse
+      }
+    }
+    private val pq = scala.collection.mutable.PriorityQueue.empty[(Long, Double)](worstFirst)
+    def threshold: Double = if (pq.size < k) Double.NegativeInfinity else pq.head._2
+    def insert(doc: Long, score: Double): Unit = {
+      if (pq.size < k) pq.enqueue((doc, score))
+      else if (worstFirst.compare((doc, score), pq.head) < 0) {
+        pq.dequeue(); pq.enqueue((doc, score))
+      }
+    }
+    def toArray: Array[(Long, Double)] = pq.toArray
+  }
+
+  /** Run BMW over one segment's query-term block lists, updating `heap`. */
+  private def searchSegment(termBlocks: Map[String, Array[PostingBlockRow]],
+                            scorers: QueryScorers, heap: TopKHeap): Unit = {
+    val cursors = termBlocks.toArray.sortBy(_._1)
+      .map { case (t, bs) => new TermCursor(t, bs.sortBy(_.block_id), scorers) }
+      .filterNot(_.exhausted)
+    if (cursors.isEmpty) return
+
+    val live = scala.collection.mutable.ArrayBuffer(cursors: _*)
+    while (live.nonEmpty) {
+      // sort by current doc (WAND pivot selection)
+      val sorted = live.sortBy(_.curDoc)
+      var acc = 0d
+      var pi = -1
+      var i = 0
+      while (i < sorted.length && pi < 0) {
+        acc += sorted(i).termMaxScore
+        if (acc > heap.threshold) pi = i
+        i += 1
+      }
+      if (pi < 0) return // no pivot can beat threshold — done with segment
+      val pivotDoc = sorted(pi).curDoc
+      if (pivotDoc == Long.MaxValue) return
+      // extend the pivot set over curDoc ties so the bound check covers
+      // every cursor that could contribute to pivotDoc
+      while (pi + 1 < sorted.length && sorted(pi + 1).curDoc == pivotDoc) pi += 1
+
+      // block-max refinement: sum block-level bounds at pivotDoc
+      var blockBound = 0d
+      var j = 0
+      while (j <= pi) { blockBound += sorted(j).blockMaxScore(pivotDoc); j += 1 }
+      if (blockBound <= heap.threshold) {
+        // no doc up to the nearest block boundary can win: skip past it,
+        // capped at the next cursor's docID (beyond that the pivot set —
+        // and hence the bound — would grow; classic BMW safety cap)
+        var boundary = Long.MaxValue
+        var m = 0
+        while (m <= pi) {
+          val b = sorted(m).blockLastDoc(pivotDoc)
+          if (b < boundary) boundary = b
+          m += 1
+        }
+        var target = if (boundary == Long.MaxValue) Long.MaxValue else boundary + 1
+        if (pi + 1 < sorted.length && sorted(pi + 1).curDoc < target)
+          target = sorted(pi + 1).curDoc
+        var m2 = 0
+        while (m2 <= pi) { sorted(m2).advance(target); m2 += 1 }
+      } else if (sorted.head.curDoc == pivotDoc) {
+        // all preceding cursors aligned on pivot: evaluate fully.
+        // contributions summed in ascending term order (cursors were
+        // constructed term-sorted; re-sort the matching subset by term).
+        val matching = live.filter(_.curDoc == pivotDoc).sortBy(_.term)
+        var sumF = 0f; var sumD = 0d
+        matching.foreach { c =>
+          scorers.mode match {
+            case Float32Lucene => sumF += scorers.score(c.term, c.tf, c.normByte, c.lossyDl).toFloat
+            case DoubleOracle  => sumD += scorers.score(c.term, c.tf, c.normByte, c.lossyDl)
+          }
+        }
+        val score = scorers.mode match {
+          case Float32Lucene => sumF.toDouble
+          case DoubleOracle  => sumD
+        }
+        heap.insert(pivotDoc, score)
+        matching.foreach(_.next())
+      } else {
+        // advance the first unaligned cursor up to the pivot
+        sorted.head.advance(pivotDoc)
+      }
+      // drop exhausted cursors
+      var n = live.length - 1
+      while (n >= 0) { if (live(n).exhausted) live.remove(n); n -= 1 }
+    }
+  }
+
+  /** Disjunctive BM25 top-k via BMW. Returns (doc_id, score). */
+  def topK(spark: SparkSession, view: IndexView, queryTerms: Seq[String],
+           k: Int, mode: ScoreMode = DoubleOracle): DataFrame = {
+    import spark.implicits._
+    val scorers = QueryScorers(view, queryTerms, mode)
+    val bc = spark.sparkContext.broadcast(scorers)
+    val blocks = view.postings.filter($"term".isin(queryTerms.distinct: _*))
+    val partitioned = blocks.repartition($"segment_id")
+    val localTopK = partitioned.mapPartitions { it =>
+      val bySegment = it.toArray.groupBy(_.segment_id)
+      val heap = new TopKHeap(k)
+      // ascending segment (doc-range) order: threshold tightens monotonically
+      bySegment.toArray.sortBy(_._1).foreach { case (_, rows) =>
+        searchSegment(rows.groupBy(_.term), bc.value, heap)
+      }
+      heap.toArray.iterator
+    }.toDF("doc_id", "score")
+    localTopK.orderBy($"score".desc, $"doc_id".asc).limit(k)
+  }
+}

@@ -1,0 +1,130 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.index.IndexView
+import graft.spec.LuceneSpec
+import graft.stats.{CollectionStats, GlobalStats, TermStats}
+
+/** Scoring arithmetic mode.
+  *  - [[Float32Lucene]]: the reference's float32 arithmetic via
+  *    [[graft.spec.LuceneSpec.TermScorer]] (rank-identity vs Lucene).
+  *  - [[DoubleOracle]]: the same 8.x formula in float64 with a fixed
+  *    expression shape that ANSI SQL (the DuckDB oracle) reproduces
+  *    bit-for-bit up to round(…, 4).
+  * Per-doc scores sum per-term contributions in ascending term order in
+  * BOTH modes and BOTH execution paths, so exact and BMW agree exactly.
+  */
+sealed trait ScoreMode extends Serializable
+case object Float32Lucene extends ScoreMode
+case object DoubleOracle extends ScoreMode
+
+/** Precomputed per-query-term scoring state, broadcast into tasks. */
+final case class QueryTermInfo(term: String, df: Long, idfD: Double)
+
+final class QueryScorers(val stats: CollectionStats,
+                         val terms: Array[QueryTermInfo], // ascending term
+                         val mode: ScoreMode) extends Serializable {
+  val k1d = 1.2d; val bd = 0.75d
+  val avgdlD: Double = stats.sumTotalTermFreq.toDouble / stats.docCount.toDouble
+  @transient private lazy val f32: Map[String, LuceneSpec.TermScorer] =
+    terms.map(t => t.term -> new LuceneSpec.TermScorer(
+      t.df, stats.docCount, stats.sumTotalTermFreq)).toMap
+  private val idfByTerm: Map[String, Double] = terms.map(t => t.term -> t.idfD).toMap
+
+  /** Score one (term, tf, doc-length) in the active mode, as Double
+    * (float32 results widened — widening is order-preserving).
+    */
+  def score(term: String, tf: Int, normByte: Int, lossyDl: Int): Double = mode match {
+    case Float32Lucene => f32(term).score(tf.toFloat, normByte).toDouble
+    case DoubleOracle =>
+      val idf = idfByTerm(term)
+      idf * tf / (tf + k1d * (1 - bd + bd * lossyDl / avgdlD))
+  }
+
+  /** Upper bound for a block with impacts (maxTf, minLen): BM25 is
+    * monotone ↑tf and ↓len, and IEEE rounding is monotone, so this is a
+    * true bound in both modes.
+    */
+  def maxScore(term: String, maxTf: Int, minLen: Int): Double = mode match {
+    case Float32Lucene => f32(term).maxScore(maxTf, minLen).toDouble
+    case DoubleOracle =>
+      val idf = idfByTerm(term)
+      idf * maxTf / (maxTf + k1d * (1 - bd + bd * minLen / avgdlD))
+  }
+}
+
+object QueryScorers {
+  def apply(view: IndexView, queryTerms: Seq[String], mode: ScoreMode): QueryScorers = {
+    val cs = GlobalStats.collectionStats(view)
+    val ts: Map[String, TermStats] = GlobalStats.termStats(view, queryTerms)
+    val infos = queryTerms.distinct.sorted.flatMap { t =>
+      ts.get(t).map { s =>
+        QueryTermInfo(t, s.df,
+          math.log(1d + (cs.docCount - s.df + 0.5d) / (s.df + 0.5d)))
+      }
+    }.toArray
+    new QueryScorers(cs, infos, mode)
+  }
+}
+
+/**
+ * Exact BM25 top-k — pure Catalyst dataflow (the differential oracle for
+ * the BMW fast path, SURVEY.md §3.2): semi-filter posting blocks on query
+ * terms (Parquet row-group stats prune on disk-backed indexes), decode,
+ * score, hash-aggregate per doc, `TakeOrderedAndProject` top-k with the
+ * reference tie-break (score desc, docID asc).
+ */
+object ExactSearch {
+
+  /** Decoded per-(term, doc) entries for the query terms. */
+  private[search] def decodedPostings(spark: SparkSession, view: IndexView,
+                                      queryTerms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    view.postings
+      .filter($"term".isin(queryTerms.distinct: _*))
+      .flatMap { b =>
+        val d = graft.codec.PostingCodec.decode(b.docs, b.freqs, b.norms)
+        Iterator.tabulate(d.docIds.length) { i =>
+          (b.term, d.docIds(i), d.freqs(i),
+            d.norms(i).toInt & 0xff,
+            graft.codec.SmallFloat.byte4ToInt(d.norms(i)))
+        }
+      }.toDF("term", "doc_id", "tf", "norm_byte", "lossy_dl")
+  }
+
+  /** Disjunctive (OR) top-k. minShouldMatch>1 turns it into an
+    * at-least-m query; m == #terms is the conjunctive (AND) case —
+    * the reference's BooleanQuery SHOULD/MUST semantics (SURVEY.md §2.3).
+    */
+  def topK(spark: SparkSession, view: IndexView, queryTerms: Seq[String],
+           k: Int, mode: ScoreMode = DoubleOracle,
+           minShouldMatch: Int = 1): DataFrame = {
+    import spark.implicits._
+    val scorers = QueryScorers(view, queryTerms, mode)
+    val bc = spark.sparkContext.broadcast(scorers)
+    val entries = decodedPostings(spark, view, queryTerms)
+      .as[(String, Long, Int, Int, Int)]
+    val perDoc = entries.groupByKey(_._2).mapGroups { (docId, it) =>
+      val rows = it.toArray.sortBy(_._1) // ascending term order
+      val s = bc.value
+      var sumF: Float = 0f
+      var sumD: Double = 0d
+      rows.foreach { case (term, _, tf, nb, ldl) =>
+        s.mode match {
+          case Float32Lucene => sumF += s.score(term, tf, nb, ldl).toFloat
+          case DoubleOracle  => sumD += s.score(term, tf, nb, ldl)
+        }
+      }
+      val score = s.mode match {
+        case Float32Lucene => sumF.toDouble
+        case DoubleOracle  => sumD
+      }
+      (docId, score, rows.length)
+    }.toDF("doc_id", "score", "n_matched")
+    perDoc.filter($"n_matched" >= minShouldMatch)
+      .select($"doc_id", $"score")
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(k)
+  }
+}
