@@ -1,12 +1,18 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{SparkSession}
 import org.apache.spark.sql.functions._
-import graft.index.{IndexView, Indexer}
+import graft.index.{IndexReader, IndexView, IndexWriter, Indexer}
 
 /** Per-JVM cache of built indexes keyed by corpus dir, so each
   * SparkEntry.queries entry (driver runs them one by one) reuses the
-  * same persisted segment tables instead of rebuilding.
+  * same segment tables instead of rebuilding.
+  *
+  * The index is built once per corpus through the durable path
+  * ([[IndexWriter]] → parquet segment tables + manifest + snapshot) and
+  * served via [[IndexReader]] from disk: query-term filters reach the
+  * parquet scan as pushed filters over the (segment, term)-sorted block
+  * rows — the FST/skip-list analog at scale (SURVEY.md §1.1).
   */
 object IndexCache {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, IndexView]()
@@ -17,14 +23,19 @@ object IndexCache {
     */
   val TestSegmentSize = 1024L
 
+  /** Bump when the segment-table format changes. */
+  val FormatVersion = "v1"
+
   def documentsIndex(spark: SparkSession, sfDir: String): IndexView =
     cache.computeIfAbsent(s"$sfDir/documents.parquet", { _ =>
       val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("doc_id").cast("string").as("url"), col("text"))
-      val view = Indexer
-        .buildTables(spark, Indexer.asDocInput(spark, corpus), TestSegmentSize)
-        .persisted()
-      view.postings.count(); view.docmeta.count() // materialize
-      view
+      val sfName = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      // FormatVersion busts stale on-disk caches when the layout evolves
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-index-$FormatVersion-$sfName"
+      val input = Indexer.asDocInput(spark, corpus)
+      if (graft.index.IndexStore.currentSnapshot(dir).isEmpty)
+        IndexWriter.build(spark, input, dir, TestSegmentSize, nBatches = 2)
+      IndexReader.load(spark, dir)
     })
 }

@@ -1,0 +1,155 @@
+package graft.index
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.spark.sql.{SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lineage + metrics of one committed build batch — the north rule's
+  * "resumable from per-partition checkpoints with lineage + rows/bytes/
+  * postings metrics recorded per segment" (BASELINE.json:14).
+  */
+final case class BatchManifest(
+    batch: Int,
+    firstDocId: Long,      // lineage: input doc-id range covered
+    lastDocIdExclusive: Long,
+    segmentIds: Seq[Int],
+    docs: Long,            // metrics
+    postingRows: Long,     // block rows
+    postings: Long,        // posting entries (Σ doc_count)
+    bytes: Long,           // encoded payload bytes
+    terms: Long,
+    committedAtEpochMs: Long)
+
+final case class Snapshot(version: Int, segSize: Long, batches: Seq[Int])
+
+/**
+ * Durable index layout — an emulated-Iceberg table (no Iceberg jar in
+ * this sandbox, SURVEY.md §7.2; swapping in real Iceberg is a
+ * writer/catalog substitution, not a semantic change):
+ *
+ *   dir/segments/batch-<b>/{postings,terms,docmeta}/   (parquet)
+ *   dir/manifests/manifest-<b>.json                     (per-batch commit)
+ *   dir/snapshots/v<N>.json                             (live batch set)
+ *
+ * Commit protocol (analog of the reference's write-once segment files +
+ * fsync'd `segments_N` generation [8x index/SegmentInfos.java]):
+ * batch data is written to its final path idempotently (overwrite), the
+ * manifest is published by temp-file + atomic rename, and a snapshot
+ * rename is the single atomic publish point. A killed build resumes by
+ * skipping batches whose manifest exists (see [[IndexWriter.build]]).
+ */
+object IndexStore {
+  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+
+  def manifestPath(dir: String, batch: Int): Path =
+    Paths.get(dir, "manifests", f"manifest-$batch%05d.json")
+
+  def batchDir(dir: String, batch: Int): String =
+    f"$dir%s/segments/batch-$batch%05d"
+
+  private def atomicWrite(path: Path, bytes: Array[Byte]): Unit = {
+    Files.createDirectories(path.getParent)
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def writeManifest(dir: String, m: BatchManifest): Unit =
+    atomicWrite(manifestPath(dir, m.batch), mapper.writeValueAsBytes(m))
+
+  def readManifest(dir: String, batch: Int): Option[BatchManifest] = {
+    val p = manifestPath(dir, batch)
+    if (Files.exists(p)) Some(mapper.readValue(Files.readAllBytes(p), classOf[BatchManifest]))
+    else None
+  }
+
+  def publishSnapshot(dir: String, s: Snapshot): Unit =
+    atomicWrite(Paths.get(dir, "snapshots", f"v${s.version}%05d.json"),
+      mapper.writeValueAsBytes(s))
+
+  def currentSnapshot(dir: String): Option[Snapshot] = {
+    val d = Paths.get(dir, "snapshots")
+    if (!Files.exists(d)) return None
+    val vs = Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .toSeq.sorted
+    vs.lastOption.map { n =>
+      mapper.readValue(Files.readAllBytes(d.resolve(n)), classOf[Snapshot])
+    }
+  }
+}
+
+/** Checkpointed, resumable index build (SURVEY.md §2.2 flush/commit row).
+  * The corpus is split into doc-range batches (the checkpoint unit); each
+  * batch is one Spark job writing its own segment parquet + manifest, so
+  * a killed build re-run skips committed batches and converges to the
+  * identical snapshot (deterministic docIDs + deterministic encode).
+  */
+object IndexWriter {
+
+  def build(spark: SparkSession, corpus: org.apache.spark.sql.Dataset[DocInput],
+            dir: String, segSize: Long = Indexer.DefaultSegmentSize,
+            nBatches: Int = 1,
+            stopWords: Set[String] = graft.analysis.Analyzer.EnglishStopWords,
+            failAfterBatch: Int = Int.MaxValue): Snapshot = {
+    import spark.implicits._
+    val maxDoc = corpus.agg(max("doc_id")).head().getLong(0) + 1
+    val perBatch = math.max(1L, (maxDoc + nBatches - 1) / nBatches)
+    // align batch boundaries to segment boundaries so a segment never
+    // spans two checkpoint units
+    val alignedPerBatch = math.max(segSize, (perBatch + segSize - 1) / segSize * segSize)
+    val batches = (0 until math.ceil(maxDoc.toDouble / alignedPerBatch).toInt)
+
+    batches.foreach { b =>
+      if (IndexStore.readManifest(dir, b).isEmpty) {
+        if (b > failAfterBatch) // test hook: simulate a crash mid-build
+          throw new RuntimeException(s"injected failure before batch $b")
+        val lo = b * alignedPerBatch
+        val hi = math.min(maxDoc, lo + alignedPerBatch)
+        val slice = corpus.filter($"doc_id" >= lo && $"doc_id" < hi)
+        val view = Indexer.buildTables(spark, slice, segSize, stopWords)
+        val bd = IndexStore.batchDir(dir, b)
+        view.postings.write.mode("overwrite").parquet(s"$bd/postings")
+        view.docmeta.toDF().write.mode("overwrite").parquet(s"$bd/docmeta")
+        // terms rebuilt from the written postings (consistency by construction)
+        val written = spark.read.parquet(s"$bd/postings").as[PostingBlockRow]
+        Indexer.buildTerms(written).write.mode("overwrite").parquet(s"$bd/terms")
+        val stats = written.agg(
+          count(lit(1)), coalesce(sum("doc_count"), lit(0L)),
+          coalesce(sum(length(col("docs")) + length(col("freqs"))
+            + length(col("norms")) + length(col("positions"))), lit(0L))).head()
+        val nTerms = spark.read.parquet(s"$bd/terms").count()
+        val nDocs = spark.read.parquet(s"$bd/docmeta").count()
+        IndexStore.writeManifest(dir, BatchManifest(
+          batch = b, firstDocId = lo, lastDocIdExclusive = hi,
+          segmentIds = (Indexer.segmentOf(lo, segSize) to Indexer.segmentOf(hi - 1, segSize)).toList,
+          docs = nDocs, postingRows = stats.getLong(0), postings = stats.getLong(1),
+          bytes = stats.getLong(2), terms = nTerms,
+          committedAtEpochMs = System.currentTimeMillis()))
+      }
+    }
+    val version = IndexStore.currentSnapshot(dir).map(_.version + 1).getOrElse(1)
+    val snap = Snapshot(version, segSize, batches)
+    IndexStore.publishSnapshot(dir, snap)
+    snap
+  }
+}
+
+object IndexReader {
+  /** Load the live snapshot as an IndexView (union of batch parquet). */
+  def load(spark: SparkSession, dir: String): IndexView = {
+    import spark.implicits._
+    val snap = IndexStore.currentSnapshot(dir)
+      .getOrElse(throw new IllegalStateException(s"no snapshot in $dir"))
+    val dirs = snap.batches.map(IndexStore.batchDir(dir, _))
+    val postings = spark.read.parquet(dirs.map(_ + "/postings"): _*).as[PostingBlockRow]
+    val terms    = spark.read.parquet(dirs.map(_ + "/terms"): _*)
+    val docmeta  = spark.read.parquet(dirs.map(_ + "/docmeta"): _*).as[DocMetaRow]
+    IndexView(postings, terms, docmeta)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.index
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.codec.PostingCodec
+
+/**
+ * Segment merge — the north star's "segment merge as a sort-merge of
+ * term dictionaries" (BASELINE.json:6), the analog of the reference's
+ * `SegmentMerger` + `TieredMergePolicy` [8x index/SegmentMerger.java,
+ * TieredMergePolicy.java].
+ *
+ * Doc-range segments use global dense docIDs, so the reference's
+ * `MergeState.DocMap` offset remap is the identity here; the merge work
+ * that remains is the real one: k-way merge of the per-segment sorted
+ * term dictionaries and re-blocking of each term's posting stream.
+ * Spark-first realization: the blocks of the merge group are
+ * range-partitioned by (new_segment, term) and sorted by
+ * (term, first_doc_id) — which IS a distributed sort-merge over the
+ * term dictionaries — then re-encoded into fresh 128-doc blocks. Input
+ * blocks of the same term arrive doc-ordered (segments cover disjoint
+ * ascending doc ranges), so re-encode is a streaming concat.
+ */
+object Merger {
+
+  /** Merge segments into coarser ones: every `factor` consecutive
+    * doc-range segments collapse into one new segment
+    * (new_segment = segment_id / factor — the tier shape of the
+    * reference's merge policy).
+    */
+  def merge(spark: SparkSession, view: IndexView, factor: Int,
+            numPartitions: Int = 0): IndexView = {
+    import spark.implicits._
+    require(factor >= 1)
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.sessionState.conf.numShufflePartitions
+
+    // decode blocks back to posting entries, retarget the segment id,
+    // and re-run the block build (same machinery = same invariants)
+    val entries: Dataset[PostingInput] = view.postings.flatMap { b =>
+      val d = PostingCodec.decode(b.docs, b.freqs, b.norms)
+      val ps = PostingCodec.decodePositions(b.positions, d.freqs)
+      Iterator.tabulate(d.docIds.length) { i =>
+        PostingInput(b.segment_id / factor, b.term, d.docIds(i),
+          d.freqs(i), d.norms(i).toInt & 0xff, ps(i))
+      }
+    }
+    val merged = Indexer.buildPostings(spark, entries, parts)
+    val docmeta = view.docmeta.map(m => m.copy(segment_id = m.segment_id / factor))
+    IndexView(merged, Indexer.buildTerms(merged), docmeta)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import graft.index.{IndexReader, IndexStore, IndexWriter, Indexer, Merger}
+import graft.search.{BmwSearch, DoubleOracle, ExactSearch, Float32Lucene}
+import graft.synth.CorpusSynth
+
+/** Durable layout: resumable checkpointed build, atomic snapshot publish,
+  * lineage/metrics manifests, merge equivalence (SURVEY.md §5.2.4).
+  */
+class IndexStoreSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-index").toString
+
+  private def corpus(n: Long) =
+    Indexer.asDocInput(spark, CorpusSynth.corpusWithIds(spark, n, seed = 5L))
+
+  private def topDocs(view: graft.index.IndexView, terms: Seq[String]) =
+    ExactSearch.topK(spark, view, terms, 10, DoubleOracle)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+
+  test("write → read roundtrip: loaded index answers queries identically") {
+    val dir = tmpDir()
+    val snap = IndexWriter.build(spark, corpus(800), dir, segSize = 128L, nBatches = 3)
+    assert(snap.version == 1)
+    val loaded = IndexReader.load(spark, dir)
+    val direct = Indexer.buildTables(spark, corpus(800), 128L)
+    assert(topDocs(loaded, Seq("w0001", "w0042")) == topDocs(direct, Seq("w0001", "w0042")))
+  }
+
+  test("manifests carry lineage + metrics per batch") {
+    val dir = tmpDir()
+    IndexWriter.build(spark, corpus(600), dir, segSize = 128L, nBatches = 2)
+    val m0 = IndexStore.readManifest(dir, 0).get
+    val m1 = IndexStore.readManifest(dir, 1).get
+    assert(m0.firstDocId == 0 && m0.lastDocIdExclusive == m1.firstDocId)
+    assert(m0.docs > 0 && m0.postings > 0 && m0.bytes > 0 && m0.terms > 0)
+    assert(m0.segmentIds.nonEmpty)
+    assert(m0.docs + m1.docs == 600)
+  }
+
+  test("resumability: killed build resumes to an identical snapshot (north rule)") {
+    val dirA = tmpDir(); val dirB = tmpDir()
+    // A: clean build in 3 batches
+    IndexWriter.build(spark, corpus(700), dirA, segSize = 128L, nBatches = 3)
+    // B: crash after batch 0, then resume
+    intercept[RuntimeException] {
+      IndexWriter.build(spark, corpus(700), dirB, segSize = 128L, nBatches = 3,
+        failAfterBatch = 0)
+    }
+    assert(IndexStore.currentSnapshot(dirB).isEmpty) // nothing published yet
+    assert(IndexStore.readManifest(dirB, 0).isDefined) // batch 0 checkpointed
+    IndexWriter.build(spark, corpus(700), dirB, segSize = 128L, nBatches = 3)
+    def signature(dir: String) = {
+      val v = IndexReader.load(spark, dir)
+      v.postings.collect()
+        .map(b => (b.segment_id, b.term, b.block_id, b.first_doc_id,
+          b.docs.toList, b.freqs.toList, b.norms.toList))
+        .sortBy(t => (t._1, t._2, t._3)).toList
+    }
+    assert(signature(dirA) == signature(dirB))
+    // resumed build skipped batch 0: its manifest is the one from the failed run
+    assert(IndexStore.readManifest(dirB, 0).get.docs ==
+      IndexStore.readManifest(dirA, 0).get.docs)
+  }
+
+  test("merge: merged index is query-equivalent to pre-merge (both paths)") {
+    val view = Indexer.buildTables(spark, corpus(900), 128L).persisted()
+    val merged = Merger.merge(spark, view, factor = 4)
+    assert(merged.postings.select("segment_id").distinct().count() <
+      view.postings.select("segment_id").distinct().count())
+    for (q <- Seq(Seq("w0000"), Seq("w0003", "w0017"), Seq("w0000", "w0900", "w1500"))) {
+      assert(topDocs(merged, q) == topDocs(view, q), s"exact mismatch for $q")
+      val bmwPre = BmwSearch.topK(spark, view, q, 10, Float32Lucene)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+      val bmwPost = BmwSearch.topK(spark, merged, q, 10, Float32Lucene)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+      assert(bmwPre == bmwPost, s"bmw mismatch for $q")
+    }
+    // term dictionaries: global stats unchanged by merge
+    val pre = view.terms.groupBy("term").sum("df", "ctf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toList
+    val post = merged.terms.groupBy("term").sum("df", "ctf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toList
+    assert(pre == post)
+  }
+}
