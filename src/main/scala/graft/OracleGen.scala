@@ -55,27 +55,89 @@ object OracleGen {
        |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ctf
        |FROM tokf GROUP BY term""".stripMargin
 
-  /** BM25 top-k (Lucene 8.x formula shape, float64): disjunctive when
-    * minShouldMatch=1, conjunctive when = #terms.
+  /** CTE chain ending in `persc(doc_id, term, s)` — the per-(doc, term)
+    * BM25 score (Lucene 8.x formula shape, float64) — and
+    * `sc(doc_id, score, n_matched)` — per-doc disjunctive sum.
     */
-  def bm25TopKSql(terms: Seq[String], k: Int, minShouldMatch: Int = 1): String = {
+  def bm25Ctes(terms: Seq[String]): String = {
     val qs = termList(terms.distinct)
-    s"""WITH $tokCte, $dlCtes, df AS (
+    s"""$tokCte, $dlCtes, df AS (
        |  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
        |  WHERE term IN ($qs) GROUP BY term
        |), tf AS (
        |  SELECT doc_id, term, count(*) AS tf FROM tokf
        |  WHERE term IN ($qs) GROUP BY doc_id, term
-       |), sc AS (
-       |  SELECT tf.doc_id,
-       |    sum( ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
-       |         * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * norm.ldl / (st.sttf / CAST(st.n AS DOUBLE)))) ) AS score,
-       |    count(*) AS n_matched
+       |), persc AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+       |      * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * norm.ldl / (st.sttf / CAST(st.n AS DOUBLE)))) AS s
        |  FROM tf JOIN df USING (term) JOIN norm ON tf.doc_id = norm.doc_id CROSS JOIN st
-       |  GROUP BY tf.doc_id
-       |)
+       |), sc AS (
+       |  SELECT doc_id, sum(s) AS score, count(*) AS n_matched
+       |  FROM persc GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  /** BM25 top-k: disjunctive when minShouldMatch=1, conjunctive when
+    * = #terms.
+    */
+  def bm25TopKSql(terms: Seq[String], k: Int, minShouldMatch: Int = 1): String =
+    s"""WITH ${bm25Ctes(terms)}
        |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q
        |FROM sc WHERE n_matched >= $minShouldMatch
        |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
-  }
+
+  /** MUST_NOT: scored disjunction minus docs containing any notTerms. */
+  def bm25NotSql(terms: Seq[String], notTerms: Seq[String], k: Int): String =
+    s"""WITH ${bm25Ctes(terms)}
+       |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q
+       |FROM sc WHERE doc_id NOT IN (
+       |  SELECT DISTINCT doc_id FROM tokf WHERE term IN (${termList(notTerms)}))
+       |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+
+  /** FILTER clause: scored disjunction restricted to an n_chars range
+    * (PointRangeQuery analog; the filter contributes no score).
+    */
+  def bm25FilterRangeSql(terms: Seq[String], lo: Long, hi: Long, k: Int): String =
+    s"""WITH ${bm25Ctes(terms)}
+       |SELECT sc.doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q
+       |FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+       |WHERE d.n_chars BETWEEN $lo AND $hi
+       |ORDER BY score DESC, sc.doc_id ASC LIMIT $k""".stripMargin
+
+  /** DisjunctionMax: max clause score + tieBreaker * (sum - max). */
+  def disMaxSql(terms: Seq[String], k: Int, tieBreaker: Double): String =
+    s"""WITH ${bm25Ctes(terms)}, agg AS (
+       |  SELECT doc_id, max(s) AS mx, sum(s) AS sm FROM persc GROUP BY doc_id
+       |)
+       |SELECT doc_id,
+       |  CAST(round((mx + $tieBreaker * (sm - mx)) * 10000) AS BIGINT) AS score_q
+       |FROM agg ORDER BY (mx + $tieBreaker * (sm - mx)) DESC, doc_id ASC LIMIT $k""".stripMargin
+
+  /** Exact phrase: docs where the words occur consecutively (positions
+    * from the raw token stream — stop-filter gaps preserved, so a
+    * removed stopword between words breaks adjacency, as in the
+    * reference). Currently 2-word phrases (enough for the oracle; the
+    * engine supports n-word).
+    */
+  def phraseSql(w1: String, w2: String): String =
+    s"""WITH lists AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), tokpos AS (
+       |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+       |  FROM lists
+       |), a AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w1'),
+       |   b AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w2')
+       |SELECT a.doc_id, count(*) AS phrase_tf
+       |FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |GROUP BY a.doc_id""".stripMargin
+
+  /** Constant-score doc set for a term-dictionary predicate. */
+  def docsWithTermWhereSql(termPred: String): String =
+    s"""WITH $tokCte
+       |SELECT DISTINCT doc_id FROM tokf WHERE $termPred""".stripMargin
+
+  /** docCount — docs with ≥1 indexed (non-stop) token. */
+  def matchAllCountSql: String =
+    s"WITH $tokCte SELECT count(DISTINCT doc_id) AS n FROM tokf"
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.search.{BmwSearch, DoubleOracle, ExactSearch}
+import graft.search.{BmwSearch, DoubleOracle, ExactSearch, MoreQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -47,6 +47,57 @@ object SparkEntry {
       quantize(ExactSearch.topK(s, v, Seq("vector", "window"), 10, DoubleOracle,
         minShouldMatch = 2), 10)
     }),
+    "index_build_fresh" -> ((s, dir) => {
+      // un-cached end-to-end build (the Bench-visible index throughput)
+      val corpus = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("doc_id").cast("string").as("url"), col("text"))
+      graft.index.Indexer
+        .buildTables(s, graft.index.Indexer.asDocInput(s, corpus), IndexCache.TestSegmentSize)
+        .docmeta.toDF().select(col("doc_id"), col("dl"))
+    }),
+    // — Plane A: wider query zoo (SURVEY.md §2.3) —
+    "phrase_query" -> ((s, dir) => {
+      MoreQueries.phraseMatch(s, IndexCache.documentsIndex(s, dir), Seq("hash", "join"))
+    }),
+    "prefix_query" -> ((s, dir) => {
+      val v = IndexCache.documentsIndex(s, dir)
+      MoreQueries.matchingDocs(s, v, MoreQueries.prefixTerms(v, "sl"))
+    }),
+    "wildcard_query" -> ((s, dir) => {
+      val v = IndexCache.documentsIndex(s, dir)
+      MoreQueries.matchingDocs(s, v, MoreQueries.wildcardTerms(v, "s?an"))
+    }),
+    "fuzzy_query" -> ((s, dir) => {
+      val v = IndexCache.documentsIndex(s, dir)
+      MoreQueries.matchingDocs(s, v, MoreQueries.fuzzyTerms(v, "merg", 1))
+    }),
+    "term_range_query" -> ((s, dir) => {
+      val v = IndexCache.documentsIndex(s, dir)
+      MoreQueries.matchingDocs(s, v, MoreQueries.rangeTerms(v, "query", "sort"))
+    }),
+    "term_in_set_query" -> ((s, dir) => {
+      val v = IndexCache.documentsIndex(s, dir)
+      MoreQueries.matchingDocs(s, v, Seq("spark", "dup", "batch"))
+    }),
+    "dismax_topk" -> ((s, dir) => {
+      val v = IndexCache.documentsIndex(s, dir)
+      quantize(MoreQueries.disMaxTopK(s, v, Seq("spark", "merge"), 10, 0.3), 10)
+    }),
+    "boolean_not_topk" -> ((s, dir) => {
+      val v = IndexCache.documentsIndex(s, dir)
+      quantize(MoreQueries.topKNot(s, v, Seq("spark"), Seq("dup"), 10, DoubleOracle), 10)
+    }),
+    "filter_range_topk" -> ((s, dir) => {
+      val v = IndexCache.documentsIndex(s, dir)
+      val filterDocs = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("n_chars").between(200L, 400L)).select("doc_id")
+      quantize(MoreQueries.topKFiltered(s, v, Seq("spark", "join"), filterDocs, 10,
+        DoubleOracle), 10)
+    }),
+    "match_all_count" -> ((s, dir) => {
+      IndexCache.documentsIndex(s, dir).docmeta.toDF()
+        .agg(countDistinct(col("doc_id")).as("n"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -58,5 +109,16 @@ object SparkEntry {
     "bm25_topk_exact" -> OracleGen.bm25TopKSql(Seq("spark", "join"), 10),
     "bm25_topk_bmw" -> OracleGen.bm25TopKSql(Seq("merge", "dup", "scan"), 10),
     "bm25_topk_and" -> OracleGen.bm25TopKSql(Seq("vector", "window"), 10, minShouldMatch = 2),
+    "index_build_fresh" -> OracleGen.tokenizeCountsSql,
+    "phrase_query" -> OracleGen.phraseSql("hash", "join"),
+    "prefix_query" -> OracleGen.docsWithTermWhereSql("term LIKE 'sl%'"),
+    "wildcard_query" -> OracleGen.docsWithTermWhereSql("regexp_matches(term, '^s.an$')"),
+    "fuzzy_query" -> OracleGen.docsWithTermWhereSql("levenshtein(term, 'merg') <= 1"),
+    "term_range_query" -> OracleGen.docsWithTermWhereSql("term >= 'query' AND term < 'sort'"),
+    "term_in_set_query" -> OracleGen.docsWithTermWhereSql("term IN ('spark', 'dup', 'batch')"),
+    "dismax_topk" -> OracleGen.disMaxSql(Seq("spark", "merge"), 10, 0.3),
+    "boolean_not_topk" -> OracleGen.bm25NotSql(Seq("spark"), Seq("dup"), 10),
+    "filter_range_topk" -> OracleGen.bm25FilterRangeSql(Seq("spark", "join"), 200L, 400L, 10),
+    "match_all_count" -> OracleGen.matchAllCountSql,
   )
 }

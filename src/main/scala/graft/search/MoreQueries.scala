@@ -1,0 +1,153 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.codec.PostingCodec
+import graft.index.IndexView
+
+/**
+ * The reference's wider query zoo (SURVEY.md §2.3), Spark-first:
+ *
+ *  - MultiTermQuery family (Prefix/Wildcard/Fuzzy/TermRange/TermInSet
+ *    [8x search/PrefixQuery.java, FuzzyQuery.java, TermRangeQuery.java,
+ *    TermInSetQuery.java]): term expansion is a predicate on the terms
+ *    table (the term dictionary) — the automaton-intersection analog —
+ *    followed by the boolean machinery over the expanded set. Expansion
+ *    is capped like the reference's maxClauseCount.
+ *  - PhraseQuery [8x search/PhraseQuery.java, ExactPhraseMatcher.java]:
+ *    posting intersection by doc, then position-adjacency check over the
+ *    decoded position payloads (two-phase iteration: docs first,
+ *    positions only for intersecting docs).
+ *  - DisjunctionMaxQuery [8x search/DisjunctionMaxQuery.java]:
+ *    max clause score + tieBreaker * (sum - max).
+ */
+object MoreQueries {
+
+  val MaxClauseCount = 1024 // the reference's BooleanQuery.maxClauseCount default
+
+  /** Expand a term-dictionary predicate to concrete terms (sorted). */
+  def expandTerms(view: IndexView, pred: Column): Seq[String] = {
+    val ts = view.terms.select("term").distinct().filter(pred)
+      .orderBy("term").limit(MaxClauseCount + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(ts.size <= MaxClauseCount, s"too many expanded terms (> $MaxClauseCount)")
+    ts
+  }
+
+  def prefixTerms(view: IndexView, prefix: String): Seq[String] =
+    expandTerms(view, col("term").startsWith(prefix))
+
+  /** Wildcard pattern: `*` = any run, `?` = any single char. */
+  def wildcardTerms(view: IndexView, pattern: String): Seq[String] = {
+    val regex = "^" + pattern.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()<>+-=!?^$|".contains(c) => "\\" + c
+      case c => c.toString
+    } + "$"
+    expandTerms(view, col("term").rlike(regex))
+  }
+
+  def fuzzyTerms(view: IndexView, term: String, maxEdits: Int): Seq[String] =
+    expandTerms(view, levenshtein(col("term"), lit(term)) <= maxEdits)
+
+  def rangeTerms(view: IndexView, lo: String, hi: String,
+                 includeHi: Boolean = false): Seq[String] =
+    expandTerms(view,
+      if (includeHi) col("term") >= lo && col("term") <= hi
+      else col("term") >= lo && col("term") < hi)
+
+  /** Constant-score doc set for a term set (the reference's
+    * CONSTANT_SCORE rewrite): distinct docIDs containing any term.
+    */
+  def matchingDocs(spark: SparkSession, view: IndexView,
+                   terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    if (terms.isEmpty) return spark.emptyDataset[Long].toDF("doc_id")
+    view.postings
+      .filter($"term".isin(terms.distinct: _*))
+      .flatMap(b => graft.codec.VByte.decodeDeltas(b.docs))
+      .toDF("doc_id").distinct()
+  }
+
+  /** Exact phrase match: (doc_id, phrase_tf) for docs where the terms
+    * occur at consecutive positions (stop-filter position gaps
+    * preserved, so phrases across removed stopwords do NOT match —
+    * reference semantics).
+    */
+  def phraseMatch(spark: SparkSession, view: IndexView,
+                  terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(terms.size >= 2, "phrase needs >= 2 terms")
+    val n = terms.size
+    // offset of each phrase slot; duplicate terms keep every slot
+    val slots = terms.zipWithIndex // (term, offset)
+    val uniq = terms.distinct
+    val perDoc = view.postings
+      .filter($"term".isin(uniq: _*))
+      .flatMap { b =>
+        val d = PostingCodec.decode(b.docs, b.freqs, b.norms)
+        val ps = PostingCodec.decodePositions(b.positions, d.freqs)
+        Iterator.tabulate(d.docIds.length)(i => (d.docIds(i), b.term, ps(i)))
+      }
+      .groupByKey(_._1)
+      .mapGroups { (docId, it) =>
+        val posByTerm = it.map(t => t._2 -> t._3).toMap
+        val tf =
+          if (!uniq.forall(posByTerm.contains)) 0
+          else {
+            val sets = slots.map { case (t, off) => (posByTerm(t), off) }
+            val first = sets.head._1
+            first.count { p =>
+              sets.forall { case (ps, off) => java.util.Arrays.binarySearch(ps, p + off) >= 0 }
+            }
+          }
+        (docId, tf)
+      }
+    perDoc.filter(_._2 > 0).toDF("doc_id", "phrase_tf")
+  }
+
+  /** DisjunctionMax top-k: per-clause BM25 scores combined as
+    * max + tieBreaker*(sum-max). Clauses here are single terms.
+    */
+  def disMaxTopK(spark: SparkSession, view: IndexView, terms: Seq[String],
+                 k: Int, tieBreaker: Double): DataFrame = {
+    import spark.implicits._
+    val scorers = QueryScorers(view, terms, DoubleOracle)
+    val bc = spark.sparkContext.broadcast(scorers)
+    val entries = ExactSearch.decodedPostings(spark, view, terms)
+      .as[(String, Long, Int, Int, Int)]
+    entries.groupByKey(_._2).mapGroups { (docId, it) =>
+      val rows = it.toArray.sortBy(_._1)
+      val s = bc.value
+      val scores = rows.map { case (t, _, tf, nb, ldl) => s.score(t, tf, nb, ldl) }
+      val mx = scores.max
+      (docId, mx + tieBreaker * (scores.sum - mx))
+    }.toDF("doc_id", "score")
+      .orderBy($"score".desc, $"doc_id".asc).limit(k)
+  }
+
+  /** MUST_NOT: top-k for `queryTerms` excluding docs containing any of
+    * `notTerms` (anti-join — contributes no score, reference semantics).
+    */
+  def topKNot(spark: SparkSession, view: IndexView, queryTerms: Seq[String],
+              notTerms: Seq[String], k: Int, mode: ScoreMode): DataFrame = {
+    val base = ExactSearch.scored(spark, view, queryTerms, mode)
+    val excl = matchingDocs(spark, view, notTerms)
+    base.join(excl, Seq("doc_id"), "left_anti")
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+
+  /** FILTER clause: top-k for `queryTerms` restricted to a doc set
+    * (semi join; the filter contributes no score). The filter frame may
+    * come from any predicate — e.g. a pushed-down column range (the
+    * PointRangeQuery analog) or another term query.
+    */
+  def topKFiltered(spark: SparkSession, view: IndexView,
+                   queryTerms: Seq[String], filterDocs: DataFrame, k: Int,
+                   mode: ScoreMode): DataFrame = {
+    val base = ExactSearch.scored(spark, view, queryTerms, mode)
+    base.join(filterDocs.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+}

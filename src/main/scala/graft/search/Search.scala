@@ -93,13 +93,11 @@ object ExactSearch {
       }.toDF("term", "doc_id", "tf", "norm_byte", "lossy_dl")
   }
 
-  /** Disjunctive (OR) top-k. minShouldMatch>1 turns it into an
-    * at-least-m query; m == #terms is the conjunctive (AND) case —
-    * the reference's BooleanQuery SHOULD/MUST semantics (SURVEY.md §2.3).
+  /** All matching docs with their BM25 scores (no ranking cut) —
+    * building block for boolean composition (MUST_NOT/FILTER wrap it).
     */
-  def topK(spark: SparkSession, view: IndexView, queryTerms: Seq[String],
-           k: Int, mode: ScoreMode = DoubleOracle,
-           minShouldMatch: Int = 1): DataFrame = {
+  def scored(spark: SparkSession, view: IndexView, queryTerms: Seq[String],
+             mode: ScoreMode = DoubleOracle, minShouldMatch: Int = 1): DataFrame = {
     import spark.implicits._
     val scorers = QueryScorers(view, queryTerms, mode)
     val bc = spark.sparkContext.broadcast(scorers)
@@ -124,6 +122,20 @@ object ExactSearch {
     }.toDF("doc_id", "score", "n_matched")
     perDoc.filter($"n_matched" >= minShouldMatch)
       .select($"doc_id", $"score")
+  }
+
+  /** Disjunctive (OR) top-k. minShouldMatch>1 turns it into an
+    * at-least-m query; m == #terms is the conjunctive (AND) case —
+    * the reference's BooleanQuery SHOULD/MUST semantics (SURVEY.md §2.3).
+    * Catalyst plans the cut as TakeOrderedAndProject: per-partition
+    * partial top-k + driver merge, exactly the reference's per-leaf
+    * collect + TopDocs.merge.
+    */
+  def topK(spark: SparkSession, view: IndexView, queryTerms: Seq[String],
+           k: Int, mode: ScoreMode = DoubleOracle,
+           minShouldMatch: Int = 1): DataFrame = {
+    import spark.implicits._
+    scored(spark, view, queryTerms, mode, minShouldMatch)
       .orderBy($"score".desc, $"doc_id".asc)
       .limit(k)
   }

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analysis.Analyzer
+import graft.index.Indexer
+import graft.search.{DoubleOracle, MoreQueries}
+import graft.synth.CorpusSynth
+
+/** Differential tests of the wider query zoo vs brute-force
+  * recomputation from the raw corpus (SURVEY.md §2.3).
+  */
+class MoreQueriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val N = 1200L
+
+  lazy val docs: Array[(Long, String)] = {
+    import spark.implicits._
+    CorpusSynth.corpusWithIds(spark, N, seed = 21L)
+      .as[(Long, String, String)].collect().map(t => (t._1, t._3))
+  }
+  lazy val view = {
+    val v = Indexer.buildTables(spark,
+      Indexer.asDocInput(spark, CorpusSynth.corpusWithIds(spark, N, seed = 21L)),
+      segSize = 256L).persisted()
+    v.postings.count()
+    v
+  }
+
+  private def bruteDocs(p: String => Boolean): Set[Long] =
+    docs.filter { case (_, text) =>
+      Analyzer.tokenize(text).exists(t => p(t.term))
+    }.map(_._1).toSet
+
+  private def collected(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.collect().map(_.getLong(0)).toSet
+
+  test("prefix / wildcard / fuzzy / range / in-set expansion + doc sets") {
+    assert(collected(MoreQueries.matchingDocs(spark, view,
+      MoreQueries.prefixTerms(view, "w00"))) == bruteDocs(_.startsWith("w00")))
+    assert(collected(MoreQueries.matchingDocs(spark, view,
+      MoreQueries.wildcardTerms(view, "w1?3?"))) ==
+      bruteDocs(t => t.matches("^w1.3.$")))
+    val inSet = Set("w0005", "w0123", "nosuch")
+    assert(collected(MoreQueries.matchingDocs(spark, view, inSet.toSeq)) ==
+      bruteDocs(inSet))
+    assert(collected(MoreQueries.matchingDocs(spark, view,
+      MoreQueries.rangeTerms(view, "w0010", "w0013"))) ==
+      bruteDocs(t => t >= "w0010" && t < "w0013"))
+    val fz = MoreQueries.fuzzyTerms(view, "w0100", 1)
+    assert(fz.contains("w0100") && fz.size > 1) // edit-1 neighbors like w0io0
+  }
+
+  test("phrase match equals brute-force adjacency on raw positions") {
+    val terms = Seq("w0000", "w0001")
+    val got = MoreQueries.phraseMatch(spark, view, terms)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = Analyzer.tokenize(text)
+      val pos0 = toks.filter(_.term == terms(0)).map(_.pos).toSet
+      val pos1 = toks.filter(_.term == terms(1)).map(_.pos).toSet
+      val tf = pos0.count(p => pos1.contains(p + 1))
+      if (tf > 0) Some(id -> tf) else None
+    }.toMap
+    assert(got == expected)
+    assert(expected.nonEmpty, "test phrase should occur in corpus")
+  }
+
+  test("phrase across a removed stopword does NOT match (gap preserved)") {
+    import spark.implicits._
+    val tiny = Seq((0L, "u", "alpha the beta"), (1L, "u", "alpha beta"))
+      .toDF("doc_id", "url", "text")
+    val v = Indexer.buildTables(spark, Indexer.asDocInput(spark, tiny), 16L)
+    val got = MoreQueries.phraseMatch(spark, v, Seq("alpha", "beta"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L))
+  }
+
+  test("MUST_NOT excludes and FILTER restricts without changing scores") {
+    val base = graft.search.ExactSearch.scored(spark, view, Seq("w0002"), DoubleOracle)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val notDocs = bruteDocs(_ == "w0003")
+    val got = MoreQueries.topKNot(spark, view, Seq("w0002"), Seq("w0003"), 10000, DoubleOracle)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.forall { case (d, s) => base(d) == s && !notDocs(d) })
+    assert(got.map(_._1).toSet == base.keySet -- notDocs)
+  }
+}
