@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.index.{IndexReader, IndexWriter, Indexer}
+import graft.search.{BmwSearch, DoubleOracle, ExactSearch}
+import graft.synth.CorpusSynth
+
+/** Two-cluster-size scaling evidence for the north rule
+  * (BASELINE.json:2,14): the same index-build job + query set run at
+  * local[N] and local[4N] cores on byte-identical synth input (no real
+  * cluster in this sandbox — SURVEY.md §0). Reports docs/sec at both,
+  * scaling efficiency = (T_N / T_4N) / 4, BM25 top-10 latency for the
+  * exact and BMW paths, and asserts results are rank-identical across
+  * parallelism levels (deterministic docIDs, SURVEY.md §7.5 #4).
+  *
+  * Usage: runMain graft.ScalingBench [nDocs] [loCpus] [hiCpus]
+  */
+object ScalingBench {
+
+  final case class LevelResult(cpus: Int, buildSec: Double, docsPerSec: Double,
+                               exactMs: Double, bmwMs: Double,
+                               topkFingerprint: String,
+                               shuffleGb: Double, spillGb: Double, outGb: Double)
+
+  /** Accumulates executor I/O metrics across stages (per level). */
+  private final class IoListener extends org.apache.spark.scheduler.SparkListener {
+    @volatile var shuffleWrite = 0L
+    @volatile var diskSpill = 0L
+    @volatile var output = 0L
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+        diskSpill += m.diskBytesSpilled
+        output += m.outputMetrics.bytesWritten
+      }
+    }
+    def reset(): Unit = { shuffleWrite = 0L; diskSpill = 0L; output = 0L }
+  }
+
+  private val queries: Seq[Seq[String]] = Seq(
+    Seq("w0000"),                      // hottest zipf term
+    Seq("w0007", "w0031"),             // common pair
+    Seq("w0100", "w0500", "w1500"),    // mid + rare disjunction
+    Seq("w0003", "w1999"),             // hot + rarest
+    Seq("w0050", "w0051", "w0052", "w0053"))
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-scaling-$cpus")
+      .config("spark.sql.shuffle.partitions", (cpus * 2).toString)
+      // bound the per-task in-RAM inverted chunk (the DWPT RAM-buffer
+      // analog): smaller input splits = smaller map-side combine state
+      .config("spark.sql.files.maxPartitionBytes", (sys.env.getOrElse("GRAFT_SPLIT_MB", "16").toLong << 20).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def rmrf(p: java.io.File): Unit = {
+    if (p.isDirectory) p.listFiles().foreach(rmrf)
+    p.delete(); ()
+  }
+
+  /** Materialize the deterministic corpus as a parquet table once
+    * (untimed): the scaling job is "index a stored corpus", matching the
+    * north rule's Iceberg-table input — synthesis cost stays out of the
+    * measured job and both levels read byte-identical input.
+    */
+  def corpusPath(nDocs: Long): String = {
+    val p = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-scale-corpus-$nDocs"
+    if (!new java.io.File(s"$p/_SUCCESS").exists()) {
+      val s = session(32)
+      try CorpusSynth.corpusWithIds(s, nDocs, 42L, 64)
+        .write.mode("overwrite").parquet(p)
+      finally s.stop()
+    }
+    p
+  }
+
+  def runLevel(cpus: Int, nDocs: Long, warmDocs: Long, corpus_parquet: String): LevelResult = {
+    val spark = session(cpus)
+    try {
+      val tmpBase = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+      // warm-up: small build to JIT the whole pipeline before timing
+      val warmDir = s"$tmpBase/graft-scale-warm-$cpus"
+      rmrf(new java.io.File(warmDir))
+      IndexWriter.build(spark,
+        Indexer.asDocInput(spark, CorpusSynth.corpusWithIds(spark, warmDocs, 42L, cpus * 2)),
+        warmDir, segSize = 1L << 14, knownMaxDoc = warmDocs)
+      rmrf(new java.io.File(warmDir))
+
+      // timed durable build (the north-rule pipeline end-to-end) reading
+      // the stored corpus; min of 2 trials — single-run noise ~15%
+      val dir = s"$tmpBase/graft-scale-$cpus"
+      val corpus = Indexer.asDocInput(spark, spark.read.parquet(corpus_parquet))
+      val buildSec = (1 to 2).map { _ =>
+        rmrf(new java.io.File(dir))
+        val t0 = System.nanoTime()
+        // north-rule config: BM25 pipeline = docs/freqs/norms
+        // (IndexOptions.DOCS_AND_FREQS) — positions are a phrase-query
+        // add-on and would double the shuffle+disk bytes
+        IndexWriter.build(spark, corpus, dir, segSize = 1L << 14, nBatches = 2,
+          knownMaxDoc = nDocs, indexPositions = false)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+      // one more instrumented build to report exact I/O volumes
+      val io = new IoListener
+      spark.sparkContext.addSparkListener(io)
+      rmrf(new java.io.File(dir))
+      IndexWriter.build(spark, corpus, dir, segSize = 1L << 14, nBatches = 2,
+        knownMaxDoc = nDocs, indexPositions = false)
+      Thread.sleep(2000) // let the listener bus drain
+      val (shufGb, spillGb, outGb) =
+        (io.shuffleWrite / 1e9, io.diskSpill / 1e9, io.output / 1e9)
+      spark.sparkContext.removeSparkListener(io)
+
+      val view = IndexReader.load(spark, dir).persisted()
+      view.postings.count(); view.docmeta.count() // materialize cache
+
+      def time(f: => Unit): Double = { // min of 3 trials, ms
+        (1 to 3).map { _ =>
+          val q0 = System.nanoTime(); f; (System.nanoTime() - q0) / 1e6
+        }.min
+      }
+      // one untimed pass to JIT both paths
+      queries.foreach { q => ExactSearch.topK(spark, view, q, 10, DoubleOracle).collect() }
+      queries.foreach { q => BmwSearch.topK(spark, view, q, 10, DoubleOracle).collect() }
+      val exactMs = queries.map(q =>
+        time(ExactSearch.topK(spark, view, q, 10, DoubleOracle).collect())).sum / queries.size
+      val bmwMs = queries.map(q =>
+        time(BmwSearch.topK(spark, view, q, 10, DoubleOracle).collect())).sum / queries.size
+
+      // rank-identity fingerprint across parallelism levels
+      val fp = queries.flatMap { q =>
+        BmwSearch.topK(spark, view, q, 10, DoubleOracle).collect()
+          .map(r => s"${r.getLong(0)}:${"%.6f".format(r.getDouble(1))}")
+      }.mkString("|")
+      rmrf(new java.io.File(dir))
+      LevelResult(cpus, buildSec, nDocs / buildSec, exactMs, bmwMs,
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16),
+        shufGb, spillGb, outGb)
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 0) args(0).toLong else 1000000L
+    val lo = if (args.length > 1) args(1).toInt else 8
+    val hi = if (args.length > 2) args(2).toInt else 32
+    val cp = corpusPath(nDocs)
+    // run the high-parallelism level FIRST so residual JVM/page-cache
+    // warmth favors the low level — biasing efficiency DOWN, not up
+    val rHi = runLevel(hi, nDocs, nDocs / 10, cp)
+    val rLo = runLevel(lo, nDocs, nDocs / 10, cp)
+    val eff = (rLo.buildSec / rHi.buildSec) / (hi.toDouble / lo)
+    val identical = rLo.topkFingerprint == rHi.topkFingerprint
+    println(
+      s"""{"metric":"scaling","n_docs":$nDocs,"lo_cpus":$lo,"hi_cpus":$hi,""" +
+      s""""lo_build_sec":${rLo.buildSec},"hi_build_sec":${rHi.buildSec},""" +
+      s""""lo_docs_per_sec":${rLo.docsPerSec},"hi_docs_per_sec":${rHi.docsPerSec},""" +
+      s""""scaling_efficiency":$eff,""" +
+      s""""lo_exact_ms":${rLo.exactMs},"hi_exact_ms":${rHi.exactMs},""" +
+      s""""lo_bmw_ms":${rLo.bmwMs},"hi_bmw_ms":${rHi.bmwMs},""" +
+      s""""hi_shuffle_gb":${rHi.shuffleGb},"hi_spill_gb":${rHi.spillGb},""" +
+      s""""hi_output_gb":${rHi.outGb},""" +
+      s""""rank_identical_across_parallelism":$identical}""")
+  }
+}

@@ -98,6 +98,43 @@ object SparkEntry {
       IndexCache.documentsIndex(s, dir).docmeta.toDF()
         .agg(countDistinct(col("doc_id")).as("n"))
     }),
+    // — Plane B: relational/dataflow operators (SURVEY.md §2.5–2.7) —
+    "rollup_agg" -> (graft.operators.Relational.rollupAgg _),
+    "hash_join_topk" -> (graft.operators.Relational.hashJoinTopK _),
+    "merge_join_agg" -> (graft.operators.Relational.mergeJoinAgg _),
+    "lookup_join" -> (graft.operators.Relational.lookupJoin _),
+    "cartesian_explode" -> (graft.operators.Relational.cartesianExplode _),
+    "union_merge" -> (graft.operators.Relational.unionMerge _),
+    "unique_dedup" -> (graft.operators.Relational.uniqueDedup _),
+    "intersect_keys" -> (graft.operators.Relational.intersectKeys _),
+    "complement_keys" -> (graft.operators.Relational.complementKeys _),
+    "rank_topk" -> (graft.operators.Relational.rankTopK _),
+    "having_filter" -> (graft.operators.Relational.havingFilter _),
+    "select_expr" -> (graft.operators.Relational.selectExpr _),
+    "facet_terms" -> (graft.operators.Relational.facetTerms _),
+    "facet_range" -> (graft.operators.Relational.facetRange _),
+    "facet_query" -> (graft.operators.Relational.facetQuery _),
+    "facet_pivot" -> (graft.operators.Relational.facetPivot _),
+    "facet_unique" -> (graft.operators.Relational.facetUnique _),
+    "facet_hll" -> (graft.operators.Relational.facetHll _),
+    "stats_component" -> (graft.operators.Relational.statsComponent _),
+    "stats_percentile" -> (graft.operators.Relational.statsPercentile _),
+    "window_collapse" -> (graft.operators.Relational.windowCollapse _),
+    "time_series" -> (graft.operators.Relational.timeSeries _),
+    "sql_select" -> (graft.operators.Relational.sqlSelect _),
+    // — Training-data pipeline ops (dedup / similarity / text / media) —
+    "dedup_exact" -> (graft.operators.TrainingData.dedupExact _),
+    "dedup_ngram_pairs" -> ((s, dir) => graft.operators.TrainingData.dedupNgramPairs(s, dir)),
+    "dedup_minhash_lsh" -> ((s, dir) => graft.operators.TrainingData.dedupMinhashLsh(s, dir)),
+    "dedup_simhash" -> (graft.operators.TrainingData.dedupSimhash _),
+    "lang_id" -> (graft.operators.TrainingData.langId _),
+    "quality_score" -> (graft.operators.TrainingData.qualityScore _),
+    "token_counts" -> (graft.operators.TrainingData.tokenCounts _),
+    "doc_fingerprint" -> (graft.operators.TrainingData.docFingerprint _),
+    "ann_cosine_topk" -> ((s, dir) => graft.operators.Vectors.annBruteTopK(s, dir)),
+    "ann_lsh_topk" -> ((s, dir) => graft.operators.Vectors.annLshTopK(s, dir)),
+    "binary_meta" -> (graft.operators.Multimodal.binaryMeta _),
+    "multimodal_decode" -> (graft.operators.Multimodal.mediaFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -120,5 +157,39 @@ object SparkEntry {
     "boolean_not_topk" -> OracleGen.bm25NotSql(Seq("spark"), Seq("dup"), 10),
     "filter_range_topk" -> OracleGen.bm25FilterRangeSql(Seq("spark", "join"), 200L, 400L, 10),
     "match_all_count" -> OracleGen.matchAllCountSql,
+    // Plane B (facet_hll omitted: approximate — rows-only check)
+    "rollup_agg" -> RelationalOracles.rollupAgg,
+    "hash_join_topk" -> RelationalOracles.hashJoinTopK,
+    "merge_join_agg" -> RelationalOracles.mergeJoinAgg,
+    "lookup_join" -> RelationalOracles.lookupJoin,
+    "cartesian_explode" -> RelationalOracles.cartesianExplode,
+    "union_merge" -> RelationalOracles.unionMerge,
+    "unique_dedup" -> RelationalOracles.uniqueDedup,
+    "intersect_keys" -> RelationalOracles.intersectKeys,
+    "complement_keys" -> RelationalOracles.complementKeys,
+    "rank_topk" -> RelationalOracles.rankTopK,
+    "having_filter" -> RelationalOracles.havingFilter,
+    "select_expr" -> RelationalOracles.selectExpr,
+    "facet_terms" -> RelationalOracles.facetTerms,
+    "facet_range" -> RelationalOracles.facetRange,
+    "facet_query" -> RelationalOracles.facetQuery,
+    "facet_pivot" -> RelationalOracles.facetPivot,
+    "facet_unique" -> RelationalOracles.facetUnique,
+    "stats_component" -> RelationalOracles.statsComponent,
+    "stats_percentile" -> RelationalOracles.statsPercentile,
+    "window_collapse" -> RelationalOracles.windowCollapse,
+    "time_series" -> RelationalOracles.timeSeries,
+    "sql_select" -> RelationalOracles.sqlSelect,
+    // Training-data ops (simhash / lsh-ann / multimodal decode are
+    // hash- or stub-based — rows-only checks, deliberately no oracle)
+    "dedup_exact" -> TrainingOracles.dedupExact,
+    "dedup_ngram_pairs" -> TrainingOracles.ngramJaccardPairs,
+    "dedup_minhash_lsh" -> TrainingOracles.ngramJaccardPairs,
+    "lang_id" -> TrainingOracles.langId,
+    "quality_score" -> TrainingOracles.qualityScore,
+    "token_counts" -> TrainingOracles.tokenCounts,
+    "doc_fingerprint" -> TrainingOracles.docFingerprint,
+    "ann_cosine_topk" -> TrainingOracles.annCosineTopK,
+    "binary_meta" -> TrainingOracles.binaryMeta,
   )
 }

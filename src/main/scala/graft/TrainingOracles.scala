@@ -1,0 +1,120 @@
+package graft
+
+import graft.analysis.Analyzer
+
+/** DuckDB oracle SQL for the training-data pipeline entries
+  * ([[graft.operators.TrainingData]], [[graft.operators.Vectors]],
+  * [[graft.operators.Multimodal]]). Shingles are reproduced with
+  * window `lead` over the split token stream; md5 is byte-stable across
+  * engines; similarities/Jaccard are quantized integers. Hash-based ops
+  * (SimHash, MinHash internals, LSH buckets) have no SQL oracle — the
+  * MinHash+LSH *result* is oracle-checked against the exact-Jaccard SQL
+  * (recall ≈ 1 by construction), the fingerprints are rows-only.
+  */
+object TrainingOracles {
+
+  private val stopList: String =
+    Analyzer.EnglishStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+
+  val dedupExact: String =
+    """SELECT md5(text) AS content_hash, count(*) AS n_dups,
+      |  min(doc_id) AS keeper
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** Exact 3-gram-shingle Jaccard pairs at threshold 0.8 (×10⁴ = 8000).
+    * Also the oracle of the MinHash+LSH path: at J ≥ 0.8 with 16×2
+    * bands the LSH miss probability is ≈ 7e-8 per pair.
+    */
+  val ngramJaccardPairs: String =
+    """WITH tp AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT doc_id,
+      |    term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS s
+      |  FROM tp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE s IS NOT NULL),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pair AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT i, j,
+      |  CAST(round(inter * 10000.0 / (x.n + y.n - inter)) AS BIGINT) AS jaccard_q
+      |FROM pair JOIN sz x ON i = x.doc_id JOIN sz y ON j = y.doc_id
+      |WHERE CAST(round(inter * 10000.0 / (x.n + y.n - inter)) AS BIGINT) >= 8000""".stripMargin
+
+  val langId: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |a AS (
+       |  SELECT doc_id, count(*) AS n_tok,
+       |    count(*) FILTER (WHERE term IN ($stopList)) AS n_stop
+       |  FROM t GROUP BY doc_id)
+       |SELECT doc_id,
+       |  CASE WHEN n_tok > 0 AND 100 * n_stop > 15 * n_tok
+       |       THEN 'en' ELSE 'unk' END AS lang_pred
+       |FROM a""".stripMargin
+
+  val qualityScore: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |a AS (
+       |  SELECT doc_id, count(*) AS n_tok,
+       |    count(*) FILTER (WHERE term IN ($stopList)) AS n_stop,
+       |    CAST(sum(length(term)) AS BIGINT) AS sum_len
+       |  FROM t GROUP BY doc_id)
+       |SELECT d.doc_id, a.n_tok AS n_tokens,
+       |  CAST(length(d.text) AS BIGINT) AS n_chars,
+       |  1000 * a.n_stop // a.n_tok AS stop_permille,
+       |  100 * a.sum_len // a.n_tok AS mean_wordlen_c
+       |FROM documents d JOIN a ON d.doc_id = a.doc_id""".stripMargin
+
+  val tokenCounts: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens
+      |FROM documents""".stripMargin
+
+  val docFingerprint: String =
+    """WITH tp AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT doc_id,
+      |    term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+      |         || ' ' || lead(term, 3) OVER w AS g
+      |  FROM tp WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      |SELECT doc_id, min(md5(g)) AS fingerprint
+      |FROM sh0 WHERE g IS NOT NULL GROUP BY doc_id""".stripMargin
+
+  val annCosineTopK: String =
+    """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+      |ev AS (SELECT vec_id, unnest(embedding) AS x,
+      |       generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |qv AS (SELECT unnest(embedding) AS x,
+      |       generate_subscripts(embedding, 1) AS i FROM q),
+      |dots AS (
+      |  SELECT e.vec_id,
+      |    sum(CAST(e.x AS DOUBLE) * CAST(v.x AS DOUBLE)) AS dot,
+      |    sum(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE)) AS na2
+      |  FROM ev e JOIN qv v USING (i) GROUP BY e.vec_id),
+      |qn AS (SELECT sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nq FROM qv)
+      |SELECT vec_id,
+      |  CAST(round(dot / (sqrt(na2) * nq) * 1e6) AS BIGINT) AS sim_q
+      |FROM dots CROSS JOIN qn
+      |WHERE vec_id <> 0
+      |ORDER BY sim_q DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  val binaryMeta: String =
+    """SELECT doc_id,
+      |  CAST(length('<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+      |    || '</title></head><body><p>' || text || '</p></body></html>') AS BIGINT)
+      |    AS n_bytes,
+      |  md5('<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+      |    || '</title></head><body><p>' || text || '</p></body></html>')
+      |    AS content_md5
+      |FROM documents""".stripMargin
+}

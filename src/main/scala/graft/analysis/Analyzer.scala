@@ -77,16 +77,67 @@ object Analyzer {
   /** Document-local inversion: per-term tf + positions, and dl = number of
     * indexed (post-stop-filter) tokens — the value the norm byte encodes.
     * Terms are returned sorted for deterministic downstream order.
+    *
+    * Fused single pass (tokenize→lowercase→stop→invert) with minimal
+    * allocation — this is the hottest loop of the index build; the
+    * token-array path ([[tokenize]]) is kept for tests/API and the two
+    * are property-tested identical.
     */
   def analyze(text: String, stopWords: Set[String] = EnglishStopWords): DocTerms = {
-    val toks = tokenize(text, stopWords)
-    val byTerm = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
-    toks.foreach { t =>
-      byTerm.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer.empty[Int]) += t.pos
+    val byTerm = new java.util.HashMap[String, PosBuf]()
+    val sb = new java.lang.StringBuilder(32)
+    var pos = 0
+    var dl = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && !isTokenChar(text.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && isTokenChar(text.charAt(i))) i += 1
+        var s = start
+        while (s < i) {
+          val e = math.min(s + MaxTokenLength, i)
+          sb.setLength(0)
+          var k = s
+          while (k < e) {
+            val c = text.charAt(k)
+            sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+            k += 1
+          }
+          val term = sb.toString
+          if (!stopWords.contains(term)) {
+            var buf = byTerm.get(term)
+            if (buf == null) { buf = new PosBuf; byTerm.put(term, buf) }
+            buf.add(pos)
+            dl += 1
+          }
+          pos += 1
+          s = e
+        }
+      }
     }
-    val terms = byTerm.toArray.map { case (term, ps) => TermInDoc(term, ps.length, ps.toArray) }
-      .sortBy(_.term)
-    DocTerms(toks.length, terms)
+    val terms = new Array[TermInDoc](byTerm.size)
+    var j = 0
+    val it = byTerm.entrySet().iterator()
+    while (it.hasNext) {
+      val en = it.next()
+      val ps = en.getValue.toArray
+      terms(j) = TermInDoc(en.getKey, ps.length, ps)
+      j += 1
+    }
+    java.util.Arrays.sort(terms, Ordering.by((t: TermInDoc) => t.term))
+    DocTerms(dl, terms)
+  }
+
+  private final class PosBuf {
+    private var a = new Array[Int](4)
+    private var n = 0
+    def add(p: Int): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      a(n) = p; n += 1
+    }
+    def toArray: Array[Int] = java.util.Arrays.copyOf(a, n)
   }
 }
 

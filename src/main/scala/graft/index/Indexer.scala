@@ -34,6 +34,71 @@ final case class PostingBlockRow(
 final case class DocMetaRow(segment_id: Int, doc_id: Long, url: String,
                             dl: Int, norm_byte: Int, lossy_dl: Int)
 
+/** One analyzed document: metadata + document-local inverted terms, from
+  * a single analysis pass (both postings and docmeta derive from this).
+  */
+final case class AnalyzedDoc(segment_id: Int, doc_id: Long, url: String,
+                             dl: Int, norm_byte: Int,
+                             terms: Array[graft.analysis.TermInDoc])
+
+/** Partition-local posting sub-list of one (segment, term), already in
+  * the compact codec format (docIDs delta+VByte in ascending order, tfs
+  * VByte, norms raw bytes, positions per-entry delta+VByte): the
+  * two-phase posting build shuffles ~1.5 B/posting instead of raw
+  * primitives (~13 B) — at 10⁸⁺ postings per task batch, shuffle I/O is
+  * the scaling term and this is the fix.
+  */
+final case class PostingChunk(segment_id: Int, term: String, n: Int,
+                              docs: Array[Byte], tfs: Array[Byte],
+                              norms: Array[Byte], pos: Array[Byte])
+
+private[index] final class ChunkBuilder {
+  private val docs = scala.collection.mutable.ArrayBuffer.empty[Long]
+  private val tfs = scala.collection.mutable.ArrayBuffer.empty[Int]
+  private val norms = scala.collection.mutable.ArrayBuffer.empty[Byte]
+  private val pos = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+  def add(docId: Long, tf: Int, normByte: Int, positions: Array[Int]): Unit = {
+    docs += docId; tfs += tf; norms += normByte.toByte; pos += positions
+  }
+  /** Encode in ascending docID order (input order is usually already
+    * ascending; an index sort makes the chunk format independent of
+    * partition row order).
+    */
+  def result(seg: Int, term: String): PostingChunk = {
+    val n = docs.length
+    val idx = Array.range(0, n)
+    val d = docs
+    var sorted = true
+    var i = 1
+    while (i < n) { if (d(i) < d(i - 1)) { sorted = false; i = n }; i += 1 }
+    val order = if (sorted) idx else idx.sortBy(d(_))
+    val docsOut = new java.io.ByteArrayOutputStream(n * 2)
+    val tfsOut = new java.io.ByteArrayOutputStream(n)
+    val posOut = new java.io.ByteArrayOutputStream(64)
+    val normsOut = new Array[Byte](n)
+    var prev = 0L
+    var k = 0
+    while (k < n) {
+      val j = order(k)
+      graft.codec.VByte.writeVLong(docsOut, if (k == 0) d(j) else d(j) - prev)
+      prev = d(j)
+      graft.codec.VByte.writeVLong(tfsOut, tfs(j).toLong)
+      normsOut(k) = norms(j)
+      val ps = pos(j)
+      var pprev = 0
+      var m = 0
+      while (m < ps.length) {
+        graft.codec.VByte.writeVLong(posOut,
+          if (m == 0) ps(m).toLong else (ps(m) - pprev).toLong)
+        pprev = ps(m); m += 1
+      }
+      k += 1
+    }
+    PostingChunk(seg, term, n, docsOut.toByteArray, tfsOut.toByteArray,
+      normsOut, posOut.toByteArray)
+  }
+}
+
 /** The three segment tables of an index snapshot (SURVEY.md §1.1). */
 final case class IndexView(postings: Dataset[PostingBlockRow],
                            terms: DataFrame,
@@ -64,91 +129,127 @@ object Indexer {
 
   def segmentOf(docId: Long, segSize: Long): Int = (docId / segSize).toInt
 
+  /** Analyze each document ONCE (the reference also tokenizes once per
+    * doc, feeding both postings and norms from the same token stream —
+    * DocumentsWriterPerThread): a single narrow pass producing the
+    * per-doc inverted terms + the doc metadata. Docs whose tokens are all
+    * stop-filtered carry no indexed terms and are excluded (docCount
+    * semantics: docs with ≥1 indexed token).
+    */
+  def analyzeCorpus(spark: SparkSession, corpus: Dataset[DocInput],
+                    segSize: Long, stopWords: Set[String]): Dataset[AnalyzedDoc] = {
+    import spark.implicits._
+    corpus.flatMap { d =>
+      val a = Analyzer.analyze(d.text, stopWords)
+      if (a.dl == 0) Iterator.empty
+      else {
+        val nb = SmallFloat.intToByte4(a.dl).toInt & 0xff
+        Iterator.single(AnalyzedDoc(segmentOf(d.doc_id, segSize), d.doc_id,
+          d.url, a.dl, nb, a.terms))
+      }
+    }
+  }
+
+  /** Posting occurrences from the analyzed stream (narrow).
+    * `indexPositions=false` is the analog of Lucene's
+    * `IndexOptions.DOCS_AND_FREQS` (vs `…_AND_POSITIONS`): BM25 scoring
+    * needs only docs/freqs/norms, and dropping positions cuts the
+    * shuffle + segment bytes by more than half — at 100 TB the position
+    * payload is the single largest I/O term. Phrase queries require a
+    * positions-enabled index.
+    */
+  def invertAnalyzed(spark: SparkSession, analyzed: Dataset[AnalyzedDoc],
+                     indexPositions: Boolean = true): Dataset[PostingInput] = {
+    import spark.implicits._
+    if (indexPositions)
+      analyzed.flatMap { d =>
+        d.terms.iterator.map(t =>
+          PostingInput(d.segment_id, t.term, d.doc_id, t.tf, d.norm_byte, t.positions))
+      }
+    else
+      analyzed.flatMap { d =>
+        d.terms.iterator.map(t =>
+          PostingInput(d.segment_id, t.term, d.doc_id, t.tf, d.norm_byte,
+            Array.emptyIntArray))
+      }
+  }
+
+  /** Doc metadata from the analyzed stream (narrow). */
+  def docMeta(spark: SparkSession,
+              analyzed: Dataset[AnalyzedDoc]): Dataset[DocMetaRow] = {
+    import spark.implicits._
+    analyzed.map(d => DocMetaRow(d.segment_id, d.doc_id, d.url, d.dl,
+      d.norm_byte, SmallFloat.byte4ToInt(d.norm_byte.toByte)))
+  }
+
   /** Document-local inversion: one narrow pass, no shuffle. */
   def invert(spark: SparkSession, corpus: Dataset[DocInput],
-             segSize: Long, stopWords: Set[String]): Dataset[PostingInput] = {
-    import spark.implicits._
-    corpus.flatMap { d =>
-      val a = Analyzer.analyze(d.text, stopWords)
-      if (a.dl == 0) Iterator.empty
-      else {
-        val nb = SmallFloat.intToByte4(a.dl).toInt & 0xff
-        val seg = segmentOf(d.doc_id, segSize)
-        a.terms.iterator.map(t =>
-          PostingInput(seg, t.term, d.doc_id, t.tf, nb, t.positions))
-      }
-    }
-  }
+             segSize: Long, stopWords: Set[String]): Dataset[PostingInput] =
+    invertAnalyzed(spark, analyzeCorpus(spark, corpus, segSize, stopWords))
 
-  /** Per-doc metadata incl. the lossy norm (SmallFloat byte4). Docs whose
-    * tokens are all stop-filtered carry no indexed terms and are excluded
-    * (docCount semantics: docs with ≥1 indexed token).
-    */
+  /** Per-doc metadata incl. the lossy norm (SmallFloat byte4). */
   def buildDocMeta(spark: SparkSession, corpus: Dataset[DocInput],
-                   segSize: Long, stopWords: Set[String]): Dataset[DocMetaRow] = {
-    import spark.implicits._
-    corpus.flatMap { d =>
-      val a = Analyzer.analyze(d.text, stopWords)
-      if (a.dl == 0) Iterator.empty
-      else {
-        val nb = SmallFloat.intToByte4(a.dl).toInt & 0xff
-        Iterator.single(DocMetaRow(segmentOf(d.doc_id, segSize), d.doc_id,
-          d.url, a.dl, nb, SmallFloat.byte4ToInt(nb.toByte)))
-      }
-    }
-  }
+                   segSize: Long, stopWords: Set[String]): Dataset[DocMetaRow] =
+    docMeta(spark, analyzeCorpus(spark, corpus, segSize, stopWords))
 
-  /** The one wide stage: hash-repartition postings by (segment, term) and
-    * sort within partitions by (segment, term, docID), then stream-encode
-    * 128-doc blocks on group change. Per-group state is bounded by the
-    * segment size, so no task can blow up on a hot term.
+  /** The one wide stage, two-phase (the north rule's "salted
+    * repartitioning plus two-phase aggregation", realized as a map-side
+    * combine — the analog of Lucene's per-thread in-RAM segment,
+    * DocumentsWriterPerThread):
+    *
+    * Phase 1 (narrow): each input partition locally inverts its postings
+    * into per-(segment, term) packed-array chunks. A stopword occurring
+    * in every doc of the partition becomes ONE chunk row instead of
+    * thousands of posting rows — the shuffle moves ~100× fewer rows
+    * (primitive arrays, no per-row overhead), and hot-term skew is
+    * flattened to ≤ #input-partitions chunk rows per term.
+    *
+    * Phase 2 (shuffle by (segment, term)): merge each term's chunks by
+    * docID and stream-encode 128-doc blocks. Per-group state is bounded
+    * by the segment size (doc-range segments), so no reducer can blow up
+    * on a hot term.
     */
   def buildPostings(spark: SparkSession, inverted: Dataset[PostingInput],
                     numPartitions: Int): Dataset[PostingBlockRow] = {
     import spark.implicits._
-    val sorted = inverted
-      .repartition(numPartitions, $"segment_id", $"term")
-      .sortWithinPartitions($"segment_id", $"term", $"doc_id")
-    sorted.mapPartitions { it =>
-      new Iterator[PostingBlockRow] {
-        private var pending: Iterator[PostingBlockRow] = Iterator.empty
-        private val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Byte, Array[Int])]
-        private var curSeg = -1
-        private var curTerm: String = null
-        private var done = false
-
-        private def flush(): Iterator[PostingBlockRow] = {
-          if (buf.isEmpty) Iterator.empty
-          else {
-            val blocks = PostingCodec.encodeBlocks(buf.toArray)
-            val (seg, term) = (curSeg, curTerm)
-            buf.clear()
-            blocks.iterator.map(b => PostingBlockRow(seg, Field, term,
-              b.blockId, b.firstDocId, b.lastDocId, b.docCount, b.maxTf,
-              b.minNormLen, b.sumTf, b.docs, b.freqs, b.norms, b.positions))
-          }
-        }
-
-        private def advance(): Unit = {
-          while (pending.isEmpty && !done) {
-            if (it.hasNext) {
-              val p = it.next()
-              if (p.segment_id != curSeg || p.term != curTerm) {
-                pending = flush()
-                curSeg = p.segment_id; curTerm = p.term
-              }
-              buf += ((p.doc_id, p.tf, p.norm_byte.toByte, p.positions))
-            } else {
-              pending = flush()
-              done = true
-            }
-          }
-        }
-
-        def hasNext: Boolean = { advance(); pending.hasNext }
-        def next(): PostingBlockRow = { advance(); pending.next() }
+    val chunks: Dataset[PostingChunk] = inverted.mapPartitions { it =>
+      val acc = scala.collection.mutable.HashMap.empty[(Int, String), ChunkBuilder]
+      it.foreach { p =>
+        acc.getOrElseUpdate((p.segment_id, p.term), new ChunkBuilder)
+          .add(p.doc_id, p.tf, p.norm_byte, p.positions)
       }
+      acc.iterator.map { case ((seg, term), b) => b.result(seg, term) }
     }
+    chunks
+      .groupByKey(c => (c.segment_id, c.term))
+      .flatMapGroups { (key: (Int, String), chunkIt: Iterator[PostingChunk]) =>
+        val (seg, term) = key
+        // merge chunks: entries are unique per doc, so a global sort by
+        // docID over the concatenated decoded chunks is a correct k-way
+        // merge (chunks themselves are ascending — doc-range disjoint
+        // when input partitions are doc-ranged)
+        val all = chunkIt.toArray
+        val n = all.iterator.map(_.n).sum
+        val entries = new Array[(Long, Int, Byte, Array[Int])](n)
+        var k = 0
+        all.foreach { c =>
+          val ids = graft.codec.VByte.decodeDeltas(c.docs)
+          val tfs = graft.codec.VByte.decodeAll(c.tfs).map(_.toInt)
+          val hasPos = c.pos.length > 0
+          val ps = if (hasPos) PostingCodec.decodePositions(c.pos, tfs) else null
+          var i = 0
+          while (i < ids.length) {
+            entries(k) = (ids(i), tfs(i), c.norms(i),
+              if (hasPos) ps(i) else Array.emptyIntArray)
+            i += 1; k += 1
+          }
+        }
+        java.util.Arrays.sort(entries, Ordering.by((e: (Long, Int, Byte, Array[Int])) => e._1))
+        PostingCodec.encodeBlocks(entries).iterator.map(b =>
+          PostingBlockRow(seg, Field, term, b.blockId, b.firstDocId,
+            b.lastDocId, b.docCount, b.maxTf, b.minNormLen, b.sumTf,
+            b.docs, b.freqs, b.norms, b.positions))
+      }
   }
 
   /** Term dictionary: per (segment, term) stats derived from the (much
@@ -165,13 +266,14 @@ object Indexer {
   def buildTables(spark: SparkSession, corpus: Dataset[DocInput],
                   segSize: Long = DefaultSegmentSize,
                   stopWords: Set[String] = Analyzer.EnglishStopWords,
-                  numPartitions: Int = 0): IndexView = {
+                  numPartitions: Int = 0,
+                  indexPositions: Boolean = true): IndexView = {
     val parts = if (numPartitions > 0) numPartitions
                 else spark.sessionState.conf.numShufflePartitions
-    val inverted = invert(spark, corpus, segSize, stopWords)
-    val postings = buildPostings(spark, inverted, parts)
-    val docmeta  = buildDocMeta(spark, corpus, segSize, stopWords)
-    IndexView(postings, buildTerms(postings), docmeta)
+    val analyzed = analyzeCorpus(spark, corpus, segSize, stopWords)
+    val postings = buildPostings(spark,
+      invertAnalyzed(spark, analyzed, indexPositions), parts)
+    IndexView(postings, buildTerms(postings), docMeta(spark, analyzed))
   }
 
   /** Read a (doc_id, url, text) corpus DataFrame as Dataset[DocInput]. */

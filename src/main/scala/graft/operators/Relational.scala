@@ -1,0 +1,235 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Plane-B relational/dataflow operators — the reference's genuine
+ * relational algebra surface (SURVEY.md §2.5 Solr Streaming Expressions,
+ * §2.6 Parallel SQL, §2.7 JSON Facets), re-expressed as one-line Catalyst
+ * dataflows over the driver's TPC-H-ish tables. Each public method backs
+ * one `SparkEntry.queries` entry with a DuckDB oracle
+ * ([[graft.OracleGen]] relational section).
+ *
+ * Reference operators covered [8x solr/solrj/…/io/stream,
+ * solr/core/…/search/facet]:
+ * RollupStream, HashJoinStream/OuterHashJoinStream, InnerJoinStream
+ * (merge join), FetchStream, CartesianProductStream (explode),
+ * MergeStream (union), UniqueStream, IntersectStream, ComplementStream,
+ * RankStream, HavingStream, SelectStream, FacetStream (terms/range/query
+ * facets), StatsStream, TimeSeriesStream, pivot facets (cube),
+ * CollapsingQParserPlugin (top-1 per group), percentile/hll metrics.
+ *
+ * Scale notes (100 TB target): dimension-side joins are explicitly
+ * `broadcast()`; big-big joins shuffle on their equi-keys and rely on
+ * AQE for skew; every aggregate is partial+final (map-side combine) by
+ * construction; money sums are per-row-rounded integer cents so results
+ * are associativity-independent (and float-compare-safe vs the oracle).
+ */
+object Relational {
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact integer cents of a money double (per-row, order-independent). */
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  /** price*(1-discount) as integer 1e-6 dollars: cents × remaining basis
+    * points — pure integer arithmetic, so Spark and the DuckDB oracle
+    * agree bit-for-bit (no half-way float rounding ties).
+    */
+  private def revMicros(price: org.apache.spark.sql.Column,
+                        discount: org.apache.spark.sql.Column) =
+    (cents(price) * (lit(10000L) - round(discount * 10000).cast("long")))
+      .as("rev_u")
+
+  /** RollupStream + metrics: sort/hash group-by aggregation. */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+        count(lit(1)).as("n"))
+
+  /** HashJoinStream with broadcast build side: top-10 orders joined to
+    * their customer (dimension broadcast — no shuffle of the fact side).
+    */
+  def hashJoinTopK(s: SparkSession, dir: String): DataFrame = {
+    val orders = tbl(s, dir, "orders")
+    val customer = tbl(s, dir, "customer").select("c_custkey", "c_name")
+    orders.join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"), cents(col("o_totalprice")).as("price_cents"))
+      .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** InnerJoinStream analog: big-big equi-join (Catalyst sort-merge) then
+    * rollup — lineitem ⋈ orders on orderkey, revenue by order priority.
+    */
+  def mergeJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    // revenue in 1e-6 dollars via pure integer arithmetic
+    // (cents × remaining basis points) — no float rounding ties
+    val li = tbl(s, dir, "lineitem")
+      .select(col("l_orderkey"), revMicros(col("l_extendedprice"), col("l_discount")))
+    val o = tbl(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("rev_u").as("revenue_u"))
+  }
+
+  /** FetchStream: enrich a small top-k result by id-lookup against a
+    * dimension (broadcast join back — late materialization).
+    */
+  def lookupJoin(s: SparkSession, dir: String): DataFrame = {
+    val top = tbl(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        cents(col("l_extendedprice")).as("price_cents"))
+      .orderBy(col("price_cents").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(10)
+    val part = tbl(s, dir, "part").select("p_partkey", "p_name")
+    top.join(broadcast(part), top("l_partkey") === part("p_partkey"))
+      .select("l_orderkey", "l_linenumber", "p_name", "price_cents")
+  }
+
+  /** CartesianProductStream: explode a multivalued field into rows. */
+  def cartesianExplode(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "part")
+      .select(explode(split(col("p_type"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** MergeStream: union of two sorted streams (customers ∪ suppliers). */
+  def unionMerge(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer")
+      .select(col("c_nationkey").cast("int").as("nationkey"), lit("cust").as("src"))
+    val p = tbl(s, dir, "supplier")
+      .select(col("s_nationkey").cast("int").as("nationkey"), lit("supp").as("src"))
+    c.unionAll(p).groupBy("nationkey", "src").agg(count(lit(1)).as("n"))
+  }
+
+  /** UniqueStream: DISTINCT on a key set. */
+  def uniqueDedup(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+  /** IntersectStream: keys present in both streams. */
+  def intersectKeys(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer").select(col("c_custkey").as("key"))
+      .intersect(tbl(s, dir, "supplier").select(col("s_suppkey").as("key")))
+
+  /** ComplementStream: customers with no orders (anti join). */
+  def complementKeys(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer").select("c_custkey")
+      .join(tbl(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+
+  /** RankStream: bounded top-N by comparator (TakeOrderedAndProject). */
+  def rankTopK(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer")
+      .select(col("c_custkey"), cents(col("c_acctbal")).as("acctbal_cents"))
+      .orderBy(col("acctbal_cents").desc, col("c_custkey").asc)
+      .limit(10)
+
+  /** HavingStream: post-aggregation predicate. */
+  def havingFilter(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(cents(col("o_totalprice"))).as("total_cents"), count(lit(1)).as("n"))
+      .filter(col("total_cents") > 50000000L)
+
+  /** SelectStream: projection + computed fields + filter. */
+  def selectExpr(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1995-04-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        revMicros(col("l_extendedprice"), col("l_discount")))
+
+  /** FacetStream terms facet: top-N buckets by count. */
+  def facetTerms(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("c_mktsegment").asc)
+      .limit(5)
+
+  /** Range facet / TimeSeriesStream: monthly order buckets. */
+  def facetRange(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_cents"))
+
+  /** Query facet: arbitrary-predicate buckets in one pass. */
+  def facetQuery(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem").agg(
+      sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"),
+      sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_discounted"),
+      sum(when(col("l_quantity") >= 30, 1L).otherwise(0L)).as("n_bulk"))
+
+  /** Pivot facets ≈ cube: hierarchical cross-tab with ALL rollup rows. */
+  def facetPivot(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"))
+
+  /** unique metric (exact distinct; the HLL variant is approx-only and
+    * benchmarked without an oracle).
+    */
+  def facetUnique(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+
+  /** HLL distinct (Spark HLL++; estimate — rows-only check). */
+  def facetHll(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("n_parts_approx"))
+
+  /** Stats component: min/max/sum/mean per field (exact, cents). */
+  def statsComponent(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders").agg(
+      min(cents(col("o_totalprice"))).as("min_cents"),
+      max(cents(col("o_totalprice"))).as("max_cents"),
+      sum(cents(col("o_totalprice"))).as("sum_cents"),
+      count(lit(1)).as("n"))
+
+  /** percentile metric: exact interpolated median over integer cents
+    * (Spark `percentile` == DuckDB `quantile_cont` semantics; the t-digest
+    * approximate variant `percentile_approx` is benchmarked rows-only).
+    */
+  def statsPercentile(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .agg(percentile(cents(col("o_totalprice")), lit(0.5)).as("p50_cents"))
+
+  /** CollapsingQParserPlugin: top-1 row per group (window collapse). */
+  def windowCollapse(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+    tbl(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "price_cents")
+      .filter(col("o_custkey") % 10 === 0) // keep the dump small
+  }
+
+  /** TimeSeriesStream over the events table: tumbling 1-day windows. */
+  def timeSeries(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .groupBy(date_format(window(col("ts"), "1 day").getField("start"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+
+  /** §2.6 Parallel SQL surface: the engine accepts ANSI SQL directly —
+    * Catalyst replaces the reference's Calcite layer wholesale.
+    */
+  def sqlSelect(s: SparkSession, dir: String): DataFrame = {
+    tbl(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("""SELECT o_orderpriority, count(*) AS n,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+             FROM orders WHERE o_orderstatus = 'F'
+             GROUP BY o_orderpriority""")
+  }
+}

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Streaming windowed aggregation — the capability superset of the
+  * reference's `TimeSeriesStream` tumbling range facets (SURVEY.md
+  * §2.9): event-time tumbling/sliding/session windows with watermarked
+  * late-data handling (the reference has no true stream-window
+  * operator; its nearest is a repeated range facet).
+  *
+  * The same aggregation shape as the batch `time_series` entry
+  * ([[graft.operators.Relational.timeSeries]]) — streaming and batch
+  * answers agree for fully-arrived windows.
+  */
+object WindowedAggs {
+
+  final case class Event(ts: java.sql.Timestamp, event_type: String, value: Double)
+
+  /** Tumbling 1-day counts+sums with a watermark: late events beyond
+    * `lateness` are dropped from finalized windows.
+    */
+  def tumblingDaily(events: Dataset[Event], lateness: String = "1 hour"): DataFrame =
+    events.toDF()
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("value_cents"))
+
+  /** Sliding windows (1 day, sliding 6h) — same watermark semantics. */
+  def slidingCounts(events: Dataset[Event], lateness: String = "1 hour"): DataFrame =
+    events.toDF()
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 day", "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Session windows keyed by event_type with a 30-minute gap. */
+  def sessions(events: Dataset[Event], lateness: String = "1 hour"): DataFrame =
+    events.toDF()
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("event_type"), col("n"))
+}

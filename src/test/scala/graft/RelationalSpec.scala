@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+/** Sanity + physical-plan checks for the Plane-B relational entries
+  * (full value-level verification is the driver's DuckDB oracle; here we
+  * check semantics on spot values and that the PLANS are the ones we
+  * want at scale: broadcast where intended, pushed filters).
+  */
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("rollup_agg matches brute force") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+      .as[(String, String, Double, Double)].collect()
+    val expect = li.groupBy(t => (t._1, t._2)).map { case (k, rows) =>
+      (k._1, k._2, rows.map(_._3.toLong).sum,
+        rows.map(r => math.round(r._4 * 100)).sum, rows.length.toLong)
+    }.toSet
+    val got = Relational.rollupAgg(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expect)
+  }
+
+  test("set ops: intersect/complement/unique consistent with each other") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val nCust = cust.count()
+    val noOrders = Relational.complementKeys(spark, dir).count()
+    val withOrders = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_custkey").distinct().count()
+    assert(noOrders == nCust - withOrders)
+    assert(Relational.uniqueDedup(spark, dir).count() <= nCust)
+  }
+
+  test("window_collapse returns one row per kept customer") {
+    val df = Relational.windowCollapse(spark, dir)
+    val n = df.count()
+    assert(n == df.select("o_custkey").distinct().count())
+  }
+
+  test("hash_join_topk broadcasts the dimension side") {
+    val plan = Relational.hashJoinTopK(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("merge_join_agg plans a shuffle join (big-big), not a broadcast of the fact side") {
+    val plan = Relational.mergeJoinAgg(spark, dir)
+      .queryExecution.executedPlan.toString
+    // small testdata may still broadcast under AQE thresholds; assert the
+    // aggregate is partial+final (map-side combine) which is the
+    // scale-critical property
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+  }
+
+  test("select_expr pushes the shipdate filter to the parquet scan") {
+    val plan = Relational.selectExpr(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate")
+      || plan.contains("PushedFilters: [GreaterThanOrEqual(l_shipdate"), plan.take(3000))
+  }
+
+  test("facet_pivot cube contains the grand total") {
+    val rows = Relational.facetPivot(spark, dir).collect()
+    val all = rows.find(r => r.getString(0) == "ALL" && r.getString(1) == "ALL").get
+    val n = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    assert(all.getLong(2) == n)
+  }
+
+  test("stats_percentile equals exact in-memory median") {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/orders.parquet")
+      .select(round(col("o_totalprice") * 100).cast("long")).as[Long]
+      .collect().sorted
+    val n = cents.length
+    val expect =
+      if (n % 2 == 1) cents(n / 2).toDouble
+      else (cents(n / 2 - 1) + cents(n / 2)) / 2.0
+    val got = Relational.statsPercentile(spark, dir).head().getDouble(0)
+    assert(got == expect)
+  }
+}

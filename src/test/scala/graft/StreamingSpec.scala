@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.index.{DocInput, IndexReader, IndexWriter, Indexer}
+import graft.search.{DoubleOracle, ExactSearch}
+import graft.streaming.{NrtIngest, WindowedAggs}
+import graft.synth.CorpusSynth
+
+/** Streaming: NRT segment ingestion (micro-batch → committed batch +
+  * snapshot bump; restart-idempotent) and watermarked windowed aggs.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  test("NRT ingest: streamed corpus == bulk-built corpus, snapshot per batch") {
+    import spark.implicits._
+    val n = 600L
+    val docs = CorpusSynth.corpusWithIds(spark, n, seed = 7L)
+      .as[(Long, String, String)].collect()
+      .map(t => DocInput(t._1, t._2, t._3))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocInput]
+    val dir = tmp("graft-nrt")
+    // processing-time trigger: AvailableNow would snapshot offsets at
+    // start and never see data added afterwards
+    val q = NrtIngest.start(spark, mem.toDS(), dir, tmp("graft-nrt-ckpt"),
+      segSize = 256L, trigger = Trigger.ProcessingTime("100 milliseconds"))
+
+    mem.addData(docs.take(300).toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(docs.drop(300).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val snap = graft.index.IndexStore.currentSnapshot(dir).get
+    assert(snap.batches.size >= 1) // AvailableNow may fold adds into one batch
+
+    // streamed index answers == bulk index answers
+    val streamed = IndexReader.load(spark, dir).persisted()
+    val bulkDir = tmp("graft-bulk")
+    IndexWriter.build(spark, spark.createDataset(docs.toIndexedSeq), bulkDir, 256L)
+    val bulk = IndexReader.load(spark, bulkDir).persisted()
+    val qterms = Seq("w0001", "w0010")
+    val a = ExactSearch.topK(spark, streamed, qterms, 10, DoubleOracle).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = ExactSearch.topK(spark, bulk, qterms, 10, DoubleOracle).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+    assert(streamed.docmeta.count() == bulk.docmeta.count())
+  }
+
+  test("re-delivered micro-batch is idempotent (manifest skip)") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => DocInput(i, s"u$i", s"alpha beta w$i"))
+    val dir = tmp("graft-nrt-idem")
+    val ds = spark.createDataset(docs)
+    NrtIngest.ingestBatch(spark, ds, dir, 0L, 64L, Set.empty)
+    val m1 = graft.index.IndexStore.readManifest(dir, NrtIngest.StreamBatchBase).get
+    NrtIngest.ingestBatch(spark, ds, dir, 0L, 64L, Set.empty) // re-delivery
+    val m2 = graft.index.IndexStore.readManifest(dir, NrtIngest.StreamBatchBase).get
+    assert(m1 == m2) // batch not rewritten
+    val snap = graft.index.IndexStore.currentSnapshot(dir).get
+    assert(snap.batches == Seq(NrtIngest.StreamBatchBase))
+  }
+
+  test("watermarked tumbling window aggregates by event-time day") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[WindowedAggs.Event]
+    val out = WindowedAggs.tumblingDaily(mem.toDS(), lateness = "0 seconds")
+    def ev(day: Int, hour: Int, t: String, v: Double) =
+      WindowedAggs.Event(java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00"), t, v)
+    // add before start: AvailableNow processes offsets present at start
+    mem.addData(ev(1, 3, "click", 1.5), ev(1, 22, "click", 2.25),
+      ev(2, 1, "click", 4.0), ev(2, 5, "view", 1.0))
+    val q = out.writeStream.format("memory").queryName("wa")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.awaitTermination(30000)
+    q.stop()
+    val rows = spark.sql("SELECT * FROM wa").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows == Set(
+      ("2024-01-01", "click", 2L, 375L),
+      ("2024-01-02", "click", 1L, 400L),
+      ("2024-01-02", "view", 1L, 100L)))
+  }
+}

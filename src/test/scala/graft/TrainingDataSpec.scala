@@ -1,0 +1,123 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.TrainingData
+
+/** Tests of the dedup / text-analysis operators: differential
+  * (LSH path == exact path), brute-force cross-checks on small data,
+  * and controlled near-dup corpora where the interesting cases are
+  * guaranteed to exist.
+  */
+class TrainingDataSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  /** Crafted corpus with exact dups and near-dups, written as a
+    * documents.parquet-shaped table in a temp dir.
+    */
+  lazy val corpusDir: String = {
+    import spark.implicits._
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
+    val nearDup = base.replace("w20", "w99")        // 1 token of 20 changed
+    val nearDup2 = base.replace("w10", "zz")        // middle token changed
+    val other = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 a13 a14 a15 a16"
+    val rows = Seq(
+      (0L, base), (1L, base),                        // exact dup pair
+      (2L, nearDup), (3L, nearDup2),                 // near dups of 0/1
+      (4L, other), (5L, "x1 x2 x3"),                 // unrelated
+      (6L, other + " a17")                           // near dup of 4
+    )
+    val dir = java.nio.file.Files.createTempDirectory("graft-td").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dedup_exact groups identical texts under one hash") {
+    val r = TrainingData.dedupExact(spark, corpusDir).collect()
+    assert(r.length == 6) // 7 docs, one exact-dup pair collapsed
+    val dupGroup = r.find(_.getLong(1) == 2L).get
+    assert(dupGroup.getLong(2) == 0L) // keeper = min doc_id
+  }
+
+  test("shingles are the distinct word 3-grams") {
+    val sh = TrainingData.shingles(spark, corpusDir)
+      .where(col("doc_id") === 5L) // "x1 x2 x3"
+      .collect().map(_.getString(1)).toSet
+    assert(sh == Set("x1 x2 x3"))
+    val sh4 = TrainingData.shingles(spark, corpusDir)
+      .where(col("doc_id") === 4L).count()
+    assert(sh4 == 14) // 16 tokens → 14 3-grams, all distinct
+  }
+
+  test("exact ngram-Jaccard pairs find the planted near-dups") {
+    val pairs = TrainingData.dedupNgramPairs(spark, corpusDir, thresholdQ = 7000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val keys = pairs.map(p => (p._1, p._2))
+    assert(keys.contains((0L, 1L))) // exact dup: jaccard 10000
+    assert(pairs.find(p => p._1 == 0L && p._2 == 1L).get._3 == 10000L)
+    assert(keys.contains((4L, 6L))) // 14 shared / 15 union = 9333
+    // 18-token-window change: doc2 differs from doc0 in 3 of 18 shingles
+    assert(keys.contains((0L, 2L)) && keys.contains((1L, 2L)))
+    assert(!keys.exists(p => p._2 == 5L || p._1 == 5L)) // unrelated doc
+  }
+
+  test("MinHash+LSH path equals the exact path (differential)") {
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = norm(TrainingData.dedupNgramPairs(spark, corpusDir, 7000L))
+    val lsh = norm(TrainingData.dedupMinhashLsh(spark, corpusDir, 7000L))
+    assert(lsh == exact)
+    // and on the driver corpus at sf0.001 with the default threshold
+    val sf = "/root/testdata/sf0.001"
+    val e2 = norm(TrainingData.dedupNgramPairs(spark, sf))
+    val l2 = norm(TrainingData.dedupMinhashLsh(spark, sf))
+    assert(l2 == e2)
+    assert(e2.nonEmpty) // the driver corpus does contain near-dups
+  }
+
+  test("simhash: identical texts → identical hash; near-dups → close") {
+    val h = TrainingData.dedupSimhash(spark, corpusDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(0L) == h(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(0L), h(2L)) <= 16)  // 1-word change
+    assert(hamming(h(0L), h(4L)) >= 16)  // unrelated text
+  }
+
+  test("langId / qualityScore / tokenCounts agree with brute force") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$corpusDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val stop = graft.analysis.Analyzer.EnglishStopWords
+    val lang = TrainingData.langId(spark, corpusDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val qual = TrainingData.qualityScore(spark, corpusDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val toks = TrainingData.tokenCounts(spark, corpusDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    docs.foreach { case (id, text) =>
+      val ws = text.split(' ')
+      val nStop = ws.count(stop.contains)
+      assert(lang(id) == (if (ws.nonEmpty && 100 * nStop > 15 * ws.length) "en" else "unk"))
+      val (nt, nc, sp, mwl) = qual(id)
+      assert(nt == ws.length && nc == text.length)
+      assert(sp == 1000L * nStop / ws.length)
+      assert(mwl == 100L * ws.map(_.length).sum / ws.length)
+      assert(toks(id)._1 == ws.length)
+      assert(toks(id)._2 == "[a-z0-9]+".r.findAllIn(text).size)
+    }
+  }
+
+  test("doc fingerprint: equal for exact dups, stable") {
+    val f = TrainingData.docFingerprint(spark, corpusDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(f(0L) == f(1L))
+    assert(f(0L) != f(4L))
+    val f2 = TrainingData.docFingerprint(spark, corpusDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(f == f2)
+  }
+}
