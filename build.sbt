@@ -35,4 +35,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+AlwaysPreTouch",
   "-XX:+UseParallelGC",
-)
+) ++
+  // For honest two-cluster-size scaling runs: confine the WHOLE JVM
+  // (GC, JIT, netty pools — not just Spark task slots) to N cores, as a
+  // real N-core executor would be. Without this, a local[N] level on a
+  // 4N-core box offloads GC/compiler work to the idle cores and the
+  // measured efficiency understates true executor scaling.
+  sys.env.get("SPARK_GRAFT_NPROC").map(n => s"-XX:ActiveProcessorCount=$n").toSeq

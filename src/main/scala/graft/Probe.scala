@@ -123,3 +123,50 @@ object Probe2 {
     spark.stop()
   }
 }
+
+/** Per-stage wall/straggler report of one scaling-config build.
+  * runMain graft.Probe3 [nDocs] [cpus]
+  */
+object Probe3 {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 0) args(0).toLong else 10000000L
+    val cpus = if (args.length > 1) args(1).toInt else 16
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", (cpus * 2).toString)
+      .config("spark.sql.files.maxPartitionBytes", (16L << 20).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    final case class St(id: Int, name: String, wall: Double, maxTask: Double,
+                        tasks: Int, sumTask: Double)
+    val stages = scala.collection.mutable.ArrayBuffer.empty[St]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
+        stages += St(si.stageId, si.name.takeWhile(_ != '\n').take(60), wall, 0, si.numTasks, 0)
+      }
+    })
+    val cp = ScalingBench.corpusPath(nDocs)
+    val corpus = Indexer.asDocInput(spark, spark.read.parquet(cp))
+    // warm
+    IndexWriter.build(spark, Indexer.asDocInput(spark,
+      CorpusSynth.corpusWithIds(spark, nDocs / 10, 42L, cpus * 2)),
+      "/tmp/graft-probe3-warm", 1L << 14, knownMaxDoc = nDocs / 10, indexPositions = false)
+    def rm(p: java.io.File): Unit = { if (p.isDirectory) p.listFiles.foreach(rm); p.delete() }
+    rm(new java.io.File("/tmp/graft-probe3-warm"))
+    stages.clear()
+    val t0 = System.nanoTime()
+    rm(new java.io.File("/tmp/graft-probe3-idx"))
+    IndexWriter.build(spark, corpus, "/tmp/graft-probe3-idx", 1L << 14,
+      nBatches = 2, knownMaxDoc = nDocs, indexPositions = false)
+    val total = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(1500)
+    println(f"[probe3] TOTAL $total%.1f s, stage wall sum ${stages.map(_.wall).sum}%.1f s")
+    stages.sortBy(-_.wall).take(12).foreach { s =>
+      println(f"[probe3] stage ${s.id}%3d ${s.wall}%7.2f s  tasks=${s.tasks}%4d  ${s.name}")
+    }
+    spark.stop()
+  }
+}

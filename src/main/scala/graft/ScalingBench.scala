@@ -152,6 +152,21 @@ object ScalingBench {
     val nDocs = if (args.length > 0) args(0).toLong else 1000000L
     val lo = if (args.length > 1) args(1).toInt else 8
     val hi = if (args.length > 2) args(2).toInt else 32
+    // single-level mode: run ONE level in this JVM and print its JSON —
+    // used with SPARK_GRAFT_NPROC=<cpus> (-XX:ActiveProcessorCount) so
+    // each level's JVM is genuinely confined to its core budget; a
+    // wrapper combines the two lines into the efficiency ratio
+    if (args.length > 3 && args(3) == "one") {
+      val cp0 = corpusPath(nDocs)
+      val r = runLevel(hi, nDocs, nDocs / 10, cp0)
+      println(
+        s"""{"metric":"scaling_level","n_docs":$nDocs,"cpus":$hi,""" +
+        s""""build_sec":${r.buildSec},"docs_per_sec":${r.docsPerSec},""" +
+        s""""exact_ms":${r.exactMs},"bmw_ms":${r.bmwMs},""" +
+        s""""shuffle_gb":${r.shuffleGb},"output_gb":${r.outGb},""" +
+        s""""topk_fp":"${r.topkFingerprint}"}""")
+      return
+    }
     val cp = corpusPath(nDocs)
     // run the high-parallelism level FIRST so residual JVM/page-cache
     // warmth favors the low level — biasing efficiency DOWN, not up

@@ -130,6 +130,38 @@ object Analyzer {
     DocTerms(dl, terms)
   }
 
+  /** Count indexed (post-stop-filter) tokens only — the dl the norm byte
+    * encodes. 3–4× cheaper than [[analyze]] (no inversion state); used
+    * by the docmeta pass, which needs no term lists.
+    */
+  def countTokens(text: String, stopWords: Set[String] = EnglishStopWords): Int = {
+    val sb = new java.lang.StringBuilder(32)
+    var dl = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && !isTokenChar(text.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && isTokenChar(text.charAt(i))) i += 1
+        var s = start
+        while (s < i) {
+          val e = math.min(s + MaxTokenLength, i)
+          sb.setLength(0)
+          var k = s
+          while (k < e) {
+            val c = text.charAt(k)
+            sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+            k += 1
+          }
+          if (!stopWords.contains(sb.toString)) dl += 1
+          s = e
+        }
+      }
+    }
+    dl
+  }
+
   private final class PosBuf {
     private var a = new Array[Int](4)
     private var n = 0

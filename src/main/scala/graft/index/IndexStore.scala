@@ -122,7 +122,7 @@ object IndexWriter {
     // in-flight task state and push the high-parallelism level into GC
     // thrash at large batch sizes — latency hiding isn't worth it here
     postings.write.mode("overwrite").parquet(s"$bd/postings")
-    Indexer.docMeta(spark, analyzed).toDF()
+    Indexer.buildDocMeta(spark, slice, segSize, stopWords).toDF()
       .write.mode("overwrite").parquet(s"$bd/docmeta")
     // metadata-only count over the written docmeta (parquet footers)
     val nDocs = spark.read.parquet(s"$bd/docmeta").count()

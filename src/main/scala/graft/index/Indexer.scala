@@ -187,10 +187,23 @@ object Indexer {
              segSize: Long, stopWords: Set[String]): Dataset[PostingInput] =
     invertAnalyzed(spark, analyzeCorpus(spark, corpus, segSize, stopWords))
 
-  /** Per-doc metadata incl. the lossy norm (SmallFloat byte4). */
+  /** Per-doc metadata incl. the lossy norm (SmallFloat byte4), via the
+    * count-only analysis pass (no inversion state — the docmeta stage
+    * doesn't need term lists).
+    */
   def buildDocMeta(spark: SparkSession, corpus: Dataset[DocInput],
-                   segSize: Long, stopWords: Set[String]): Dataset[DocMetaRow] =
-    docMeta(spark, analyzeCorpus(spark, corpus, segSize, stopWords))
+                   segSize: Long, stopWords: Set[String]): Dataset[DocMetaRow] = {
+    import spark.implicits._
+    corpus.flatMap { d =>
+      val dl = Analyzer.countTokens(d.text, stopWords)
+      if (dl == 0) Iterator.empty
+      else {
+        val nb = SmallFloat.intToByte4(dl).toInt & 0xff
+        Iterator.single(DocMetaRow(segmentOf(d.doc_id, segSize), d.doc_id,
+          d.url, dl, nb, SmallFloat.byte4ToInt(nb.toByte)))
+      }
+    }
+  }
 
   /** The one wide stage, two-phase (the north rule's "salted
     * repartitioning plus two-phase aggregation", realized as a map-side

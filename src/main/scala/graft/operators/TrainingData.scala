@@ -113,15 +113,25 @@ object TrainingData {
                       thresholdQ: Long = 8000L): DataFrame = {
     import s.implicits._
     val sh = shingles(s, dir)
-    val sigs = sh.select(col("doc_id"), col("shingle")).as[(Long, String)]
-      .groupByKey(_._1)
-      .mapGroups { (docId, it) => (docId, signature(it.map(t => h64(t._2)))) }
-      .toDF("doc_id", "sig")
-    val bands = sigs.as[(Long, Array[Long])].flatMap { case (docId, sig) =>
-      Iterator.tabulate(LshBands) { b =>
-        (b, sig(2 * b), sig(2 * b + 1), docId)
-      }
-    }.toDF("band", "h1", "h2", "doc_id")
+    // signatures NARROW per doc — the shingle set is document-local, so
+    // MinHash needs no shuffle at all (the groupByKey formulation would
+    // shuffle every shingle once just to regroup by doc)
+    val bands = docs(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (docId, text) =>
+        val toks = text.split(' ')
+        if (toks.length < 3) Iterator.empty
+        else {
+          val grams = scala.collection.mutable.HashSet.empty[String]
+          var i = 0
+          while (i + 2 < toks.length) {
+            grams += (toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+            i += 1
+          }
+          val sig = signature(grams.iterator.map(h64))
+          Iterator.tabulate(LshBands)(b => (b, sig(2 * b), sig(2 * b + 1), docId))
+        }
+      }.toDF("band", "h1", "h2", "doc_id")
     val cand = bands.groupBy("band", "h1", "h2")
       .agg(collect_list(col("doc_id")).as("ds"))
       .where(size(col("ds")) > 1)
