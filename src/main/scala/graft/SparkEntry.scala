@@ -47,6 +47,26 @@ object SparkEntry {
       quantize(ExactSearch.topK(s, v, Seq("vector", "window"), 10, DoubleOracle,
         minShouldMatch = 2), 10)
     }),
+    "term_df_salted" -> ((s, dir) => {
+      // north-rule skew clause: salted two-phase aggregation over the
+      // raw posting occurrences (hot term → `salts` partial rows)
+      import org.apache.spark.sql.functions.{col => c}
+      val corpus = s.read.parquet(s"$dir/documents.parquet")
+        .select(c("doc_id"), c("doc_id").cast("string").as("url"), c("text"))
+      val occurrences = graft.index.Indexer
+        .invert(s, graft.index.Indexer.asDocInput(s, corpus),
+          IndexCache.TestSegmentSize, graft.analysis.Analyzer.EnglishStopWords)
+        .toDF()
+      graft.stats.GlobalStats.saltedTermCounts(occurrences)
+    }),
+    "segment_merge" -> ((s, dir) => {
+      // sort-merge of term dictionaries: collapse 4 doc-range segments
+      // into 1 and re-derive global term stats — must equal the
+      // unmerged stats (query-equivalence is spec-tested)
+      val merged = graft.index.Merger.merge(s, IndexCache.documentsIndex(s, dir), 4)
+      merged.terms.groupBy("term")
+        .agg(sum("df").as("df"), sum("ctf").as("ctf"))
+    }),
     "index_build_fresh" -> ((s, dir) => {
       // un-cached end-to-end build (the Bench-visible index throughput)
       val corpus = s.read.parquet(s"$dir/documents.parquet")
@@ -146,6 +166,8 @@ object SparkEntry {
     "bm25_topk_exact" -> OracleGen.bm25TopKSql(Seq("spark", "join"), 10),
     "bm25_topk_bmw" -> OracleGen.bm25TopKSql(Seq("merge", "dup", "scan"), 10),
     "bm25_topk_and" -> OracleGen.bm25TopKSql(Seq("vector", "window"), 10, minShouldMatch = 2),
+    "term_df_salted" -> OracleGen.termDfSql,
+    "segment_merge" -> OracleGen.termDfSql,
     "index_build_fresh" -> OracleGen.tokenizeCountsSql,
     "phrase_query" -> OracleGen.phraseSql("hash", "join"),
     "prefix_query" -> OracleGen.docsWithTermWhereSql("term LIKE 'sl%'"),
