@@ -87,6 +87,12 @@ object OracleGen {
        |FROM sc WHERE n_matched >= $minShouldMatch
        |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
 
+  /** BoostQuery: wrapped query's score × boost. */
+  def bm25BoostSql(terms: Seq[String], boost: Double, k: Int): String =
+    s"""WITH ${bm25Ctes(terms)}
+       |SELECT doc_id, CAST(round(score * $boost * 10000) AS BIGINT) AS score_q
+       |FROM sc ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+
   /** MUST_NOT: scored disjunction minus docs containing any notTerms. */
   def bm25NotSql(terms: Seq[String], notTerms: Seq[String], k: Int): String =
     s"""WITH ${bm25Ctes(terms)}

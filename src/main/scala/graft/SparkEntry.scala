@@ -114,6 +114,19 @@ object SparkEntry {
       quantize(MoreQueries.topKFiltered(s, v, Seq("spark", "join"), filterDocs, 10,
         DoubleOracle), 10)
     }),
+    "constant_score_query" -> ((s, dir) => {
+      // ConstantScoreQuery: matching doc set with a fixed score
+      val v = IndexCache.documentsIndex(s, dir)
+      MoreQueries.matchingDocs(s, v, Seq("spark", "merge"))
+        .select(col("doc_id"), lit(10000L).as("score_q"))
+    }),
+    "boost_query" -> ((s, dir) => {
+      // BoostQuery: wrapped query's scores multiplied by the boost
+      val v = IndexCache.documentsIndex(s, dir)
+      val base = ExactSearch.scored(s, v, Seq("spark"), DoubleOracle)
+        .select(col("doc_id"), (col("score") * 2.5).as("score"))
+      quantize(base.orderBy(col("score").desc, col("doc_id").asc).limit(10), 10)
+    }),
     "match_all_count" -> ((s, dir) => {
       IndexCache.documentsIndex(s, dir).docmeta.toDF()
         .agg(countDistinct(col("doc_id")).as("n"))
@@ -178,6 +191,10 @@ object SparkEntry {
     "dismax_topk" -> OracleGen.disMaxSql(Seq("spark", "merge"), 10, 0.3),
     "boolean_not_topk" -> OracleGen.bm25NotSql(Seq("spark"), Seq("dup"), 10),
     "filter_range_topk" -> OracleGen.bm25FilterRangeSql(Seq("spark", "join"), 200L, 400L, 10),
+    "constant_score_query" ->
+      (OracleGen.docsWithTermWhereSql("term IN ('spark', 'merge')")
+        .replace("SELECT DISTINCT doc_id", "SELECT DISTINCT doc_id, CAST(10000 AS BIGINT) AS score_q")),
+    "boost_query" -> OracleGen.bm25BoostSql(Seq("spark"), 2.5, 10),
     "match_all_count" -> OracleGen.matchAllCountSql,
     // Plane B (facet_hll omitted: approximate — rows-only check)
     "rollup_agg" -> RelationalOracles.rollupAgg,

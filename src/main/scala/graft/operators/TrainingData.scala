@@ -234,9 +234,11 @@ object TrainingData {
     val grams = transform(idxs, i =>
       concat_ws(" ", element_at(l, i), element_at(l, i + 1),
         element_at(l, i + 2), element_at(l, i + 3)))
+    // fully narrow: min over the in-row md5 array — no explode, no
+    // shuffle (the min-of-hashes is a per-document reduction)
     docs(s, dir)
       .where(size(l) >= 4)
-      .select(col("doc_id"), explode(grams).as("g"))
-      .groupBy("doc_id").agg(min(md5(col("g"))).as("fingerprint"))
+      .select(col("doc_id"),
+        array_min(transform(grams, g => md5(g))).as("fingerprint"))
   }
 }
