@@ -104,7 +104,8 @@ object ScalingBench {
         // (IndexOptions.DOCS_AND_FREQS) — positions are a phrase-query
         // add-on and would double the shuffle+disk bytes
         IndexWriter.build(spark, corpus, dir, segSize = 1L << 14, nBatches = 2,
-          knownMaxDoc = nDocs, indexPositions = false)
+          knownMaxDoc = nDocs,
+          indexPositions = sys.env.get("GRAFT_POSITIONS").contains("1"))
         (System.nanoTime() - t0) / 1e9
       }.min
 
@@ -113,7 +114,8 @@ object ScalingBench {
       spark.sparkContext.addSparkListener(io)
       rmrf(new java.io.File(dir))
       IndexWriter.build(spark, corpus, dir, segSize = 1L << 14, nBatches = 2,
-        knownMaxDoc = nDocs, indexPositions = false)
+        knownMaxDoc = nDocs,
+        indexPositions = sys.env.get("GRAFT_POSITIONS").contains("1"))
       Thread.sleep(2000) // let the listener bus drain
       val (shufGb, spillGb, outGb) =
         (io.shuffleWrite / 1e9, io.diskSpill / 1e9, io.output / 1e9)
