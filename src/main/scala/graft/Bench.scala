@@ -13,7 +13,10 @@ object Bench {
     // warm: one-time durable index build/load happens outside per-query
     // timings (it is measured separately by the index_build_fresh entry)
     val tw0 = System.nanoTime()
-    IndexCache.documentsIndex(spark, sfDir)
+    val warmView = IndexCache.documentsIndex(spark, sfDir)
+    // also warm the query path (plan compile + first parquet scan), so
+    // per-query timings measure the queries, not one-time JVM costs
+    graft.search.BmwSearch.topK(spark, warmView, Seq("spark"), 5).count()
     val warmSec = (System.nanoTime() - tw0) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
