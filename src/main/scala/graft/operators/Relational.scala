@@ -208,11 +208,13 @@ object Relational {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("price_cents").desc, col("o_orderkey").asc)
     tbl(s, dir, "orders")
+      // partition-key predicate applied BELOW the window: same result
+      // (the window partitions by o_custkey), 10× less data shuffled
+      .filter(col("o_custkey") % 10 === 0) // keep the dump small
       .select(col("o_custkey"), col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("o_custkey", "o_orderkey", "price_cents")
-      .filter(col("o_custkey") % 10 === 0) // keep the dump small
   }
 
   /** TimeSeriesStream over the events table: tumbling 1-day windows. */

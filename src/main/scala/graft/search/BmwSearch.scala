@@ -110,8 +110,13 @@ object BmwSearch {
   /** Run BMW over one segment's query-term block lists, updating `heap`. */
   private def searchSegment(termBlocks: Map[String, Array[PostingBlockRow]],
                             scorers: QueryScorers, heap: TopKHeap): Unit = {
+    // Blocks are ordered by first_doc_id, NOT block_id: an NRT-streamed
+    // index can hold several batches of the same (segment, term), each
+    // numbering its blocks from 0 — batch doc ranges are disjoint, so
+    // first_doc_id restores the global ascending-docID order the
+    // cursor's skip walk requires (advisor finding, round 1).
     val cursors = termBlocks.toArray.sortBy(_._1)
-      .map { case (t, bs) => new TermCursor(t, bs.sortBy(_.block_id), scorers) }
+      .map { case (t, bs) => new TermCursor(t, bs.sortBy(_.first_doc_id), scorers) }
       .filterNot(_.exhausted)
     if (cursors.isEmpty) return
 

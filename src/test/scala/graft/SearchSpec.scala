@@ -93,6 +93,21 @@ class SearchSpec extends AnyFunSuite {
     assert(signature(v3) == signature(v7))
   }
 
+  test("segment merge works on a positions-off index (DOCS_AND_FREQS)") {
+    val corpus = CorpusSynth.corpusWithIds(spark, 500, seed = 11L)
+    val v = Indexer.buildTables(spark, Indexer.asDocInput(spark, corpus),
+      128L, indexPositions = false)
+    val merged = graft.index.Merger.merge(spark, v, 4)
+    def stats(x: graft.index.IndexView) = x.terms.groupBy("term")
+      .agg(org.apache.spark.sql.functions.sum("df").as("df"),
+        org.apache.spark.sql.functions.sum("ctf").as("ctf"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toList
+    assert(stats(merged) == stats(v))
+    assert(merged.postings.select("segment_id").distinct().count() <
+      v.postings.select("segment_id").distinct().count())
+  }
+
   test("global stats match direct recomputation; salted agg agrees") {
     import spark.implicits._
     val cs = GlobalStats.collectionStats(view)

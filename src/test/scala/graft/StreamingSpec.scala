@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 import graft.index.{DocInput, IndexReader, IndexWriter, Indexer}
-import graft.search.{DoubleOracle, ExactSearch}
+import graft.search.{BmwSearch, DoubleOracle, ExactSearch}
 import graft.streaming.{NrtIngest, WindowedAggs}
 import graft.synth.CorpusSynth
 
@@ -53,6 +53,34 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(a == b)
     assert(streamed.docmeta.count() == bulk.docmeta.count())
+  }
+
+  test("BMW == exact on a streamed index whose batches share a segment") {
+    import spark.implicits._
+    // one big segment: both micro-batches write block rows into segment
+    // 0, each numbering its blocks from 0 — the TermCursor must order
+    // blocks by first_doc_id, not block_id (advisor finding, round 1)
+    val docs = CorpusSynth.corpusWithIds(spark, 600, seed = 13L)
+      .as[(Long, String, String)].collect()
+      .map(t => DocInput(t._1, t._2, t._3))
+    val dir = tmp("graft-nrt-sharedseg")
+    NrtIngest.ingestBatch(spark, spark.createDataset(docs.take(300).toIndexedSeq),
+      dir, 0L, 100000L, Set.empty)
+    NrtIngest.ingestBatch(spark, spark.createDataset(docs.drop(300).toIndexedSeq),
+      dir, 1L, 100000L, Set.empty)
+    val view = IndexReader.load(spark, dir).persisted()
+    assert(view.postings.select("segment_id").distinct().count() == 1)
+    // interleaved block_ids really exist (both batches wrote block 0)
+    assert(view.postings.filter("block_id = 0").count() >
+      view.postings.select("term").distinct().count() / 2)
+    for (q <- Seq(Seq("w0000"), Seq("w0001", "w0010"),
+                  Seq("w0000", "w0005", "w0011"))) {
+      val a = ExactSearch.topK(spark, view, q, 10, DoubleOracle).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toList
+      val b = BmwSearch.topK(spark, view, q, 10, DoubleOracle).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toList
+      assert(a == b, s"streamed-index rank mismatch for $q:\n exact=$a\n bmw=$b")
+    }
   }
 
   test("re-delivered micro-batch is idempotent (manifest skip)") {
