@@ -138,6 +138,41 @@ object OracleGen {
        |FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
        |GROUP BY a.doc_id""".stripMargin
 
+  /** Sloppy 2-term phrase: anchor positions of w1 with a w2 occurrence
+    * within edit-distance slop (|(pos2 - 1) - pos1| <= slop — reversed
+    * adjacent order needs slop 2, the reference's slop metric).
+    */
+  def phraseSlopSql(w1: String, w2: String, slop: Int): String =
+    s"""WITH lists AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), tokpos AS (
+       |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+       |  FROM lists
+       |), a AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w1'),
+       |   b AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w2')
+       |SELECT a.doc_id, count(DISTINCT a.pos) AS phrase_tf
+       |FROM a JOIN b ON b.doc_id = a.doc_id AND abs((b.pos - 1) - a.pos) <= $slop
+       |GROUP BY a.doc_id""".stripMargin
+
+  /** Nested compiled query (the `query_compile_nested` entry):
+    * must=[spark], should=[bool(merge OR join), boost(scan, 2.0)],
+    * mustNot=[dup], filter=[prefix 'sl'] — score = s(spark) +
+    * s(merge) + s(join) + 2*s(scan) over docs passing the clauses.
+    */
+  def queryCompileNestedSql: String =
+    s"""WITH ${bm25Ctes(Seq("spark", "merge", "join", "scan"))}, agg AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN term = 'scan' THEN 2.0 * s ELSE s END) AS total,
+       |    count(*) FILTER (WHERE term = 'spark') AS n_must
+       |  FROM persc GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST(round(total * 10000) AS BIGINT) AS score_q
+       |FROM agg
+       |WHERE n_must > 0
+       |  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tokf WHERE term = 'dup')
+       |  AND doc_id IN (SELECT DISTINCT doc_id FROM tokf WHERE term LIKE 'sl%')
+       |ORDER BY total DESC, doc_id ASC LIMIT 10""".stripMargin
+
   /** Constant-score doc set for a term-dictionary predicate. */
   def docsWithTermWhereSql(termPred: String): String =
     s"""WITH $tokCte

@@ -43,9 +43,10 @@ object SparkEntry {
       quantize(BmwSearch.topK(s, v, Seq("merge", "dup", "scan"), 10, DoubleOracle), 10)
     }),
     "bm25_topk_and" -> ((s, dir) => {
+      // conjunction via the block-max AND kernel (BlockMaxConjunction
+      // analog); rank-identity vs the exact path is test-enforced
       val v = IndexCache.documentsIndex(s, dir)
-      quantize(ExactSearch.topK(s, v, Seq("vector", "window"), 10, DoubleOracle,
-        minShouldMatch = 2), 10)
+      quantize(BmwSearch.topKAnd(s, v, Seq("vector", "window"), 10, DoubleOracle), 10)
     }),
     "term_df_salted" -> ((s, dir) => {
       // north-rule skew clause: salted two-phase aggregation over the
@@ -78,6 +79,10 @@ object SparkEntry {
     // — Plane A: wider query zoo (SURVEY.md §2.3) —
     "phrase_query" -> ((s, dir) => {
       MoreQueries.phraseMatch(s, IndexCache.documentsIndex(s, dir), Seq("hash", "join"))
+    }),
+    "phrase_slop" -> ((s, dir) => {
+      MoreQueries.phraseMatch(s, IndexCache.documentsIndex(s, dir),
+        Seq("hash", "join"), slop = 2)
     }),
     "prefix_query" -> ((s, dir) => {
       val v = IndexCache.documentsIndex(s, dir)
@@ -126,6 +131,21 @@ object SparkEntry {
       val base = ExactSearch.scored(s, v, Seq("spark"), DoubleOracle)
         .select(col("doc_id"), (col("score") * 2.5).as("score"))
       quantize(base.orderBy(col("score").desc, col("doc_id").asc).limit(10), 10)
+    }),
+    "query_compile_nested" -> ((s, dir) => {
+      // the composable front-end: nested boolean tree with boost, MTQ
+      // filter and MUST_NOT, normalized by rewrite() then lowered onto
+      // the scoring primitives as one dataflow
+      import graft.search.{Query => Q, QueryCompiler}
+      val v = IndexCache.documentsIndex(s, dir)
+      val q = Q.Bool(
+        must = Seq(Q.Term("spark")),
+        should = Seq(
+          Q.Bool(should = Seq(Q.Term("merge"), Q.Term("join"))),
+          Q.Boost(Q.Term("scan"), 2.0)),
+        mustNot = Seq(Q.Term("dup")),
+        filter = Seq(Q.Prefix("sl")))
+      quantize(QueryCompiler.topK(s, v, q, 10, DoubleOracle), 10)
     }),
     "match_all_count" -> ((s, dir) => {
       IndexCache.documentsIndex(s, dir).docmeta.toDF()
@@ -183,6 +203,7 @@ object SparkEntry {
     "segment_merge" -> OracleGen.termDfSql,
     "index_build_fresh" -> OracleGen.tokenizeCountsSql,
     "phrase_query" -> OracleGen.phraseSql("hash", "join"),
+    "phrase_slop" -> OracleGen.phraseSlopSql("hash", "join", 2),
     "prefix_query" -> OracleGen.docsWithTermWhereSql("term LIKE 'sl%'"),
     "wildcard_query" -> OracleGen.docsWithTermWhereSql("regexp_matches(term, '^s.an$')"),
     "fuzzy_query" -> OracleGen.docsWithTermWhereSql("levenshtein(term, 'merg') <= 1"),
@@ -196,6 +217,7 @@ object SparkEntry {
         .replace("SELECT DISTINCT doc_id", "SELECT DISTINCT doc_id, CAST(10000 AS BIGINT) AS score_q")),
     "boost_query" -> OracleGen.bm25BoostSql(Seq("spark"), 2.5, 10),
     "match_all_count" -> OracleGen.matchAllCountSql,
+    "query_compile_nested" -> OracleGen.queryCompileNestedSql,
     // Plane B (facet_hll omitted: approximate — rows-only check)
     "rollup_agg" -> RelationalOracles.rollupAgg,
     "hash_join_topk" -> RelationalOracles.hashJoinTopK,

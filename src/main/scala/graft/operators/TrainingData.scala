@@ -35,13 +35,15 @@ object TrainingData {
     * formulation exactly.
     */
   private[graft] def shingles(s: SparkSession, dir: String,
-                                  n: Int = 3): DataFrame = {
+                                  n: Int = 3): DataFrame =
+    shinglesDf(docs(s, dir), n)
+
+  private[graft] def shinglesDf(d: DataFrame, n: Int = 3): DataFrame = {
     val l = split(col("text"), " ")
     val idxs = sequence(lit(1), size(l) - (n - 1)) // 1-based element_at
     val grams = transform(idxs, i =>
       concat_ws(" ", (0 until n).map(o => element_at(l, i + o)): _*))
-    docs(s, dir)
-      .where(size(l) >= n)
+    d.where(size(l) >= n)
       .select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
   }
 
@@ -110,13 +112,29 @@ object TrainingData {
     * result equals [[dedupNgramPairs]] (the DuckDB oracle) w.h.p.
     */
   def dedupMinhashLsh(s: SparkSession, dir: String,
-                      thresholdQ: Long = 8000L): DataFrame = {
+                      thresholdQ: Long = 8000L): DataFrame =
+    dedupMinhashLshDf(s, docs(s, dir), thresholdQ)
+
+  /** Bucket-size cap for all-pairs candidate generation. A Common-Crawl
+    * boilerplate cluster can drop 10⁵⁺ near-identical docs into ONE band
+    * bucket; emitting its B² pairs is a skew/OOM killer no matter how
+    * it's partitioned. Above the cap the bucket degrades to a STAR: each
+    * member pairs with the bucket's min doc_id only (O(B) pairs). For
+    * clusters that big the members are near-identical w.h.p., so the hub
+    * edge still flags every member as a duplicate of the cluster keeper
+    * — cluster-level recall is preserved; only redundant within-cluster
+    * pair edges are dropped (documented recall trade).
+    */
+  val MaxBucket = 256
+
+  def dedupMinhashLshDf(s: SparkSession, corpus: DataFrame,
+                        thresholdQ: Long = 8000L): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, dir)
+    val sh = shinglesDf(corpus)
     // signatures NARROW per doc — the shingle set is document-local, so
     // MinHash needs no shuffle at all (the groupByKey formulation would
     // shuffle every shingle once just to regroup by doc)
-    val bands = docs(s, dir).select(col("doc_id"), col("text"))
+    val bands = corpus.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (docId, text) =>
         val toks = text.split(' ')
@@ -132,14 +150,24 @@ object TrainingData {
           Iterator.tabulate(LshBands)(b => (b, sig(2 * b), sig(2 * b + 1), docId))
         }
       }.toDF("band", "h1", "h2", "doc_id")
-    val cand = bands.groupBy("band", "h1", "h2")
-      .agg(collect_list(col("doc_id")).as("ds"))
-      .where(size(col("ds")) > 1)
-      .select(explode(expr(
-        "filter(flatten(transform(ds, x -> transform(ds, y -> struct(x AS i, y AS j)))), p -> p.i < p.j)"))
-        .as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"))
-      .distinct()
+    // candidate pairs via a SELF-JOIN on the bucket key — distributed
+    // and AQE-skew-splittable, never a per-bucket in-row array (the
+    // round-1 collect_list formulation put a whole bucket's B² pairs in
+    // one task). Oversized buckets take the star path instead.
+    val stats = bands.groupBy("band", "h1", "h2")
+      .agg(count(lit(1)).as("bn"), min("doc_id").as("hub"))
+      .where(col("bn") > 1)
+    val keyed = bands.join(stats, Seq("band", "h1", "h2"))
+    val small = keyed.where(col("bn") <= MaxBucket)
+    val pairsSmall = small.select(col("band"), col("h1"), col("h2"), col("doc_id").as("i"))
+      .join(small.select(col("band"), col("h1"), col("h2"), col("doc_id").as("j")),
+        Seq("band", "h1", "h2"))
+      .where(col("i") < col("j"))
+      .select("i", "j")
+    val pairsStar = keyed
+      .where(col("bn") > MaxBucket && col("doc_id") =!= col("hub"))
+      .select(col("hub").as("i"), col("doc_id").as("j"))
+    val cand = pairsSmall.union(pairsStar).distinct()
     // exact verification restricted to candidates
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.toDF("i", "shingle")

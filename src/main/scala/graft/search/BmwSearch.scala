@@ -31,6 +31,8 @@ object BmwSearch {
                                  scorers: QueryScorers) {
     val termMaxScore: Double =
       blocks.iterator.map(b => scorers.maxScore(term, b.max_tf, b.min_norm_len)).max
+    /** Segment-local posting-list length (lead-cursor selection). */
+    val totalDocs: Long = blocks.iterator.map(_.doc_count.toLong).sum
     private var bi = 0           // current block index
     private var di = 0           // position within decoded block
     private var dec: graft.codec.DecodedBlock = null
@@ -187,9 +189,72 @@ object BmwSearch {
     }
   }
 
-  /** Disjunctive BM25 top-k via BMW. Returns (doc_id, score). */
-  def topK(spark: SparkSession, view: IndexView, queryTerms: Seq[String],
-           k: Int, mode: ScoreMode = DoubleOracle): DataFrame = {
+  /** Conjunctive (AND) top-k over one segment — the analog of the
+    * reference's BlockMaxConjunctionScorer [8x search/
+    * BlockMaxConjunctionScorer.java], re-derived: leapfrog intersection
+    * led by the segment's SHORTEST posting list, with a block-max bound
+    * check (metadata only — no payload decode) at every candidate; when
+    * the summed block bounds can't beat the heap threshold the kernel
+    * skips to the nearest block boundary without decoding anything.
+    */
+  private def searchSegmentAnd(termBlocks: Map[String, Array[PostingBlockRow]],
+                               terms: Seq[String], scorers: QueryScorers,
+                               heap: TopKHeap): Unit = {
+    if (!terms.forall(termBlocks.contains)) return // a term absent ⇒ no hits
+    // ascending term order for scoring (exact-path sum-order identity)
+    val byTerm = terms.sorted.toArray.map(t =>
+      new TermCursor(t, termBlocks(t).sortBy(_.first_doc_id), scorers))
+    if (byTerm.exists(_.exhausted)) return
+    val order = byTerm.sortBy(_.totalDocs) // rarest term leads
+    val lead = order(0)
+    var candidate = lead.curDoc
+    while (candidate != Long.MaxValue) {
+      var bound = 0d
+      var i = 0
+      while (i < order.length) { bound += order(i).blockMaxScore(candidate); i += 1 }
+      if (bound <= heap.threshold) {
+        // no doc up to the nearest block boundary can win — block skip
+        var boundary = Long.MaxValue
+        i = 0
+        while (i < order.length) {
+          val b = order(i).blockLastDoc(candidate)
+          if (b < boundary) boundary = b
+          i += 1
+        }
+        candidate = if (boundary == Long.MaxValue) Long.MaxValue else boundary + 1
+        if (candidate != Long.MaxValue) { lead.advance(candidate); candidate = lead.curDoc }
+      } else {
+        // leapfrog: align every cursor on the candidate
+        var aligned = true
+        i = 0
+        while (i < order.length && aligned) {
+          order(i).advance(candidate)
+          if (order(i).curDoc != candidate) { candidate = order(i).curDoc; aligned = false }
+          i += 1
+        }
+        if (aligned) {
+          var sumF = 0f; var sumD = 0d
+          var j = 0
+          while (j < byTerm.length) { // ascending term order
+            val c = byTerm(j)
+            scorers.mode match {
+              case Float32Lucene => sumF += scorers.score(c.term, c.tf, c.normByte, c.lossyDl).toFloat
+              case DoubleOracle  => sumD += scorers.score(c.term, c.tf, c.normByte, c.lossyDl)
+            }
+            j += 1
+          }
+          heap.insert(candidate,
+            scorers.mode match { case Float32Lucene => sumF.toDouble; case DoubleOracle => sumD })
+          lead.next()
+          candidate = lead.curDoc
+        }
+      }
+    }
+  }
+
+  private def runKernel(spark: SparkSession, view: IndexView,
+                        queryTerms: Seq[String], k: Int, mode: ScoreMode)(
+      kernel: (Map[String, Array[PostingBlockRow]], QueryScorers, TopKHeap) => Unit): DataFrame = {
     import spark.implicits._
     val scorers = QueryScorers(view, queryTerms, mode)
     val bc = spark.sparkContext.broadcast(scorers)
@@ -200,10 +265,22 @@ object BmwSearch {
       val heap = new TopKHeap(k)
       // ascending segment (doc-range) order: threshold tightens monotonically
       bySegment.toArray.sortBy(_._1).foreach { case (_, rows) =>
-        searchSegment(rows.groupBy(_.term), bc.value, heap)
+        kernel(rows.groupBy(_.term), bc.value, heap)
       }
       heap.toArray.iterator
     }.toDF("doc_id", "score")
     localTopK.orderBy($"score".desc, $"doc_id".asc).limit(k)
+  }
+
+  /** Disjunctive BM25 top-k via BMW. Returns (doc_id, score). */
+  def topK(spark: SparkSession, view: IndexView, queryTerms: Seq[String],
+           k: Int, mode: ScoreMode = DoubleOracle): DataFrame =
+    runKernel(spark, view, queryTerms, k, mode)(searchSegment)
+
+  /** Conjunctive BM25 top-k via the block-max AND kernel. */
+  def topKAnd(spark: SparkSession, view: IndexView, queryTerms: Seq[String],
+              k: Int, mode: ScoreMode = DoubleOracle): DataFrame = {
+    val uniq = queryTerms.distinct
+    runKernel(spark, view, uniq, k, mode)(searchSegmentAnd(_, uniq, _, _))
   }
 }

@@ -70,16 +70,28 @@ object MoreQueries {
       .toDF("doc_id").distinct()
   }
 
-  /** Exact phrase match: (doc_id, phrase_tf) for docs where the terms
-    * occur at consecutive positions (stop-filter position gaps
-    * preserved, so phrases across removed stopwords do NOT match —
-    * reference semantics).
+  /** Any position in `ps` within [lo, hi]? (`ps` ascending.) */
+  private def existsInRange(ps: Array[Int], lo: Int, hi: Int): Boolean = {
+    val i = java.util.Arrays.binarySearch(ps, lo)
+    val at = if (i >= 0) i else -i - 1
+    at < ps.length && ps(at) <= hi
+  }
+
+  /** Phrase match: (doc_id, phrase_tf) for docs where the terms occur at
+    * their phrase offsets (stop-filter position gaps preserved, so
+    * phrases across removed stopwords do NOT match — reference
+    * semantics). `slop > 0` is the sloppy variant [8x search/
+    * SloppyPhraseMatcher.java], anchor-relative re-derivation: a first-
+    * slot occurrence at position p matches when every other slot i has
+    * an occurrence q with |(q - offset_i) - p| <= slop; phrase_tf counts
+    * the matching anchor positions. For two-term phrases this is exactly
+    * the reference's edit-distance slop (reversed adjacent order ⇒
+    * distance 2), and slop = 0 degenerates to exact adjacency.
     */
   def phraseMatch(spark: SparkSession, view: IndexView,
-                  terms: Seq[String]): DataFrame = {
+                  terms: Seq[String], slop: Int = 0): DataFrame = {
     import spark.implicits._
     require(terms.size >= 2, "phrase needs >= 2 terms")
-    val n = terms.size
     // offset of each phrase slot; duplicate terms keep every slot
     val slots = terms.zipWithIndex // (term, offset)
     val uniq = terms.distinct
@@ -99,7 +111,9 @@ object MoreQueries {
             val sets = slots.map { case (t, off) => (posByTerm(t), off) }
             val first = sets.head._1
             first.count { p =>
-              sets.forall { case (ps, off) => java.util.Arrays.binarySearch(ps, p + off) >= 0 }
+              sets.forall { case (ps, off) =>
+                existsInRange(ps, p + off - slop, p + off + slop)
+              }
             }
           }
         (docId, tf)

@@ -1,0 +1,214 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.index.IndexView
+
+/** Composable query tree — the front-end the reference exposes as
+  * `Query` subclasses + `IndexSearcher#rewrite` [8x search/Query.java,
+  * BooleanQuery.java, Solr ExtendedDismaxQParser.java]. A user builds an
+  * arbitrary nested tree; [[QueryCompiler.rewrite]] normalizes it
+  * (multi-term expansion against the term dictionary, boost folding,
+  * single-clause collapse, disjunction flattening) and
+  * [[QueryCompiler.compile]] lowers it onto the existing primitives as
+  * ONE Catalyst dataflow.
+  */
+sealed trait Query extends Serializable
+
+object Query {
+  /** Single-term BM25 clause. */
+  final case class Term(t: String) extends Query
+  /** Phrase (exact when slop=0). Scoring-position semantics v1:
+    * constant-score match (like a filter phrase); BM25-weighted phrase
+    * scoring is the documented follow-up.
+    */
+  final case class Phrase(terms: Seq[String], slop: Int = 0) extends Query
+  // — MultiTermQuery family: rewritten to ConstScore(TermSet) against
+  //   the term dictionary, the reference's CONSTANT_SCORE_REWRITE —
+  final case class Prefix(prefix: String) extends Query
+  final case class Wildcard(pattern: String) extends Query
+  final case class Fuzzy(term: String, maxEdits: Int) extends Query
+  final case class TermRange(lo: String, hi: String) extends Query
+  final case class TermSet(terms: Seq[String]) extends Query
+  /** Wrapped query's score multiplied by `boost`. */
+  final case class Boost(q: Query, boost: Double) extends Query
+  /** Matching docs of `q` with a fixed score (ConstantScoreQuery). */
+  final case class ConstScore(q: Query, score: Double = 1.0) extends Query
+  case object MatchAll extends Query
+  /** BooleanQuery: SHOULD (optional, scoring) / MUST (required, scoring)
+    * / MUST_NOT (excluding) / FILTER (required, non-scoring) +
+    * minimumNumberShouldMatch. Score = sum of matching scoring clauses.
+    */
+  final case class Bool(should: Seq[Query] = Nil, must: Seq[Query] = Nil,
+                        mustNot: Seq[Query] = Nil, filter: Seq[Query] = Nil,
+                        minShouldMatch: Int = 0) extends Query
+}
+
+object QueryCompiler {
+  import Query._
+
+  /** Normalize a query tree against an index (bottom-up):
+    *  - Prefix/Wildcard/Fuzzy/TermRange expand to ConstScore(TermSet)
+    *    via the term dictionary (capped at maxClauseCount), the
+    *    reference's CONSTANT_SCORE_REWRITE; bare TermSet also wraps.
+    *  - Boost(Boost(q,a),b) -> Boost(q,a*b); Boost(q,1) -> q;
+    *    Boost(ConstScore(q,s),b) -> ConstScore(q,s*b).
+    *  - ConstScore(ConstScore(q,_),s) -> ConstScore(q,s).
+    *  - Bool(single SHOULD, msm<=1) / Bool(single MUST) collapse to the
+    *    clause; SHOULD-only child Bools splice into the parent's SHOULD
+    *    list (score-preserving: sum of sums).
+    */
+  def rewrite(view: IndexView, q: Query): Query = q match {
+    case Prefix(p)       => ConstScore(TermSet(MoreQueries.prefixTerms(view, p)))
+    case Wildcard(p)     => ConstScore(TermSet(MoreQueries.wildcardTerms(view, p)))
+    case Fuzzy(t, e)     => ConstScore(TermSet(MoreQueries.fuzzyTerms(view, t, e)))
+    case TermRange(l, h) => ConstScore(TermSet(MoreQueries.rangeTerms(view, l, h)))
+    case TermSet(ts)     => ConstScore(TermSet(ts.distinct.sorted))
+    case Boost(inner, b) => (rewrite(view, inner), b) match {
+      case (qq, 1.0)              => qq
+      case (Boost(qq, a), _)      => Boost(qq, a * b)
+      case (ConstScore(qq, s), _) => ConstScore(qq, s * b)
+      case (qq, _)                => Boost(qq, b)
+    }
+    case ConstScore(inner, s) => rewrite(view, inner) match {
+      case ConstScore(qq, _) => ConstScore(qq, s)
+      case Boost(qq, _)      => ConstScore(qq, s) // boost is irrelevant under const
+      case qq                => ConstScore(qq, s)
+    }
+    case Bool(sh, mu, no, fi, msm) =>
+      val sh2 = sh.map(rewrite(view, _)).flatMap {
+        // splice SHOULD-only child disjunctions (sum-of-sums identity)
+        case Bool(cs, Nil, Nil, Nil, m) if m <= 1 => cs
+        case c                                    => Seq(c)
+      }
+      val b = Bool(sh2, mu.map(rewrite(view, _)), no.map(rewrite(view, _)),
+        fi.map(rewrite(view, _)), msm)
+      b match {
+        case Bool(Seq(one), Nil, Nil, Nil, m) if m <= 1 => one
+        case Bool(Nil, Seq(one), Nil, Nil, 0)           => one
+        case other                                      => other
+      }
+    case other => other
+  }
+
+  /** Every Term in the tree (ANY position — one batched stats job
+    * covers them all; nested Bools under MUST_NOT/FILTER still score
+    * internally before their doc set is taken).
+    */
+  private def allTerms(q: Query): Seq[String] = q match {
+    case Term(t)         => Seq(t)
+    case Boost(inner, _) => allTerms(inner)
+    case ConstScore(inner, _) => allTerms(inner)
+    case Bool(sh, mu, no, fi, _) => (sh ++ mu ++ no ++ fi).flatMap(allTerms)
+    case _               => Nil // TermSet/Phrase/MTQ/MatchAll don't use stats
+  }
+
+  /** Matching doc set of a rewritten query — non-scoring positions
+    * (FILTER / MUST_NOT) skip score computation entirely.
+    */
+  private def compileDocSet(spark: SparkSession, view: IndexView,
+                            scorers: QueryScorers, q: Query): DataFrame = q match {
+    case Term(t)              => MoreQueries.matchingDocs(spark, view, Seq(t))
+    case TermSet(ts)          => MoreQueries.matchingDocs(spark, view, ts)
+    case ConstScore(inner, _) => compileDocSet(spark, view, scorers, inner)
+    case Boost(inner, _)      => compileDocSet(spark, view, scorers, inner)
+    case Phrase(ts, slop)     =>
+      MoreQueries.phraseMatch(spark, view, ts, slop).select("doc_id")
+    case MatchAll             => view.docmeta.toDF().select("doc_id")
+    case b: Bool              =>
+      compileScored(spark, view, scorers, b).select("doc_id")
+    case other =>
+      throw new IllegalStateException(s"unrewritten query node: $other (call rewrite first)")
+  }
+
+  /** Matching (doc_id, score) rows of a REWRITTEN query. */
+  private def compileScored(spark: SparkSession, view: IndexView,
+                            scorers: QueryScorers, q: Query): DataFrame = q match {
+    case Term(t) =>
+      ExactSearch.scoredWith(spark, view, Seq(t), scorers)
+    case TermSet(ts) => // bare set in scoring position = constant score 1
+      MoreQueries.matchingDocs(spark, view, ts).select(col("doc_id"), lit(1.0).as("score"))
+    case Phrase(ts, slop) =>
+      MoreQueries.phraseMatch(spark, view, ts, slop)
+        .select(col("doc_id"), lit(1.0).as("score"))
+    case ConstScore(inner, s) =>
+      compileScored(spark, view, scorers, inner)
+        .select(col("doc_id"), lit(s).as("score"))
+    case Boost(inner, b) =>
+      compileScored(spark, view, scorers, inner)
+        .select(col("doc_id"), (col("score") * b).as("score"))
+    case MatchAll =>
+      view.docmeta.toDF().select(col("doc_id"), lit(1.0).as("score"))
+    case Bool(sh, mu, no, fi, msm) =>
+      compileBool(spark, view, scorers, sh, mu, no, fi, msm)
+    case other =>
+      throw new IllegalStateException(s"unrewritten query node: $other (call rewrite first)")
+  }
+
+  private def compileBool(spark: SparkSession, view: IndexView,
+                          scorers: QueryScorers, should: Seq[Query],
+                          must: Seq[Query], mustNot: Seq[Query],
+                          filter: Seq[Query], msm: Int): DataFrame = {
+    def docSet(q: Query): DataFrame =
+      compileDocSet(spark, view, scorers, q)
+    // SHOULD-only bool requires >= 1 matching SHOULD (reference rule)
+    val effMsm = if (must.isEmpty && filter.isEmpty) math.max(1, msm) else msm
+    if (msm > should.size) // unsatisfiable (reference: matches nothing)
+      return spark.emptyDataFrame
+        .withColumn("doc_id", lit(0L)).withColumn("score", lit(0.0)).limit(0)
+
+    val shouldAgg: Option[DataFrame] =
+      if (should.isEmpty) None
+      else Some(
+        should.map(c => compileScored(spark, view, scorers, c))
+          .reduce(_.unionAll(_))
+          .groupBy("doc_id")
+          .agg(sum("score").as("s_should"), count(lit(1)).as("n_should")))
+
+    val base: DataFrame = (must, shouldAgg) match {
+      case (Nil, Some(sa)) =>
+        sa.where(col("n_should") >= effMsm)
+          .select(col("doc_id"), col("s_should").as("score"))
+      case (Nil, None) => // filter-only bool: matches with score 0
+        require(filter.nonEmpty, "empty BooleanQuery")
+        docSet(filter.head).select(col("doc_id"), lit(0.0).as("score"))
+      case (ms, sa) =>
+        val mustJoined = ms.map(c =>
+            compileScored(spark, view, scorers, c))
+          .reduceLeft { (a, b) =>
+            a.select(col("doc_id"), col("score").as("s_a"))
+              .join(b.select(col("doc_id"), col("score").as("s_b")), "doc_id")
+              .select(col("doc_id"), (col("s_a") + col("s_b")).as("score"))
+          }
+        sa match {
+          case None => mustJoined
+          case Some(s0) =>
+            val j = mustJoined.join(
+              s0.select(col("doc_id"), col("s_should"), col("n_should")),
+              Seq("doc_id"), "left_outer")
+            val msmd = if (effMsm > 0)
+              j.where(coalesce(col("n_should"), lit(0L)) >= effMsm) else j
+            msmd.select(col("doc_id"),
+              (col("score") + coalesce(col("s_should"), lit(0.0))).as("score"))
+        }
+    }
+    val filtered = filter.foldLeft(base)((acc, f) =>
+      acc.join(docSet(f), Seq("doc_id"), "left_semi"))
+    mustNot.foldLeft(filtered)((acc, f) =>
+      acc.join(docSet(f), Seq("doc_id"), "left_anti"))
+  }
+
+  /** Rewrite + compile: matching (doc_id, score) rows. */
+  def compile(spark: SparkSession, view: IndexView, q: Query,
+              mode: ScoreMode = DoubleOracle): DataFrame = {
+    val rw = rewrite(view, q)
+    val scorers = QueryScorers(view, allTerms(rw).distinct, mode)
+    compileScored(spark, view, scorers, rw)
+  }
+
+  /** Rewrite + compile + reference top-k cut (score desc, docID asc). */
+  def topK(spark: SparkSession, view: IndexView, q: Query, k: Int,
+           mode: ScoreMode = DoubleOracle): DataFrame =
+    compile(spark, view, q, mode)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+}

@@ -97,9 +97,18 @@ object ExactSearch {
     * building block for boolean composition (MUST_NOT/FILTER wrap it).
     */
   def scored(spark: SparkSession, view: IndexView, queryTerms: Seq[String],
-             mode: ScoreMode = DoubleOracle, minShouldMatch: Int = 1): DataFrame = {
+             mode: ScoreMode = DoubleOracle, minShouldMatch: Int = 1): DataFrame =
+    scoredWith(spark, view, queryTerms, QueryScorers(view, queryTerms, mode),
+      minShouldMatch)
+
+  /** Like [[scored]] but with caller-supplied scorers — the query
+    * compiler gathers collection/term stats ONCE for a whole query tree
+    * and shares them across clauses (one stats pass per query, not per
+    * clause — at scale each stats gather is a job).
+    */
+  def scoredWith(spark: SparkSession, view: IndexView, queryTerms: Seq[String],
+                 scorers: QueryScorers, minShouldMatch: Int = 1): DataFrame = {
     import spark.implicits._
-    val scorers = QueryScorers(view, queryTerms, mode)
     val bc = spark.sparkContext.broadcast(scorers)
     val entries = decodedPostings(spark, view, queryTerms)
       .as[(String, Long, Int, Int, Int)]

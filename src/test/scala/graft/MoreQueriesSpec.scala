@@ -65,6 +65,40 @@ class MoreQueriesSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "test phrase should occur in corpus")
   }
 
+  test("sloppy phrase equals brute-force position-distance on raw positions") {
+    val terms = Seq("w0000", "w0001")
+    for (slop <- Seq(0, 1, 2, 4)) {
+      val got = MoreQueries.phraseMatch(spark, view, terms, slop)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      val expected = docs.flatMap { case (id, text) =>
+        val toks = Analyzer.tokenize(text)
+        val pos0 = toks.filter(_.term == terms(0)).map(_.pos)
+        val pos1 = toks.filter(_.term == terms(1)).map(_.pos).toSet
+        val tf = pos0.count(p => pos1.exists(q => math.abs((q - 1) - p) <= slop))
+        if (tf > 0) Some(id -> tf) else None
+      }.toMap
+      assert(got == expected, s"slop=$slop")
+      if (slop > 0) {
+        // slop matches are a superset of the exact matches
+        val exact = MoreQueries.phraseMatch(spark, view, terms, 0)
+          .collect().map(_.getLong(0)).toSet
+        assert(exact.subsetOf(got.keySet))
+      }
+    }
+  }
+
+  test("sloppy phrase: reversed adjacent order needs slop 2") {
+    import spark.implicits._
+    val tiny = Seq((0L, "u", "beta alpha gamma"), (1L, "u", "alpha beta gamma"))
+      .toDF("doc_id", "url", "text")
+    val v = Indexer.buildTables(spark, Indexer.asDocInput(spark, tiny), 16L)
+    def ids(slop: Int) = MoreQueries.phraseMatch(spark, v, Seq("alpha", "beta"), slop)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids(0) == Set(1L))
+    assert(ids(1) == Set(1L))  // reversed order is distance 2, not 1
+    assert(ids(2) == Set(0L, 1L))
+  }
+
   test("phrase across a removed stopword does NOT match (gap preserved)") {
     import spark.implicits._
     val tiny = Seq((0L, "u", "alpha the beta"), (1L, "u", "alpha beta"))

@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.index.Indexer
+import graft.search.{DoubleOracle, ExactSearch, MoreQueries, QueryCompiler, Query => Q}
+import graft.synth.CorpusSynth
+
+/** Query-compiler tests: rewrite normalization laws (structural) and
+  * differential equivalence of compiled nested trees vs hand-composed
+  * primitives.
+  */
+class QueryCompilerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  lazy val view = {
+    val v = Indexer.buildTables(spark,
+      Indexer.asDocInput(spark, CorpusSynth.corpusWithIds(spark, 1200, seed = 21L)),
+      segSize = 256L).persisted()
+    v.postings.count()
+    v
+  }
+
+  private def close(a: Double, b: Double): Boolean =
+    math.abs(a - b) <= 1e-12 * math.max(1.0, math.abs(a))
+
+  private def scoredMap(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+    df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("rewrite: boost folding, single-clause collapse, disjunction splice") {
+    assert(QueryCompiler.rewrite(view, Q.Boost(Q.Boost(Q.Term("a"), 2.0), 3.0))
+      == Q.Boost(Q.Term("a"), 6.0))
+    assert(QueryCompiler.rewrite(view, Q.Boost(Q.Term("a"), 1.0)) == Q.Term("a"))
+    assert(QueryCompiler.rewrite(view, Q.Bool(should = Seq(Q.Term("a")))) == Q.Term("a"))
+    assert(QueryCompiler.rewrite(view, Q.Bool(must = Seq(Q.Term("a")))) == Q.Term("a"))
+    assert(QueryCompiler.rewrite(view,
+      Q.Bool(should = Seq(Q.Bool(should = Seq(Q.Term("a"), Q.Term("b"))), Q.Term("c"))))
+      == Q.Bool(should = Seq(Q.Term("a"), Q.Term("b"), Q.Term("c"))))
+    // MTQ expansion to constant-score over dictionary terms
+    QueryCompiler.rewrite(view, Q.Prefix("w000")) match {
+      case Q.ConstScore(Q.TermSet(ts), 1.0) =>
+        assert(ts.nonEmpty && ts.forall(_.startsWith("w000")))
+        assert(ts == MoreQueries.prefixTerms(view, "w000"))
+      case other => fail(s"unexpected rewrite: $other")
+    }
+    // boost under const-score folds into the constant
+    assert(QueryCompiler.rewrite(view, Q.Boost(Q.TermSet(Seq("x")), 3.0))
+      == Q.ConstScore(Q.TermSet(Seq("x")), 3.0))
+  }
+
+  test("compiled nested tree equals hand-composed primitives") {
+    val q = Q.Bool(
+      must = Seq(Q.Term("w0002")),
+      should = Seq(Q.Term("w0005"), Q.Boost(Q.Term("w0007"), 2.0)),
+      mustNot = Seq(Q.Term("w0009")))
+    val got = scoredMap(QueryCompiler.compile(spark, view, q, DoubleOracle))
+    val s2 = scoredMap(ExactSearch.scored(spark, view, Seq("w0002"), DoubleOracle))
+    val s5 = scoredMap(ExactSearch.scored(spark, view, Seq("w0005"), DoubleOracle))
+    val s7 = scoredMap(ExactSearch.scored(spark, view, Seq("w0007"), DoubleOracle))
+    val excl = MoreQueries.matchingDocs(spark, view, Seq("w0009"))
+      .collect().map(_.getLong(0)).toSet
+    val expected = s2.collect {
+      case (d, s) if !excl(d) =>
+        d -> (s + s5.getOrElse(d, 0.0) + 2.0 * s7.getOrElse(d, 0.0))
+    }
+    assert(got.keySet == expected.keySet)
+    assert(got.forall { case (d, s) => close(s, expected(d)) })
+    assert(got.nonEmpty)
+  }
+
+  test("minShouldMatch over a disjunction matches the exact path") {
+    val terms = Seq("w0001", "w0002", "w0003")
+    val q = Q.Bool(should = terms.map(Q.Term(_)), minShouldMatch = 2)
+    val got = scoredMap(QueryCompiler.compile(spark, view, q, DoubleOracle))
+    val ref = scoredMap(ExactSearch.scored(spark, view, terms, DoubleOracle,
+      minShouldMatch = 2))
+    assert(got.keySet == ref.keySet)
+    assert(got.forall { case (d, s) => close(s, ref(d)) })
+    assert(got.nonEmpty)
+    // msm > #should matches nothing
+    assert(QueryCompiler.compile(spark, view,
+      Q.Bool(should = Seq(Q.Term("w0001")), minShouldMatch = 2), DoubleOracle)
+      .count() == 0)
+  }
+
+  test("FILTER restricts without scoring; phrase clause is match-only") {
+    val q = Q.Bool(must = Seq(Q.Term("w0002")), filter = Seq(Q.Prefix("w001")))
+    val got = scoredMap(QueryCompiler.compile(spark, view, q, DoubleOracle))
+    val base = scoredMap(ExactSearch.scored(spark, view, Seq("w0002"), DoubleOracle))
+    val allow = MoreQueries.matchingDocs(spark, view,
+      MoreQueries.prefixTerms(view, "w001")).collect().map(_.getLong(0)).toSet
+    assert(got == base.filter { case (d, _) => allow(d) })
+    assert(got.nonEmpty)
+
+    // phrase in scoring position: constant score 1.0 added
+    val pq = Q.Bool(must = Seq(Q.Term("w0002")),
+      should = Seq(Q.Phrase(Seq("w0000", "w0001"))))
+    val got2 = scoredMap(QueryCompiler.compile(spark, view, pq, DoubleOracle))
+    val phr = MoreQueries.phraseMatch(spark, view, Seq("w0000", "w0001"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got2.keySet == base.keySet)
+    got2.foreach { case (d, s) =>
+      val exp = base(d) + (if (phr(d)) 1.0 else 0.0)
+      assert(close(s, exp), s"doc $d: $s vs $exp")
+    }
+  }
+}

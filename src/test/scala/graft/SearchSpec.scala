@@ -65,6 +65,28 @@ class SearchSpec extends AnyFunSuite {
     assert(exact.forall(_._2 > 0))
   }
 
+  test("rank identity: exact == block-max AND kernel on conjunctions") {
+    val rnd = new scala.util.Random(42)
+    val queries: Seq[Seq[String]] =
+      (1 to 10).map { _ =>
+        val n = rnd.nextInt(3) + 2
+        (1 to n).map(_ => f"w${rnd.nextInt(200)}%04d") // hot-ish terms co-occur
+      } ++ Seq(
+        Seq("w0000", "w0001"),          // two hottest terms
+        Seq("w0000", "w1999"),          // hot + rare
+        Seq("w0003", "zzznotfound"),    // missing term ⇒ empty
+        Seq("w0002", "w0002", "w0005")  // duplicate term in the query
+      )
+    for (q <- queries; mode <- Seq(DoubleOracle, Float32Lucene)) {
+      val exact = ExactSearch.topK(spark, view, q.distinct, 10, mode,
+        minShouldMatch = q.distinct.size)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+      val fast = BmwSearch.topKAnd(spark, view, q, 10, mode)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+      assert(exact == fast, s"AND mismatch for $q mode $mode:\n exact=$exact\n fast=$fast")
+    }
+  }
+
   test("conjunction (minShouldMatch = #terms) only returns docs with all terms") {
     import spark.implicits._
     val terms = Seq("w0004", "w0007")

@@ -78,6 +78,20 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(e2.nonEmpty) // the driver corpus does contain near-dups
   }
 
+  test("LSH hot bucket: 10k copies of one doc complete via the star path") {
+    import spark.implicits._
+    // a boilerplate cluster far above MaxBucket: all-pairs would be
+    // ~5·10⁷ pair rows from ONE bucket; the star path emits 9,999
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    val cluster = (0L until 10000L).map(i => (i, boiler))
+    val normals = (10000L until 10050L).map(i => (i, s"u$i v$i w$i x$i y$i"))
+    val corpus = (cluster ++ normals).toDF("doc_id", "text")
+    val pairs = TrainingData.dedupMinhashLshDf(spark, corpus, 8000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every cluster member is flagged as a duplicate of the hub (min id)
+    assert(pairs == (1L until 10000L).map(j => (0L, j)).toSet)
+  }
+
   test("simhash: identical texts → identical hash; near-dups → close") {
     val h = TrainingData.dedupSimhash(spark, corpusDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
