@@ -138,6 +138,17 @@ object OracleGen {
        |FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
        |GROUP BY a.doc_id""".stripMargin
 
+  /** delete-then-search: disjunctive top-k with tombstoned docs
+    * (doc_id % 7 == 3) excluded from RESULTS but not from STATS — the
+    * reference's deleted-doc semantics before merge (docFreq/docCount
+    * keep counting deleted docs until segments merge).
+    */
+  def bm25DeleteSql(terms: Seq[String], k: Int): String =
+    s"""WITH ${bm25Ctes(terms)}
+       |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q
+       |FROM sc WHERE doc_id % 7 <> 3
+       |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+
   /** Sloppy 2-term phrase: anchor positions of w1 with a w2 occurrence
     * within edit-distance slop (|(pos2 - 1) - pos1| <= slop — reversed
     * adjacent order needs slop 2, the reference's slop metric).
@@ -177,6 +188,53 @@ object OracleGen {
   def docsWithTermWhereSql(termPred: String): String =
     s"""WITH $tokCte
        |SELECT DISTINCT doc_id FROM tokf WHERE $termPred""".stripMargin
+
+  /** Cross-field DisMax over (title = first 4 tokens, body): per-field
+    * BM25 with the FIELD's docCount/avgdl/df, combined per doc as
+    * max + tie * (sum - max).
+    */
+  def multifieldDismaxSql(terms: Seq[String], tie: Double, k: Int): String = {
+    val qs = termList(terms.distinct)
+    s"""WITH btok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents
+       |), toks AS (
+       |  SELECT doc_id, 'body' AS field, term FROM btok
+       |  WHERE length(term) > 0 AND term NOT IN ($stopList)
+       |  UNION ALL
+       |  SELECT doc_id, 'title' AS field, term FROM btok
+       |  WHERE pos <= 4 AND length(term) > 0 AND term NOT IN ($stopList)
+       |), fdl AS (
+       |  SELECT doc_id, field, count(*) AS dl FROM toks GROUP BY doc_id, field
+       |), fnorm AS (
+       |  SELECT doc_id, field, dl,
+       |    (SELECT max(v) FROM (VALUES $normValues) AS nv(v) WHERE nv.v <= fdl.dl) AS ldl
+       |  FROM fdl
+       |), fst AS (
+       |  SELECT field, count(*) AS n, sum(dl) AS sttf FROM fdl GROUP BY field
+       |), fdf AS (
+       |  SELECT field, term, count(DISTINCT doc_id) AS df FROM toks
+       |  WHERE term IN ($qs) GROUP BY field, term
+       |), ftf AS (
+       |  SELECT doc_id, field, term, count(*) AS tf FROM toks
+       |  WHERE term IN ($qs) GROUP BY doc_id, field, term
+       |), fsc AS (
+       |  SELECT ftf.doc_id, ftf.field,
+       |    sum(ln(1 + (fst.n - fdf.df + 0.5) / (fdf.df + 0.5))
+       |      * ftf.tf / (ftf.tf + 1.2 * (1 - 0.75 + 0.75 * fnorm.ldl / (fst.sttf / CAST(fst.n AS DOUBLE))))) AS s
+       |  FROM ftf
+       |  JOIN fdf ON ftf.field = fdf.field AND ftf.term = fdf.term
+       |  JOIN fnorm ON ftf.doc_id = fnorm.doc_id AND ftf.field = fnorm.field
+       |  JOIN fst ON fst.field = ftf.field
+       |  GROUP BY ftf.doc_id, ftf.field
+       |), agg AS (
+       |  SELECT doc_id, max(s) AS mx, sum(s) AS sm FROM fsc GROUP BY doc_id
+       |)
+       |SELECT doc_id,
+       |  CAST(round((mx + $tie * (sm - mx)) * 10000) AS BIGINT) AS score_q
+       |FROM agg ORDER BY (mx + $tie * (sm - mx)) DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
 
   /** docCount — docs with ≥1 indexed (non-stop) token. */
   def matchAllCountSql: String =

@@ -132,6 +132,19 @@ object SparkEntry {
         .select(col("doc_id"), (col("score") * 2.5).as("score"))
       quantize(base.orderBy(col("score").desc, col("doc_id").asc).limit(10), 10)
     }),
+    "multifield_dismax" -> ((s, dir) => {
+      // per-field stats/norms + qf-style cross-field dismax
+      quantize(graft.search.MultiField.dismaxTopK(s, dir,
+        Seq("spark", "merge"), 0.3, 10, IndexCache.TestSegmentSize), 10)
+    }),
+    "delete_then_search" -> ((s, dir) => {
+      // tombstones excluded from results, stats untouched until merge
+      val v = IndexCache.documentsIndex(s, dir)
+      val tomb = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 7 === 3).select("doc_id")
+      quantize(graft.index.Deletes.topKExcluding(
+        s, v, Seq("spark", "join"), tomb, 10, DoubleOracle), 10)
+    }),
     "query_compile_nested" -> ((s, dir) => {
       // the composable front-end: nested boolean tree with boost, MTQ
       // filter and MUST_NOT, normalized by rewrite() then lowered onto
@@ -151,6 +164,19 @@ object SparkEntry {
       IndexCache.documentsIndex(s, dir).docmeta.toDF()
         .agg(countDistinct(col("doc_id")).as("n"))
     }),
+    "total_hits" -> ((s, dir) => {
+      // hit-count semantics: this engine reports EXACT totals — the
+      // count is a distinct over block-decoded docIDs of the query
+      // terms only (never a corpus scan), so totalHitsThreshold/GTE
+      // lower bounds are unnecessary (documented design decision)
+      val v = IndexCache.documentsIndex(s, dir)
+      MoreQueries.matchingDocs(s, v, Seq("spark", "join"))
+        .agg(count(lit(1)).as("total_hits"), lit("EQ").as("relation"))
+    }),
+    // — §2.8 scalar function-query surface —
+    "func_datemath" -> (graft.operators.Functions.dateMath _),
+    "func_strdist" -> (graft.operators.Functions.strDist _),
+    "func_geodist" -> (graft.operators.Functions.geoDist _),
     // — Plane B: relational/dataflow operators (SURVEY.md §2.5–2.7) —
     "rollup_agg" -> (graft.operators.Relational.rollupAgg _),
     "hash_join_topk" -> (graft.operators.Relational.hashJoinTopK _),
@@ -218,6 +244,14 @@ object SparkEntry {
     "boost_query" -> OracleGen.bm25BoostSql(Seq("spark"), 2.5, 10),
     "match_all_count" -> OracleGen.matchAllCountSql,
     "query_compile_nested" -> OracleGen.queryCompileNestedSql,
+    "delete_then_search" -> OracleGen.bm25DeleteSql(Seq("spark", "join"), 10),
+    "multifield_dismax" -> OracleGen.multifieldDismaxSql(Seq("spark", "merge"), 0.3, 10),
+    "total_hits" ->
+      (s"WITH ${OracleGen.tokCte} SELECT count(DISTINCT doc_id) AS total_hits, " +
+        "'EQ' AS relation FROM tokf WHERE term IN ('spark', 'join')"),
+    "func_datemath" -> graft.operators.FunctionOracles.dateMath,
+    "func_strdist" -> graft.operators.FunctionOracles.strDist,
+    "func_geodist" -> graft.operators.FunctionOracles.geoDist,
     // Plane B (facet_hll omitted: approximate — rows-only check)
     "rollup_agg" -> RelationalOracles.rollupAgg,
     "hash_join_topk" -> RelationalOracles.hashJoinTopK,

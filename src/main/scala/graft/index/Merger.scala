@@ -28,8 +28,15 @@ object Merger {
     * (new_segment = segment_id / factor — the tier shape of the
     * reference's merge policy).
     */
+  /** `tombstones`: optional (doc_id) frame of deleted docs to PURGE
+    * during the merge (the reference reclaims deletes at merge time
+    * [8x index/SegmentMerger.java via liveDocs]): their postings and
+    * docmeta rows are dropped before re-encode, so post-merge term
+    * stats genuinely shrink.
+    */
   def merge(spark: SparkSession, view: IndexView, factor: Int,
-            numPartitions: Int = 0): IndexView = {
+            numPartitions: Int = 0,
+            tombstones: Option[org.apache.spark.sql.DataFrame] = None): IndexView = {
     import spark.implicits._
     require(factor >= 1)
     val parts = if (numPartitions > 0) numPartitions
@@ -49,8 +56,20 @@ object Merger {
           if (hasPos) ps(i) else Array.emptyIntArray)
       }
     }
-    val merged = Indexer.buildPostings(spark, entries, parts)
-    val docmeta = view.docmeta.map(m => m.copy(segment_id = m.segment_id / factor))
+    val live = tombstones match {
+      case None    => entries
+      case Some(t) =>
+        entries.join(t.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+          .as[PostingInput]
+    }
+    val merged = Indexer.buildPostings(spark, live, parts)
+    val remapped = view.docmeta.map(m => m.copy(segment_id = m.segment_id / factor))
+    val docmeta = tombstones match {
+      case None    => remapped
+      case Some(t) =>
+        remapped.join(t.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+          .as[DocMetaRow]
+    }
     IndexView(merged, Indexer.buildTerms(merged), docmeta)
   }
 }

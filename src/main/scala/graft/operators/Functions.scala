@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Solr scalar function-query surface (SURVEY.md §2.8) — representative
+ * members of each family, as codegen'd Catalyst column expressions (no
+ * UDFs):
+ *
+ *  - date math [8x solr/util/DateMathParser.java — `NOW/DAY+1DAY`,
+ *    `/MONTH-1DAY` rounding/offset arithmetic]: month-end rounding and
+ *    +NDAYS offsets over the orders dates.
+ *  - strdist [Solr StrDistValueSource — Levenshtein variant].
+ *  - geodist [Solr GeoDistValueSource / DistanceUtils — Haversine on
+ *    the mean earth radius, km]. Coordinates are synthesized
+ *    deterministically from the key so the DuckDB oracle can reproduce
+ *    them bit-for-bit; distances are quantized to 10 m units.
+ */
+object Functions {
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Date math: `o_orderdate/MONTH+1MONTH-1DAY` (month end) and
+    * `+90DAYS` due date, plus the day count to month end.
+    */
+  def dateMath(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders").select(
+      col("o_orderkey"),
+      date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+      datediff(last_day(col("o_orderdate")), to_date(col("o_orderdate")))
+        .cast("long").as("days_left"),
+      date_format(date_add(to_date(col("o_orderdate")), 90), "yyyy-MM-dd")
+        .as("due_90d"))
+
+  /** strdist(c_name, fixed needle, edit) — Levenshtein. */
+  def strDist(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer")
+      .where(col("c_custkey") < 500)
+      .select(col("c_custkey"),
+        levenshtein(col("c_name"), lit("Customer#000000042"))
+          .cast("long").as("dist"))
+
+  /** Mean earth radius used by the reference's DistanceUtils (km). */
+  val EarthRadiusKm = 6371.0087714
+
+  /** geodist to (0, 0) over key-derived coordinates, Haversine, 10 m
+    * units.
+    */
+  def geoDist(s: SparkSession, dir: String): DataFrame = {
+    val lat = (col("c_custkey") % 180 - 90).cast("double") + lit(0.5)
+    val lon = ((col("c_custkey") * 7) % 360 - 180).cast("double") + lit(0.5)
+    val a = pow(sin(radians(lat) / 2), 2) +
+      cos(radians(lat)) * pow(sin(radians(lon) / 2), 2)
+    val distKm = lit(2 * EarthRadiusKm) * asin(sqrt(a))
+    tbl(s, dir, "customer")
+      .where(col("c_custkey") < 500)
+      .select(col("c_custkey"),
+        round(distKm * 100).cast("long").as("dist_10m"))
+  }
+}
+
+/** DuckDB twins of [[Functions]]. */
+object FunctionOracles {
+
+  val dateMath: String =
+    """SELECT o_orderkey,
+      |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+      |  CAST(datediff('day', CAST(o_orderdate AS DATE),
+      |       last_day(CAST(o_orderdate AS DATE))) AS BIGINT) AS days_left,
+      |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY, '%Y-%m-%d') AS due_90d
+      |FROM orders""".stripMargin
+
+  val strDist: String =
+    """SELECT c_custkey,
+      |  CAST(levenshtein(c_name, 'Customer#000000042') AS BIGINT) AS dist
+      |FROM customer WHERE c_custkey < 500""".stripMargin
+
+  val geoDist: String =
+    s"""SELECT c_custkey,
+       |  CAST(round(2 * ${Functions.EarthRadiusKm} * asin(sqrt(
+       |    pow(sin(radians(c_custkey % 180 - 90 + 0.5) / 2), 2) +
+       |    cos(radians(c_custkey % 180 - 90 + 0.5)) *
+       |    pow(sin(radians((c_custkey * 7) % 360 - 180 + 0.5) / 2), 2)
+       |  )) * 100) AS BIGINT) AS dist_10m
+       |FROM customer WHERE c_custkey < 500""".stripMargin
+}

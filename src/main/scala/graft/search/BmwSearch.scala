@@ -109,9 +109,14 @@ object BmwSearch {
     def toArray: Array[(Long, Double)] = pq.toArray
   }
 
-  /** Run BMW over one segment's query-term block lists, updating `heap`. */
+  /** Run BMW over one segment's query-term block lists, updating `heap`.
+    * `deleted` is the live-docs-bitset analog: tombstoned docs are
+    * skipped at evaluation (never inserted), stats untouched — exactly
+    * the reference's deleted-doc semantics before merge.
+    */
   private def searchSegment(termBlocks: Map[String, Array[PostingBlockRow]],
-                            scorers: QueryScorers, heap: TopKHeap): Unit = {
+                            scorers: QueryScorers, heap: TopKHeap,
+                            deleted: Set[Long] = Set.empty): Unit = {
     // Blocks are ordered by first_doc_id, NOT block_id: an NRT-streamed
     // index can hold several batches of the same (segment, term), each
     // numbering its blocks from 0 — batch doc ranges are disjoint, so
@@ -166,18 +171,20 @@ object BmwSearch {
         // contributions summed in ascending term order (cursors were
         // constructed term-sorted; re-sort the matching subset by term).
         val matching = live.filter(_.curDoc == pivotDoc).sortBy(_.term)
-        var sumF = 0f; var sumD = 0d
-        matching.foreach { c =>
-          scorers.mode match {
-            case Float32Lucene => sumF += scorers.score(c.term, c.tf, c.normByte, c.lossyDl).toFloat
-            case DoubleOracle  => sumD += scorers.score(c.term, c.tf, c.normByte, c.lossyDl)
+        if (!deleted.contains(pivotDoc)) {
+          var sumF = 0f; var sumD = 0d
+          matching.foreach { c =>
+            scorers.mode match {
+              case Float32Lucene => sumF += scorers.score(c.term, c.tf, c.normByte, c.lossyDl).toFloat
+              case DoubleOracle  => sumD += scorers.score(c.term, c.tf, c.normByte, c.lossyDl)
+            }
           }
+          val score = scorers.mode match {
+            case Float32Lucene => sumF.toDouble
+            case DoubleOracle  => sumD
+          }
+          heap.insert(pivotDoc, score)
         }
-        val score = scorers.mode match {
-          case Float32Lucene => sumF.toDouble
-          case DoubleOracle  => sumD
-        }
-        heap.insert(pivotDoc, score)
         matching.foreach(_.next())
       } else {
         // advance the first unaligned cursor up to the pivot
@@ -199,7 +206,8 @@ object BmwSearch {
     */
   private def searchSegmentAnd(termBlocks: Map[String, Array[PostingBlockRow]],
                                terms: Seq[String], scorers: QueryScorers,
-                               heap: TopKHeap): Unit = {
+                               heap: TopKHeap,
+                               deleted: Set[Long] = Set.empty): Unit = {
     if (!terms.forall(termBlocks.contains)) return // a term absent ⇒ no hits
     // ascending term order for scoring (exact-path sum-order identity)
     val byTerm = terms.sorted.toArray.map(t =>
@@ -233,18 +241,20 @@ object BmwSearch {
           i += 1
         }
         if (aligned) {
-          var sumF = 0f; var sumD = 0d
-          var j = 0
-          while (j < byTerm.length) { // ascending term order
-            val c = byTerm(j)
-            scorers.mode match {
-              case Float32Lucene => sumF += scorers.score(c.term, c.tf, c.normByte, c.lossyDl).toFloat
-              case DoubleOracle  => sumD += scorers.score(c.term, c.tf, c.normByte, c.lossyDl)
+          if (!deleted.contains(candidate)) {
+            var sumF = 0f; var sumD = 0d
+            var j = 0
+            while (j < byTerm.length) { // ascending term order
+              val c = byTerm(j)
+              scorers.mode match {
+                case Float32Lucene => sumF += scorers.score(c.term, c.tf, c.normByte, c.lossyDl).toFloat
+                case DoubleOracle  => sumD += scorers.score(c.term, c.tf, c.normByte, c.lossyDl)
+              }
+              j += 1
             }
-            j += 1
+            heap.insert(candidate,
+              scorers.mode match { case Float32Lucene => sumF.toDouble; case DoubleOracle => sumD })
           }
-          heap.insert(candidate,
-            scorers.mode match { case Float32Lucene => sumF.toDouble; case DoubleOracle => sumD })
           lead.next()
           candidate = lead.curDoc
         }
@@ -253,11 +263,13 @@ object BmwSearch {
   }
 
   private def runKernel(spark: SparkSession, view: IndexView,
-                        queryTerms: Seq[String], k: Int, mode: ScoreMode)(
-      kernel: (Map[String, Array[PostingBlockRow]], QueryScorers, TopKHeap) => Unit): DataFrame = {
+                        queryTerms: Seq[String], k: Int, mode: ScoreMode,
+                        deleted: Set[Long])(
+      kernel: (Map[String, Array[PostingBlockRow]], QueryScorers, TopKHeap, Set[Long]) => Unit): DataFrame = {
     import spark.implicits._
     val scorers = QueryScorers(view, queryTerms, mode)
     val bc = spark.sparkContext.broadcast(scorers)
+    val bcDel = spark.sparkContext.broadcast(deleted)
     val blocks = view.postings.filter($"term".isin(queryTerms.distinct: _*))
     val partitioned = blocks.repartition($"segment_id")
     val localTopK = partitioned.mapPartitions { it =>
@@ -265,22 +277,26 @@ object BmwSearch {
       val heap = new TopKHeap(k)
       // ascending segment (doc-range) order: threshold tightens monotonically
       bySegment.toArray.sortBy(_._1).foreach { case (_, rows) =>
-        kernel(rows.groupBy(_.term), bc.value, heap)
+        kernel(rows.groupBy(_.term), bc.value, heap, bcDel.value)
       }
       heap.toArray.iterator
     }.toDF("doc_id", "score")
     localTopK.orderBy($"score".desc, $"doc_id".asc).limit(k)
   }
 
-  /** Disjunctive BM25 top-k via BMW. Returns (doc_id, score). */
+  /** Disjunctive BM25 top-k via BMW. Returns (doc_id, score).
+    * `deleted` = tombstoned docs to exclude (live-docs analog).
+    */
   def topK(spark: SparkSession, view: IndexView, queryTerms: Seq[String],
-           k: Int, mode: ScoreMode = DoubleOracle): DataFrame =
-    runKernel(spark, view, queryTerms, k, mode)(searchSegment)
+           k: Int, mode: ScoreMode = DoubleOracle,
+           deleted: Set[Long] = Set.empty): DataFrame =
+    runKernel(spark, view, queryTerms, k, mode, deleted)(searchSegment)
 
   /** Conjunctive BM25 top-k via the block-max AND kernel. */
   def topKAnd(spark: SparkSession, view: IndexView, queryTerms: Seq[String],
-              k: Int, mode: ScoreMode = DoubleOracle): DataFrame = {
+              k: Int, mode: ScoreMode = DoubleOracle,
+              deleted: Set[Long] = Set.empty): DataFrame = {
     val uniq = queryTerms.distinct
-    runKernel(spark, view, uniq, k, mode)(searchSegmentAnd(_, uniq, _, _))
+    runKernel(spark, view, uniq, k, mode, deleted)(searchSegmentAnd(_, uniq, _, _, _))
   }
 }
