@@ -68,6 +68,18 @@ object SparkEntry {
       merged.terms.groupBy("term")
         .agg(sum("df").as("df"), sum("ctf").as("ctf"))
     }),
+    "tiered_merge" -> ((s, dir) => {
+      // size-tiered candidate selection (TieredMergePolicy analog) +
+      // arbitrary-group merge; global term stats must be unchanged
+      val v = IndexCache.documentsIndex(s, dir)
+      val sizes = graft.index.MergePolicy.segmentDocCounts(v)
+      val mapping = graft.index.MergePolicy.select(sizes,
+        maxMergeAtOnce = 4, maxMergedDocs = 4096L)
+      val merged = graft.index.Merger.mergeByMapping(s, v,
+        sid => mapping.getOrElse(sid, sid))
+      merged.terms.groupBy("term")
+        .agg(sum("df").as("df"), sum("ctf").as("ctf"))
+    }),
     "index_build_fresh" -> ((s, dir) => {
       // un-cached end-to-end build (the Bench-visible index throughput)
       val corpus = s.read.parquet(s"$dir/documents.parquet")
@@ -227,6 +239,7 @@ object SparkEntry {
     "bm25_topk_and" -> OracleGen.bm25TopKSql(Seq("vector", "window"), 10, minShouldMatch = 2),
     "term_df_salted" -> OracleGen.termDfSql,
     "segment_merge" -> OracleGen.termDfSql,
+    "tiered_merge" -> OracleGen.termDfSql,
     "index_build_fresh" -> OracleGen.tokenizeCountsSql,
     "phrase_query" -> OracleGen.phraseSql("hash", "join"),
     "phrase_slop" -> OracleGen.phraseSlopSql("hash", "join", 2),

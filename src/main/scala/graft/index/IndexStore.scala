@@ -67,9 +67,31 @@ object IndexStore {
     else None
   }
 
+  /** Single-writer publish (bulk build owns the dir; see
+    * [[tryPublishSnapshot]] for the multi-writer streaming path).
+    */
   def publishSnapshot(dir: String, s: Snapshot): Unit =
     atomicWrite(Paths.get(dir, "snapshots", f"v${s.version}%05d.json"),
       mapper.writeValueAsBytes(s))
+
+  /** Optimistic multi-writer publish: each snapshot VERSION is
+    * write-once (hard-link creation is atomic and fails if the version
+    * file exists — plain rename would silently replace on POSIX).
+    * Returns false when another writer won this version; the caller
+    * re-reads the new current snapshot, merges its batches and retries
+    * with version+1 — so concurrent streams/writers can never publish a
+    * snapshot that loses the other's batches (round-1 advisor finding).
+    */
+  def tryPublishSnapshot(dir: String, s: Snapshot): Boolean = {
+    val path = Paths.get(dir, "snapshots", f"v${s.version}%05d.json")
+    Files.createDirectories(path.getParent)
+    val tmp = path.resolveSibling(
+      s"${path.getFileName}.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    Files.write(tmp, mapper.writeValueAsBytes(s))
+    try { Files.createLink(path, tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally { Files.deleteIfExists(tmp) }
+  }
 
   def currentSnapshot(dir: String): Option[Snapshot] = {
     val d = Paths.get(dir, "snapshots")

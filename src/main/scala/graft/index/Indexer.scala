@@ -236,16 +236,50 @@ object Indexer {
     * by the segment size (doc-range segments), so no reducer can blow up
     * on a hot term.
     */
+  /** RAM budget of the phase-1 map-side combine, per task (the DWPT
+    * `ramBufferSizeMB` analog [8x index/DocumentsWriterPerThread.java]):
+    * once the in-RAM inverted state reaches the budget the combiner
+    * EMITS its chunks and resets, so task heap is O(budget) instead of
+    * O(input split) — a positions-enabled dense-text split no longer
+    * OOMs on the default 128 MB parquet partitions. Multiple chunks per
+    * (segment, term) are merge-safe by construction (phase 2 re-sorts).
+    */
+  val DefaultCombineBudget: Long =
+    sys.env.get("GRAFT_COMBINE_MB").map(_.toLong << 20).getOrElse(64L << 20)
+
   def buildPostings(spark: SparkSession, inverted: Dataset[PostingInput],
-                    numPartitions: Int): Dataset[PostingBlockRow] = {
+                    numPartitions: Int,
+                    combineBudgetBytes: Long = DefaultCombineBudget): Dataset[PostingBlockRow] = {
     import spark.implicits._
+    val budget = combineBudgetBytes
     val chunks: Dataset[PostingChunk] = inverted.mapPartitions { it =>
-      val acc = scala.collection.mutable.HashMap.empty[(Int, String), ChunkBuilder]
-      it.foreach { p =>
-        acc.getOrElseUpdate((p.segment_id, p.term), new ChunkBuilder)
-          .add(p.doc_id, p.tf, p.norm_byte, p.positions)
+      new Iterator[PostingChunk] {
+        private var pending: Iterator[PostingChunk] = Iterator.empty
+        private def refill(): Unit = {
+          val acc = scala.collection.mutable.HashMap.empty[(Int, String), ChunkBuilder]
+          var bytes = 0L
+          while (it.hasNext && bytes < budget) {
+            val p = it.next()
+            val b = acc.getOrElseUpdate((p.segment_id, p.term), {
+              bytes += 64L + 2L * p.term.length // map entry + key
+              new ChunkBuilder
+            })
+            b.add(p.doc_id, p.tf, p.norm_byte, p.positions)
+            // conservative per-posting heap estimate incl. 2x growth slack
+            bytes += 48L + 8L * p.positions.length
+          }
+          pending = acc.toArray.iterator
+            .map { case ((seg, term), b) => b.result(seg, term) }
+        }
+        def hasNext: Boolean = {
+          while (!pending.hasNext && it.hasNext) refill()
+          pending.hasNext
+        }
+        def next(): PostingChunk = {
+          if (!hasNext) throw new NoSuchElementException
+          pending.next()
+        }
       }
-      acc.iterator.map { case ((seg, term), b) => b.result(seg, term) }
     }
     chunks
       .groupByKey(c => (c.segment_id, c.term))

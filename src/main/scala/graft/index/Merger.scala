@@ -25,10 +25,11 @@ object Merger {
 
   /** Merge segments into coarser ones: every `factor` consecutive
     * doc-range segments collapse into one new segment
-    * (new_segment = segment_id / factor — the tier shape of the
-    * reference's merge policy).
-    */
-  /** `tombstones`: optional (doc_id) frame of deleted docs to PURGE
+    * (new_segment = segment_id / factor — the simple tier shape). For
+    * size-tiered candidate selection use [[MergePolicy.select]] +
+    * [[mergeByMapping]].
+    *
+    * `tombstones`: optional (doc_id) frame of deleted docs to PURGE
     * during the merge (the reference reclaims deletes at merge time
     * [8x index/SegmentMerger.java via liveDocs]): their postings and
     * docmeta rows are dropped before re-encode, so post-merge term
@@ -37,8 +38,20 @@ object Merger {
   def merge(spark: SparkSession, view: IndexView, factor: Int,
             numPartitions: Int = 0,
             tombstones: Option[org.apache.spark.sql.DataFrame] = None): IndexView = {
-    import spark.implicits._
     require(factor >= 1)
+    mergeByMapping(spark, view, _ / factor, numPartitions, tombstones)
+  }
+
+  /** Merge ARBITRARY segment groups: `remap` sends each old segment id
+    * to its merge target (identity for segments left alone). Segment
+    * doc-ranges are disjoint, so any grouping preserves the per-segment
+    * search invariants — block order inside a merged segment is
+    * restored by first_doc_id, not block_id.
+    */
+  def mergeByMapping(spark: SparkSession, view: IndexView, remap: Int => Int,
+                     numPartitions: Int = 0,
+                     tombstones: Option[org.apache.spark.sql.DataFrame] = None): IndexView = {
+    import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions
                 else spark.sessionState.conf.numShufflePartitions
 
@@ -51,7 +64,7 @@ object Merger {
       val hasPos = b.positions.nonEmpty
       val ps = if (hasPos) PostingCodec.decodePositions(b.positions, d.freqs) else null
       Iterator.tabulate(d.docIds.length) { i =>
-        PostingInput(b.segment_id / factor, b.term, d.docIds(i),
+        PostingInput(remap(b.segment_id), b.term, d.docIds(i),
           d.freqs(i), d.norms(i).toInt & 0xff,
           if (hasPos) ps(i) else Array.emptyIntArray)
       }
@@ -63,7 +76,7 @@ object Merger {
           .as[PostingInput]
     }
     val merged = Indexer.buildPostings(spark, live, parts)
-    val remapped = view.docmeta.map(m => m.copy(segment_id = m.segment_id / factor))
+    val remapped = view.docmeta.map(m => m.copy(segment_id = remap(m.segment_id)))
     val docmeta = tombstones match {
       case None    => remapped
       case Some(t) =>
@@ -71,5 +84,48 @@ object Merger {
           .as[DocMetaRow]
     }
     IndexView(merged, Indexer.buildTerms(merged), docmeta)
+  }
+}
+
+/** Size-tiered merge-candidate selection — re-derivation of the
+  * reference's `TieredMergePolicy` [8x index/TieredMergePolicy.java]:
+  * segments are considered smallest-first and greedily grouped into
+  * merges of up to `maxMergeAtOnce` members whose combined size stays
+  * under the `maxMergedDocs` cap — so small segments (NRT micro-batch
+  * flushes) are swept up aggressively while already-large segments are
+  * left alone, and no merge ever produces an over-cap segment.
+  */
+object MergePolicy {
+
+  /** Per-segment doc counts (one tiny agg over docmeta). */
+  def segmentDocCounts(view: IndexView): Map[Int, Long] =
+    view.docmeta.toDF().groupBy("segment_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** Greedy size-tiered selection. Returns the remap (old segment id →
+    * merge target = the group's min id); identity entries are omitted.
+    * Only groups of >= 2 segments are emitted (a singleton "merge" is a
+    * no-op rewrite the policy never schedules).
+    */
+  def select(segDocs: Map[Int, Long], maxMergeAtOnce: Int = 10,
+             maxMergedDocs: Long = Indexer.DefaultSegmentSize * 16): Map[Int, Int] = {
+    require(maxMergeAtOnce >= 2)
+    val bySize = segDocs.toSeq.sortBy { case (id, n) => (n, id) }
+    val mapping = scala.collection.mutable.Map.empty[Int, Int]
+    var group = List.empty[Int]
+    var groupDocs = 0L
+    def close(): Unit = {
+      if (group.size >= 2) {
+        val target = group.min
+        group.foreach(s => mapping(s) = target)
+      }
+      group = Nil; groupDocs = 0L
+    }
+    bySize.foreach { case (sid, n) =>
+      if (group.size >= maxMergeAtOnce || groupDocs + n > maxMergedDocs) close()
+      if (n <= maxMergedDocs) { group ::= sid; groupDocs += n }
+    }
+    close()
+    mapping.toMap
   }
 }

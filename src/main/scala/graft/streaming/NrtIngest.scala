@@ -43,11 +43,17 @@ object NrtIngest {
     val range = batch.agg(min("doc_id"), max("doc_id")).head()
     val (lo, hi) = (range.getLong(0), range.getLong(1) + 1)
     IndexWriter.writeBatch(spark, batch, dir, b, segSize, stopWords, lo, hi)
-    val prev = IndexStore.currentSnapshot(dir)
-    val batches = (prev.map(_.batches).getOrElse(Seq.empty) :+ b).distinct.sorted
-    val snap = Snapshot(prev.map(_.version + 1).getOrElse(1), segSize, batches)
-    IndexStore.publishSnapshot(dir, snap)
-    Some(snap)
+    // optimistic read-merge-publish loop: snapshot versions are
+    // write-once, so a concurrent writer can't be overwritten — on a
+    // lost race we re-read (seeing THEIR batches), merge and retry
+    var published: Option[Snapshot] = None
+    while (published.isEmpty) {
+      val prev = IndexStore.currentSnapshot(dir)
+      val batches = (prev.map(_.batches).getOrElse(Seq.empty) :+ b).distinct.sorted
+      val snap = Snapshot(prev.map(_.version + 1).getOrElse(1), segSize, batches)
+      if (IndexStore.tryPublishSnapshot(dir, snap)) published = Some(snap)
+    }
+    published
   }
 
   /** Start the continuous ingestion query over a streaming corpus. */

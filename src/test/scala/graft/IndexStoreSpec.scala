@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
-import graft.index.{IndexReader, IndexStore, IndexWriter, Indexer, Merger}
+import graft.index.{IndexReader, IndexStore, IndexWriter, Indexer, MergePolicy, Merger}
 import graft.search.{BmwSearch, DoubleOracle, ExactSearch, Float32Lucene}
 import graft.synth.CorpusSynth
 
@@ -65,6 +65,49 @@ class IndexStoreSpec extends AnyFunSuite {
     // resumed build skipped batch 0: its manifest is the one from the failed run
     assert(IndexStore.readManifest(dirB, 0).get.docs ==
       IndexStore.readManifest(dirA, 0).get.docs)
+  }
+
+  test("tiered merge policy: size-tiered groups respect the cap; query-equivalent") {
+    val view = Indexer.buildTables(spark, corpus(900), 128L).persisted()
+    val sizes = MergePolicy.segmentDocCounts(view)
+    val mapping = MergePolicy.select(sizes, maxMergeAtOnce = 3, maxMergedDocs = 300L)
+    assert(mapping.nonEmpty)
+    val groups = mapping.groupBy(_._2).map { case (t, m) => t -> m.keys.toSeq }
+    groups.foreach { case (target, members) =>
+      assert(members.size >= 2 && members.size <= 3)
+      assert(members.map(sizes).sum <= 300L, s"cap exceeded for group $target")
+      assert(target == members.min)
+    }
+    val merged = Merger.mergeByMapping(spark, view, sid => mapping.getOrElse(sid, sid))
+    assert(merged.postings.select("segment_id").distinct().count() <
+      view.postings.select("segment_id").distinct().count())
+    // merged segments hold NON-consecutive doc ranges (size-tiered, not
+    // range-tiered) — both search paths must still agree
+    for (q <- Seq(Seq("w0000"), Seq("w0003", "w0017"))) {
+      assert(topDocs(merged, q) == topDocs(view, q), s"exact mismatch for $q")
+      val bmwPost = BmwSearch.topK(spark, merged, q, 10, DoubleOracle)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+      assert(bmwPost == topDocs(view, q), s"bmw mismatch for $q")
+    }
+    val pre = view.terms.groupBy("term").sum("df", "ctf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toList
+    val post = merged.terms.groupBy("term").sum("df", "ctf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toList
+    assert(pre == post)
+  }
+
+  test("snapshot versions are write-once; lost race re-merges batches") {
+    import graft.index.Snapshot
+    val dir = tmpDir()
+    assert(IndexStore.tryPublishSnapshot(dir, Snapshot(1, 64L, Seq(0))))
+    // second writer computing the same version loses — nothing replaced
+    assert(!IndexStore.tryPublishSnapshot(dir, Snapshot(1, 64L, Seq(1))))
+    val cur = IndexStore.currentSnapshot(dir).get
+    assert(cur.version == 1 && cur.batches == Seq(0))
+    // the loser's retry merges both batch sets at version+1
+    assert(IndexStore.tryPublishSnapshot(dir,
+      Snapshot(cur.version + 1, 64L, (cur.batches :+ 1).distinct.sorted)))
+    assert(IndexStore.currentSnapshot(dir).get.batches == Seq(0, 1))
   }
 
   test("merge: merged index is query-equivalent to pre-merge (both paths)") {

@@ -115,6 +115,22 @@ class SearchSpec extends AnyFunSuite {
     assert(signature(v3) == signature(v7))
   }
 
+  test("combine RAM budget: tiny flush budget yields identical blocks") {
+    val corpus = CorpusSynth.corpusWithIds(spark, 500, seed = 11L)
+    def sig(budget: Long) = {
+      val inv = Indexer.invert(spark, Indexer.asDocInput(spark, corpus),
+        128L, graft.analysis.Analyzer.EnglishStopWords)
+      Indexer.buildPostings(spark, inv, 8, combineBudgetBytes = budget)
+        .collect()
+        .map(b => (b.segment_id, b.term, b.block_id, b.first_doc_id,
+          b.last_doc_id, b.docs.toList, b.freqs.toList, b.norms.toList,
+          b.positions.toList))
+        .sortBy(t => (t._1, t._2, t._3)).toList
+    }
+    // 4 KB budget forces many mid-split flushes; result must be identical
+    assert(sig(4096L) == sig(Long.MaxValue))
+  }
+
   test("segment merge works on a positions-off index (DOCS_AND_FREQS)") {
     val corpus = CorpusSynth.corpusWithIds(spark, 500, seed = 11L)
     val v = Indexer.buildTables(spark, Indexer.asDocInput(spark, corpus),

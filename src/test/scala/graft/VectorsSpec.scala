@@ -37,16 +37,20 @@ class VectorsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
-  test("LSH multi-probe recall@10 vs brute force is usable") {
+  test("sketch-rerank recall@10 vs brute force meets the budgeted target") {
     val brute = topIds(Vectors.annBruteTopK(spark, dir)).toSet
     val lsh = topIds(Vectors.annLshTopK(spark, dir)).toSet
-    // approximate by design: require ≥ 40% overlap at sandbox scale
-    // (multi-probe over 13 of 4096 buckets scans ~0.3% of the corpus)
-    assert(lsh.intersect(brute).size >= 4, s"recall too low: $lsh vs $brute")
+    // two-stage sketch+rerank at a 10% exact-scan budget: recall >= 0.8
+    // for this query (corpus-average 0.94+ measured by graft.AnnRecall)
+    assert(lsh.intersect(brute).size >= 8, s"recall too low: $lsh vs $brute")
   }
 
-  test("bucket assignment is deterministic") {
+  test("sketch is deterministic and hamming is a plausible angle proxy") {
     val v = Array.tabulate(64)(i => (i % 7 - 3).toFloat / 3f)
-    assert(Vectors.bucketOf(v) == Vectors.bucketOf(v.clone()))
+    assert(Vectors.sketchOf(v).toSeq == Vectors.sketchOf(v.clone()).toSeq)
+    val w = v.map(x => -x)
+    assert(Vectors.hamming(Vectors.sketchOf(v), Vectors.sketchOf(v)) == 0)
+    // antipodal vector flips every sign bit
+    assert(Vectors.hamming(Vectors.sketchOf(v), Vectors.sketchOf(w)) == Vectors.SketchBits)
   }
 }
