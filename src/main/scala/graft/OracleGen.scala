@@ -138,6 +138,28 @@ object OracleGen {
        |FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
        |GROUP BY a.doc_id""".stripMargin
 
+  /** Rescoring: top-N of the first-pass disjunction re-ranked by
+    * first + weight * second (second-pass score 0 when not matching).
+    */
+  def rescoreSql(firstTerms: Seq[String], secondTerms: Seq[String],
+                 n: Int, k: Int, weight: Double): String = {
+    val f = termList(firstTerms.distinct)
+    val sTerms = termList(secondTerms.distinct)
+    s"""WITH ${bm25Ctes(firstTerms ++ secondTerms)}, passes AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN term IN ($f) THEN s END) AS s1,
+       |    sum(CASE WHEN term IN ($sTerms) THEN s END) AS s2
+       |  FROM persc GROUP BY doc_id
+       |), topn AS (
+       |  SELECT doc_id, s1, s2 FROM passes WHERE s1 IS NOT NULL
+       |  ORDER BY s1 DESC, doc_id ASC LIMIT $n
+       |)
+       |SELECT doc_id,
+       |  CAST(round((s1 + $weight * coalesce(s2, 0)) * 10000) AS BIGINT) AS score_q
+       |FROM topn
+       |ORDER BY (s1 + $weight * coalesce(s2, 0)) DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** delete-then-search: disjunctive top-k with tombstoned docs
     * (doc_id % 7 == 3) excluded from RESULTS but not from STATS — the
     * reference's deleted-doc semantics before merge (docFreq/docCount

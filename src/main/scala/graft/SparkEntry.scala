@@ -144,6 +144,13 @@ object SparkEntry {
         .select(col("doc_id"), (col("score") * 2.5).as("score"))
       quantize(base.orderBy(col("score").desc, col("doc_id").asc).limit(10), 10)
     }),
+    "rescore_topn" -> ((s, dir) => {
+      // QueryRescorer analog: top-50 of (spark OR join) re-ranked by
+      // first + 2.0 * score(merge)
+      val v = IndexCache.documentsIndex(s, dir)
+      quantize(MoreQueries.rescoreTopN(s, v, Seq("spark", "join"),
+        Seq("merge"), 50, 10, 2.0, DoubleOracle), 10)
+    }),
     "multifield_dismax" -> ((s, dir) => {
       // per-field stats/norms + qf-style cross-field dismax
       quantize(graft.search.MultiField.dismaxTopK(s, dir,
@@ -259,6 +266,7 @@ object SparkEntry {
     "query_compile_nested" -> OracleGen.queryCompileNestedSql,
     "delete_then_search" -> OracleGen.bm25DeleteSql(Seq("spark", "join"), 10),
     "multifield_dismax" -> OracleGen.multifieldDismaxSql(Seq("spark", "merge"), 0.3, 10),
+    "rescore_topn" -> OracleGen.rescoreSql(Seq("spark", "join"), Seq("merge"), 50, 10, 2.0),
     "total_hits" ->
       (s"WITH ${OracleGen.tokCte} SELECT count(DISTINCT doc_id) AS total_hits, " +
         "'EQ' AS relation FROM tokf WHERE term IN ('spark', 'join')"),

@@ -74,20 +74,106 @@ object Analyzer {
   def tokenize(text: String, stopWords: Set[String] = EnglishStopWords): Array[Token] =
     tokenizeRaw(text).filterNot(t => stopWords.contains(t.term))
 
-  /** Document-local inversion: per-term tf + positions, and dl = number of
-    * indexed (post-stop-filter) tokens — the value the norm byte encodes.
-    * Terms are returned sorted for deterministic downstream order.
-    *
-    * Fused single pass (tokenize→lowercase→stop→invert) with minimal
-    * allocation — this is the hottest loop of the index build; the
-    * token-array path ([[tokenize]]) is kept for tests/API and the two
-    * are property-tested identical.
+  private def lower(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+  /** Open-addressing document-local inversion table keyed directly by
+    * the token's chars: a String is materialized ONCE per DISTINCT term
+    * of the doc, never per occurrence (round-1 advisor: the per-token
+    * `sb.toString` was the dominant allocation of the hottest loop).
+    * Stopwords occupy a slot with a null position buffer so repeated
+    * stop tokens also skip materialization. `trackPositions=false` is
+    * the count-only mode of the docmeta pass.
     */
-  def analyze(text: String, stopWords: Set[String] = EnglishStopWords): DocTerms = {
-    val byTerm = new java.util.HashMap[String, PosBuf]()
-    val sb = new java.lang.StringBuilder(32)
-    var pos = 0
+  private final class TermTable(stopWords: Set[String], trackPositions: Boolean) {
+    private var cap = 64
+    private var mask = cap - 1
+    private var hashes = new Array[Int](cap)
+    private var keys = new Array[String](cap)
+    private var bufs = new Array[PosBuf](cap) // null for stopwords
+    private var size = 0
     var dl = 0
+
+    private def rehash(): Unit = {
+      val oh = hashes; val ok = keys; val ob = bufs
+      cap *= 2; mask = cap - 1
+      hashes = new Array[Int](cap); keys = new Array[String](cap)
+      bufs = new Array[PosBuf](cap)
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != null) {
+          var j = oh(i) & mask
+          while (keys(j) != null) j = (j + 1) & mask
+          hashes(j) = oh(i); keys(j) = ok(i); bufs(j) = ob(i)
+        }
+        i += 1
+      }
+    }
+
+    /** One token occurrence: text[s, e) (lowercased on the fly). */
+    def offer(text: String, s: Int, e: Int, pos: Int): Unit = {
+      val len = e - s
+      var h = -2128831035 // FNV-1a over lowercased chars
+      var k = s
+      while (k < e) { h = (h ^ lower(text.charAt(k))) * 16777619; k += 1 }
+      var i = h & mask
+      var done = false
+      while (!done) {
+        val key = keys(i)
+        if (key == null) { // new distinct term: materialize once
+          val a = new Array[Char](len)
+          var j = 0
+          while (j < len) { a(j) = lower(text.charAt(s + j)); j += 1 }
+          val term = new String(a)
+          hashes(i) = h; keys(i) = term
+          if (!stopWords.contains(term)) {
+            if (trackPositions) { val b = new PosBuf; b.add(pos); bufs(i) = b }
+            else bufs(i) = CountMarker // shared sentinel, never read back
+            dl += 1
+          }
+          size += 1
+          if (size * 2 > cap) rehash()
+          done = true
+        } else if (hashes(i) == h && key.length == len && {
+          var j = 0
+          var eq = true
+          while (eq && j < len) { eq = key.charAt(j) == lower(text.charAt(s + j)); j += 1 }
+          eq
+        }) {
+          val b = bufs(i)
+          if (b != null) { // non-stop term seen again
+            if (trackPositions) b.add(pos)
+            dl += 1
+          }
+          done = true
+        } else i = (i + 1) & mask
+      }
+    }
+
+    /** Indexed terms, sorted (deterministic downstream order). */
+    def result(): Array[TermInDoc] = {
+      var n = 0
+      var i = 0
+      while (i < cap) { if (bufs(i) != null) n += 1; i += 1 }
+      val terms = new Array[TermInDoc](n)
+      var j = 0
+      i = 0
+      while (i < cap) {
+        if (bufs(i) != null) {
+          val ps = bufs(i).toArray
+          terms(j) = TermInDoc(keys(i), ps.length, ps)
+          j += 1
+        }
+        i += 1
+      }
+      java.util.Arrays.sort(terms, Ordering.by((t: TermInDoc) => t.term))
+      terms
+    }
+  }
+
+  /** Scan `text` once, feeding each token occurrence to `table`. */
+  private def scan(text: String, table: TermTable): Unit = {
+    var pos = 0
     var i = 0
     val n = text.length
     while (i < n) {
@@ -98,69 +184,41 @@ object Analyzer {
         var s = start
         while (s < i) {
           val e = math.min(s + MaxTokenLength, i)
-          sb.setLength(0)
-          var k = s
-          while (k < e) {
-            val c = text.charAt(k)
-            sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
-            k += 1
-          }
-          val term = sb.toString
-          if (!stopWords.contains(term)) {
-            var buf = byTerm.get(term)
-            if (buf == null) { buf = new PosBuf; byTerm.put(term, buf) }
-            buf.add(pos)
-            dl += 1
-          }
+          table.offer(text, s, e, pos)
           pos += 1
           s = e
         }
       }
     }
-    val terms = new Array[TermInDoc](byTerm.size)
-    var j = 0
-    val it = byTerm.entrySet().iterator()
-    while (it.hasNext) {
-      val en = it.next()
-      val ps = en.getValue.toArray
-      terms(j) = TermInDoc(en.getKey, ps.length, ps)
-      j += 1
-    }
-    java.util.Arrays.sort(terms, Ordering.by((t: TermInDoc) => t.term))
-    DocTerms(dl, terms)
+  }
+
+  /** Document-local inversion: per-term tf + positions, and dl = number of
+    * indexed (post-stop-filter) tokens — the value the norm byte encodes.
+    * Terms are returned sorted for deterministic downstream order.
+    *
+    * Fused single pass (tokenize→lowercase→stop→invert) with one String
+    * per distinct term — this is the hottest loop of the index build;
+    * the token-array path ([[tokenize]]) is kept for tests/API and the
+    * two are property-tested identical.
+    */
+  def analyze(text: String, stopWords: Set[String] = EnglishStopWords): DocTerms = {
+    val t = new TermTable(stopWords, trackPositions = true)
+    scan(text, t)
+    DocTerms(t.dl, t.result())
   }
 
   /** Count indexed (post-stop-filter) tokens only — the dl the norm byte
-    * encodes. 3–4× cheaper than [[analyze]] (no inversion state); used
-    * by the docmeta pass, which needs no term lists.
+    * encodes. Cheaper than [[analyze]] (no position buffers); used by
+    * the docmeta pass, which needs no term lists.
     */
   def countTokens(text: String, stopWords: Set[String] = EnglishStopWords): Int = {
-    val sb = new java.lang.StringBuilder(32)
-    var dl = 0
-    var i = 0
-    val n = text.length
-    while (i < n) {
-      while (i < n && !isTokenChar(text.charAt(i))) i += 1
-      if (i < n) {
-        val start = i
-        while (i < n && isTokenChar(text.charAt(i))) i += 1
-        var s = start
-        while (s < i) {
-          val e = math.min(s + MaxTokenLength, i)
-          sb.setLength(0)
-          var k = s
-          while (k < e) {
-            val c = text.charAt(k)
-            sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
-            k += 1
-          }
-          if (!stopWords.contains(sb.toString)) dl += 1
-          s = e
-        }
-      }
-    }
-    dl
+    val t = new TermTable(stopWords, trackPositions = false)
+    scan(text, t)
+    t.dl
   }
+
+  /** Shared marker for count-only table slots (positions never read). */
+  private val CountMarker = new PosBuf
 
   private final class PosBuf {
     private var a = new Array[Int](4)

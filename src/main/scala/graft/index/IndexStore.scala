@@ -134,20 +134,24 @@ object IndexWriter {
     // serialization of the nested per-doc term arrays costs ~3× the
     // re-analysis itself (probed at 1M docs: 18s cached vs 5s
     // re-analyzed, 32 cores). At corpus scale two streaming passes over
-    // the batch slice are the DWPT-style design anyway.
-    val analyzed = Indexer.analyzeCorpus(spark, slice, segSize, stopWords)
-    val postings = Indexer.buildPostings(spark,
-      Indexer.invertAnalyzed(spark, analyzed, indexPositions),
-      spark.sessionState.conf.numShufflePartitions)
+    // the batch slice are the DWPT-style design anyway. The postings
+    // pass is FUSED (analysis + doc inversion + chunk combine in one
+    // mapPartitions) — no intermediate object stream.
+    val postings = Indexer.buildPostingsFused(spark, slice, segSize, stopWords,
+      indexPositions)
     val bd = IndexStore.batchDir(dir, b)
     // sequential writes: overlapping the two jobs was measured to double
     // in-flight task state and push the high-parallelism level into GC
     // thrash at large batch sizes — latency hiding isn't worth it here
     postings.write.mode("overwrite").parquet(s"$bd/postings")
+    // doc count observed DURING the docmeta write — no separate count
+    // action (driver-side fixed costs are the Amdahl term of the
+    // two-cluster-size ratio at small batch sizes)
+    val obs = new org.apache.spark.sql.Observation()
     Indexer.buildDocMeta(spark, slice, segSize, stopWords).toDF()
+      .observe(obs, count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$bd/docmeta")
-    // metadata-only count over the written docmeta (parquet footers)
-    val nDocs = spark.read.parquet(s"$bd/docmeta").count()
+    val nDocs = obs.get("n").asInstanceOf[Long]
     // terms from one scan of the written postings (consistency by
     // construction with what's on disk)
     import spark.implicits._

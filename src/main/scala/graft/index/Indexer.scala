@@ -281,6 +281,71 @@ object Indexer {
         }
       }
     }
+    encodeChunks(spark, chunks)
+  }
+
+  /** Fused phase 1: analysis + document inversion + map-side chunk
+    * combine in ONE `mapPartitions` — no AnalyzedDoc/PostingInput object
+    * stream between them. Per doc the only allocations left are the
+    * distinct-term strings and position buffers of [[Analyzer.analyze]];
+    * at 32 cores the build is memory-bandwidth-bound, so the dropped
+    * intermediate object churn is directly scaling headroom. Same RAM
+    * budget discipline as [[buildPostings]].
+    */
+  def buildPostingsFused(spark: SparkSession, corpus: Dataset[DocInput],
+                         segSize: Long, stopWords: Set[String],
+                         indexPositions: Boolean = true,
+                         combineBudgetBytes: Long = DefaultCombineBudget): Dataset[PostingBlockRow] = {
+    import spark.implicits._
+    val budget = combineBudgetBytes
+    val chunks: Dataset[PostingChunk] = corpus.mapPartitions { docs =>
+      new Iterator[PostingChunk] {
+        private var pending: Iterator[PostingChunk] = Iterator.empty
+        private def refill(): Unit = {
+          val acc = scala.collection.mutable.HashMap.empty[(Int, String), ChunkBuilder]
+          var bytes = 0L
+          while (docs.hasNext && bytes < budget) {
+            val d = docs.next()
+            val a = Analyzer.analyze(d.text, stopWords)
+            if (a.dl > 0) {
+              val seg = segmentOf(d.doc_id, segSize)
+              val nb = SmallFloat.intToByte4(a.dl).toInt & 0xff
+              var t = 0
+              while (t < a.terms.length) {
+                val ti = a.terms(t)
+                val b = acc.getOrElseUpdate((seg, ti.term), {
+                  bytes += 64L + 2L * ti.term.length
+                  new ChunkBuilder
+                })
+                b.add(d.doc_id, ti.tf, nb,
+                  if (indexPositions) ti.positions else Array.emptyIntArray)
+                bytes += 48L + (if (indexPositions) 8L * ti.positions.length else 0L)
+                t += 1
+              }
+            }
+          }
+          pending = acc.toArray.iterator
+            .map { case ((seg, term), b) => b.result(seg, term) }
+        }
+        def hasNext: Boolean = {
+          while (!pending.hasNext && docs.hasNext) refill()
+          pending.hasNext
+        }
+        def next(): PostingChunk = {
+          if (!hasNext) throw new NoSuchElementException
+          pending.next()
+        }
+      }
+    }
+    encodeChunks(spark, chunks)
+  }
+
+  /** Phase 2 (shared): shuffle chunks by (segment, term), merge and
+    * stream-encode 128-doc blocks.
+    */
+  private def encodeChunks(spark: SparkSession,
+                           chunks: Dataset[PostingChunk]): Dataset[PostingBlockRow] = {
+    import spark.implicits._
     chunks
       .groupByKey(c => (c.segment_id, c.term))
       .flatMapGroups { (key: (Int, String), chunkIt: Iterator[PostingChunk]) =>
@@ -323,18 +388,18 @@ object Indexer {
         count(lit(1)).as("n_blocks"))
   }
 
-  /** Build all three segment tables in one pass structure. */
+  /** Build all three segment tables (fused postings path + count-only
+    * docmeta pass — the same two-pass structure as the durable
+    * [[IndexWriter.writeBatch]]).
+    */
   def buildTables(spark: SparkSession, corpus: Dataset[DocInput],
                   segSize: Long = DefaultSegmentSize,
                   stopWords: Set[String] = Analyzer.EnglishStopWords,
                   numPartitions: Int = 0,
                   indexPositions: Boolean = true): IndexView = {
-    val parts = if (numPartitions > 0) numPartitions
-                else spark.sessionState.conf.numShufflePartitions
-    val analyzed = analyzeCorpus(spark, corpus, segSize, stopWords)
-    val postings = buildPostings(spark,
-      invertAnalyzed(spark, analyzed, indexPositions), parts)
-    IndexView(postings, buildTerms(postings), docMeta(spark, analyzed))
+    val postings = buildPostingsFused(spark, corpus, segSize, stopWords, indexPositions)
+    IndexView(postings, buildTerms(postings),
+      buildDocMeta(spark, corpus, segSize, stopWords))
   }
 
   /** Read a (doc_id, url, text) corpus DataFrame as Dataset[DocInput]. */

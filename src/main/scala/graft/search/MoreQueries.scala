@@ -152,6 +152,26 @@ object MoreQueries {
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
+  /** Rescoring [8x search/QueryRescorer.java]: re-rank the top-N of a
+    * cheap first-pass query with a costlier second query —
+    * final = firstScore + weight * secondScore (docs not matching the
+    * second query keep their first-pass score; the reference's default
+    * combine). The second pass scores ONLY the N survivors.
+    */
+  def rescoreTopN(spark: SparkSession, view: IndexView,
+                  firstTerms: Seq[String], secondTerms: Seq[String],
+                  n: Int, k: Int, weight: Double,
+                  mode: ScoreMode = DoubleOracle): DataFrame = {
+    val first = ExactSearch.topK(spark, view, firstTerms, n, mode)
+    val second = ExactSearch.scored(spark, view, secondTerms, mode)
+      .withColumnRenamed("score", "s2")
+    first.join(second, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        (col("score") + lit(weight) * coalesce(col("s2"), lit(0.0))).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** FILTER clause: top-k for `queryTerms` restricted to a doc set
     * (semi join; the filter contributes no score). The filter frame may
     * come from any predicate — e.g. a pushed-down column range (the

@@ -44,8 +44,26 @@ object Query {
                         minShouldMatch: Int = 0) extends Query
 }
 
+/** The Solr-style request front door (SURVEY.md §3.3 entry point C):
+  * main query `q`, zero or more non-scoring filter queries `fq`, rows
+  * `k` — exactly `/select?q=…&fq=…&rows=k`.
+  */
+final case class QueryRequest(q: Query, fq: Seq[Query] = Nil, k: Int = 10)
+
 object QueryCompiler {
   import Query._
+
+  /** Execute a [[QueryRequest]]: `fq` become FILTER clauses of a
+    * wrapping Bool (non-scoring, cacheable in the reference; here they
+    * lower to broadcast semi-joins).
+    */
+  def search(spark: SparkSession, view: IndexView, req: QueryRequest,
+             mode: ScoreMode = DoubleOracle): DataFrame = {
+    val wrapped =
+      if (req.fq.isEmpty) req.q
+      else Bool(must = Seq(req.q), filter = req.fq)
+    topK(spark, view, wrapped, req.k, mode)
+  }
 
   /** Normalize a query tree against an index (bottom-up):
     *  - Prefix/Wildcard/Fuzzy/TermRange expand to ConstScore(TermSet)

@@ -109,6 +109,23 @@ class MoreQueriesSpec extends AnyFunSuite {
     assert(got == Set(1L))
   }
 
+  test("rescore: top-N re-ranked by first + weight * second") {
+    val first = Seq("w0002", "w0005")
+    val second = Seq("w0009")
+    val got = MoreQueries.rescoreTopN(spark, view, first, second, 30, 10, 2.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val s1 = graft.search.ExactSearch.topK(spark, view, first, 30, DoubleOracle)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val s2 = graft.search.ExactSearch.scored(spark, view, second, DoubleOracle)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val expected = s1.map { case (d, s) => (d, s + 2.0 * s2.getOrElse(d, 0.0)) }
+      .sortBy { case (d, s) => (-s, d) }.take(10).toList
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // rescoring actually changed the order for this query mix
+    assert(got.map(_._1) != s1.take(10).map(_._1).toList)
+  }
+
   test("MUST_NOT excludes and FILTER restricts without changing scores") {
     val base = graft.search.ExactSearch.scored(spark, view, Seq("w0002"), DoubleOracle)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap

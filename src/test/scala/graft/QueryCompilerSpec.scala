@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.index.Indexer
-import graft.search.{DoubleOracle, ExactSearch, MoreQueries, QueryCompiler, Query => Q}
+import graft.search.{DoubleOracle, ExactSearch, MoreQueries, QueryCompiler, QueryRequest, Query => Q}
 import graft.synth.CorpusSynth
 
 /** Query-compiler tests: rewrite normalization laws (structural) and
@@ -80,6 +80,18 @@ class QueryCompilerSpec extends AnyFunSuite {
     assert(QueryCompiler.compile(spark, view,
       Q.Bool(should = Seq(Q.Term("w0001")), minShouldMatch = 2), DoubleOracle)
       .count() == 0)
+  }
+
+  test("QueryRequest front door: q + fq == Bool(must, filter)") {
+    val req = QueryRequest(Q.Term("w0002"), Seq(Q.Prefix("w001")), 10)
+    val viaReq = QueryCompiler.search(spark, view, req, DoubleOracle)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val viaBool = QueryCompiler.topK(spark, view,
+      Q.Bool(must = Seq(Q.Term("w0002")), filter = Seq(Q.Prefix("w001"))),
+      10, DoubleOracle)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(viaReq == viaBool)
+    assert(viaReq.nonEmpty)
   }
 
   test("FILTER restricts without scoring; phrase clause is match-only") {
