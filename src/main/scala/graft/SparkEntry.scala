@@ -220,6 +220,55 @@ object SparkEntry {
     "window_collapse" -> (graft.operators.Relational.windowCollapse _),
     "time_series" -> (graft.operators.Relational.timeSeries _),
     "sql_select" -> (graft.operators.Relational.sqlSelect _),
+    // — Streaming surfaces, driver-visible (SURVEY.md §2.9) —
+    "nrt_ingest_commit" -> ((s, dir) => {
+      // the NRT sink made driver-visible: two micro-batches committed
+      // through the streaming batch path (write-once batch dirs +
+      // optimistic snapshot publish) into a fresh index dir, answered
+      // from the LOADED snapshot; both batches share doc-range segments
+      val tmp = java.nio.file.Files.createTempDirectory("graft-nrt-entry").toString
+      val corpus = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("doc_id").cast("string").as("url"), col("text"))
+      val input = graft.index.Indexer.asDocInput(s, corpus)
+      val m = corpus.agg(max("doc_id")).head().getLong(0) / 2
+      graft.streaming.NrtIngest.ingestBatch(s, input.filter(col("doc_id") <= m),
+        tmp, 0L, IndexCache.TestSegmentSize, graft.analysis.Analyzer.EnglishStopWords)
+      graft.streaming.NrtIngest.ingestBatch(s, input.filter(col("doc_id") > m),
+        tmp, 1L, IndexCache.TestSegmentSize, graft.analysis.Analyzer.EnglishStopWords)
+      graft.index.IndexReader.load(s, tmp).docmeta.toDF()
+        .select(col("doc_id"), col("dl"))
+    }),
+    "stream_window_agg" -> ((s, dir) => {
+      // a REAL Structured Streaming execution (file source → watermarked
+      // tumbling window agg → memory sink, AvailableNow to completion);
+      // finalized windows must equal the batch SQL answer exactly
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the file-stream source requires a DIRECTORY; the driver table
+      // may be a single parquet file — stage it into one
+      val srcPath = {
+        val f = new java.io.File(s"$dir/events.parquet")
+        if (f.isDirectory) f.toString
+        else {
+          val d = java.nio.file.Files.createTempDirectory("graft-stream-src")
+          java.nio.file.Files.copy(f.toPath, d.resolve("part-0.parquet"))
+          d.toString
+        }
+      }
+      val stream = s.readStream.schema(schema).parquet(srcPath)
+        // NTZ → LTZ under the session's UTC: watermarks require TIMESTAMP
+        .select(col("ts").cast("timestamp").as("ts"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.WindowedAggs.Event]
+      val out = graft.streaming.WindowedAggs.tumblingDaily(stream, lateness = "0 seconds")
+      val qname = "swa_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+    }),
     // — Training-data pipeline ops (dedup / similarity / text / media) —
     "dedup_exact" -> (graft.operators.TrainingData.dedupExact _),
     "dedup_ngram_pairs" -> ((s, dir) => graft.operators.TrainingData.dedupNgramPairs(s, dir)),
@@ -296,6 +345,8 @@ object SparkEntry {
     "window_collapse" -> RelationalOracles.windowCollapse,
     "time_series" -> RelationalOracles.timeSeries,
     "sql_select" -> RelationalOracles.sqlSelect,
+    "nrt_ingest_commit" -> OracleGen.tokenizeCountsSql,
+    "stream_window_agg" -> RelationalOracles.timeSeries,
     // Training-data ops (simhash / lsh-ann / multimodal decode are
     // hash- or stub-based — rows-only checks, deliberately no oracle)
     "dedup_exact" -> TrainingOracles.dedupExact,
