@@ -68,6 +68,27 @@ object SparkEntry {
       merged.terms.groupBy("term")
         .agg(sum("df").as("df"), sum("ctf").as("ctf"))
     }),
+    "index_sort_topk" -> ((s, dir) => {
+      // index sort + early termination: docIDs remapped to the dense
+      // rank of (n_chars, doc_id) — at scale this global rank is a
+      // range-partitioned sort, the Spark analog of IndexSorter — then
+      // "first k matching docs by the sort field" decodes only leading
+      // blocks per segment (earlyTerminatedTopK) instead of the full
+      // posting list
+      import org.apache.spark.sql.expressions.Window
+      val docs0 = s.read.parquet(s"$dir/documents.parquet")
+      val w = Window.orderBy(col("n_chars").asc, col("doc_id").asc)
+      val remap = docs0.select(col("doc_id"), col("n_chars"), col("text"))
+        .withColumn("sorted_doc_id", row_number().over(w).cast("long") - 1)
+      val corpus = remap.select(col("sorted_doc_id").as("doc_id"),
+        col("sorted_doc_id").cast("string").as("url"), col("text"))
+      val view = graft.index.Indexer.buildTables(s,
+        graft.index.Indexer.asDocInput(s, corpus), IndexCache.TestSegmentSize)
+      MoreQueries.earlyTerminatedTopK(s, view, "spark", 10)
+        .join(remap.select(col("sorted_doc_id"), col("doc_id"), col("n_chars")),
+          Seq("sorted_doc_id"))
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    }),
     "tiered_merge" -> ((s, dir) => {
       // size-tiered candidate selection (TieredMergePolicy analog) +
       // arbitrary-group merge; global term stats must be unchanged
@@ -296,6 +317,11 @@ object SparkEntry {
     "term_df_salted" -> OracleGen.termDfSql,
     "segment_merge" -> OracleGen.termDfSql,
     "tiered_merge" -> OracleGen.termDfSql,
+    "index_sort_topk" ->
+      (s"WITH ${OracleGen.tokCte} SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars " +
+        "FROM documents d WHERE d.doc_id IN " +
+        "(SELECT DISTINCT doc_id FROM tokf WHERE term = 'spark') " +
+        "ORDER BY d.n_chars ASC, d.doc_id ASC LIMIT 10"),
     "index_build_fresh" -> OracleGen.tokenizeCountsSql,
     "phrase_query" -> OracleGen.phraseSql("hash", "join"),
     "phrase_slop" -> OracleGen.phraseSlopSql("hash", "join", 2),

@@ -152,6 +152,40 @@ object MoreQueries {
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
+  /** Index-sort early termination [8x index/IndexSorter.java,
+    * TopFieldCollector early termination]: when the index's docIDs are
+    * assigned in the order of a sort field, a query sorted BY that
+    * field needs only the FIRST k matching docIDs — the per-segment
+    * walk stops after k hits instead of decoding the whole posting
+    * list, and whole trailing blocks are never touched. `view` must be
+    * an index built over sort-remapped docIDs (see the
+    * `index_sort_topk` entry); returns the first k sorted docIDs per
+    * the index order.
+    */
+  def earlyTerminatedTopK(spark: SparkSession, view: IndexView,
+                          term: String, k: Int): DataFrame = {
+    import spark.implicits._
+    // per segment: blocks ascending by first_doc_id; stop decoding after
+    // k hits (segments cover disjoint ascending doc ranges, so the
+    // global cut is the k smallest of the per-segment prefixes)
+    val perSegment = view.postings
+      .filter($"term" === term)
+      .groupByKey(_.segment_id)
+      .flatMapGroups { (_, it) =>
+        val blocks = it.toArray.sortBy(_.first_doc_id)
+        val out = new scala.collection.mutable.ArrayBuffer[Long](k)
+        var bi = 0
+        while (out.size < k && bi < blocks.length) {
+          val ids = graft.codec.VByte.decodeDeltas(blocks(bi).docs)
+          var i = 0
+          while (out.size < k && i < ids.length) { out += ids(i); i += 1 }
+          bi += 1
+        }
+        out.iterator
+      }
+    perSegment.toDF("sorted_doc_id").orderBy($"sorted_doc_id".asc).limit(k)
+  }
+
   /** Rescoring [8x search/QueryRescorer.java]: re-rank the top-N of a
     * cheap first-pass query with a costlier second query —
     * final = firstScore + weight * secondScore (docs not matching the

@@ -109,6 +109,17 @@ class MoreQueriesSpec extends AnyFunSuite {
     assert(got == Set(1L))
   }
 
+  test("early-terminated sorted walk returns exactly the first k matching docIDs") {
+    for (term <- Seq("w0000", "w0042", "w1999", "zzznotfound"); k <- Seq(5, 50)) {
+      val got = MoreQueries.earlyTerminatedTopK(spark, view, term, k)
+        .collect().map(_.getLong(0)).toList
+      val full = MoreQueries.matchingDocs(spark, view, Seq(term))
+        .orderBy(org.apache.spark.sql.functions.col("doc_id").asc).limit(k)
+        .collect().map(_.getLong(0)).toList
+      assert(got == full, s"term=$term k=$k")
+    }
+  }
+
   test("rescore: top-N re-ranked by first + weight * second") {
     val first = Seq("w0002", "w0005")
     val second = Seq("w0009")
