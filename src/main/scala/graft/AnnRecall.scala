@@ -51,11 +51,11 @@ object AnnRecall {
         .map(j => (vecs(j)._1, math.round(cos(vecs(qi)._2, vecs(j)._2) * 1e6)))
         .sortBy(t => (-t._2, t._1)).take(10).map(_._1)
 
+    val byId = vecs.toMap // hoisted: one corpus map, not one per query
     def sketchTop10(qi: Int): Seq[Long] = {
       val cand = vecs.indices.filter(_ != qi)
         .map(j => (vecs(j)._1, Vectors.hamming(sketches(j), sketches(qi))))
         .sortBy(t => (t._2, t._1)).take(budget).map(_._1)
-      val byId = vecs.toMap
       cand.map(id => (id, math.round(cos(vecs(qi)._2, byId(id)) * 1e6)))
         .sortBy(t => (-t._2, t._1)).take(10).map(_._1)
     }

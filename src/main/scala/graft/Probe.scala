@@ -107,7 +107,7 @@ object Probe2 {
         analyzed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else analyzed0
       val postings = Indexer.buildPostings(spark,
-        Indexer.invertAnalyzed(spark, analyzed), cpus)
+        Indexer.invertAnalyzed(spark, analyzed))
       t("postings write") { postings.write.mode("overwrite").parquet(s"$bd/postings") }
       t("docmeta write") { Indexer.docMeta(spark, analyzed).toDF()
         .write.mode("overwrite").parquet(s"$bd/docmeta") }

@@ -48,10 +48,12 @@ object Deletes {
     import spark.implicits._
     val root = Paths.get(deletesRoot(dir))
     if (!Files.isDirectory(root)) return spark.emptyDataset[Long].toDF("doc_id")
-    val batches = Files.list(root).iterator()
-    val dirs = scala.jdk.CollectionConverters.IteratorHasAsScala(batches)
-      .asScala.filter(p => p.getFileName.toString.startsWith("batch-"))
-      .map(_.toString).toSeq.sorted
+    val stream = Files.list(root)
+    val dirs =
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(stream.iterator())
+        .asScala.filter(p => p.getFileName.toString.startsWith("batch-"))
+        .map(_.toString).toSeq.sorted
+      finally stream.close() // Files.list holds an open fd until closed
     if (dirs.isEmpty) spark.emptyDataset[Long].toDF("doc_id")
     else spark.read.parquet(dirs: _*).select("doc_id").distinct()
   }

@@ -247,8 +247,11 @@ object Indexer {
   val DefaultCombineBudget: Long =
     sys.env.get("GRAFT_COMBINE_MB").map(_.toLong << 20).getOrElse(64L << 20)
 
+  /** Shuffle width of phase 2 is `spark.sql.shuffle.partitions` (set it
+    * in the session; a per-call override would force a second
+    * exchange on top of groupByKey's own).
+    */
   def buildPostings(spark: SparkSession, inverted: Dataset[PostingInput],
-                    numPartitions: Int,
                     combineBudgetBytes: Long = DefaultCombineBudget): Dataset[PostingBlockRow] = {
     import spark.implicits._
     val budget = combineBudgetBytes
@@ -395,7 +398,6 @@ object Indexer {
   def buildTables(spark: SparkSession, corpus: Dataset[DocInput],
                   segSize: Long = DefaultSegmentSize,
                   stopWords: Set[String] = Analyzer.EnglishStopWords,
-                  numPartitions: Int = 0,
                   indexPositions: Boolean = true): IndexView = {
     val postings = buildPostingsFused(spark, corpus, segSize, stopWords, indexPositions)
     IndexView(postings, buildTerms(postings),

@@ -36,10 +36,9 @@ object Merger {
     * stats genuinely shrink.
     */
   def merge(spark: SparkSession, view: IndexView, factor: Int,
-            numPartitions: Int = 0,
             tombstones: Option[org.apache.spark.sql.DataFrame] = None): IndexView = {
     require(factor >= 1)
-    mergeByMapping(spark, view, _ / factor, numPartitions, tombstones)
+    mergeByMapping(spark, view, _ / factor, tombstones)
   }
 
   /** Merge ARBITRARY segment groups: `remap` sends each old segment id
@@ -49,11 +48,8 @@ object Merger {
     * restored by first_doc_id, not block_id.
     */
   def mergeByMapping(spark: SparkSession, view: IndexView, remap: Int => Int,
-                     numPartitions: Int = 0,
                      tombstones: Option[org.apache.spark.sql.DataFrame] = None): IndexView = {
     import spark.implicits._
-    val parts = if (numPartitions > 0) numPartitions
-                else spark.sessionState.conf.numShufflePartitions
 
     // decode blocks back to posting entries, retarget the segment id,
     // and re-run the block build (same machinery = same invariants)
@@ -75,7 +71,7 @@ object Merger {
         entries.join(t.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
           .as[PostingInput]
     }
-    val merged = Indexer.buildPostings(spark, live, parts)
+    val merged = Indexer.buildPostings(spark, live)
     val remapped = view.docmeta.map(m => m.copy(segment_id = remap(m.segment_id)))
     val docmeta = tombstones match {
       case None    => remapped

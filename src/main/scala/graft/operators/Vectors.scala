@@ -112,28 +112,34 @@ object Vectors {
                  k: Int = 10): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
+    // sketches computed ONCE and cached: three consumers follow (query
+    // lookup, stage-1 ranking, stage-2 candidate join); at scale this
+    // is the precomputed sketch side table
     val sketched = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .map { case (id, v) => (id, v, sketchOf(v)) }
       .toDF("vec_id", "embedding", "sketch")
-    val n = e.count()
+      .persist()
+    val n = sketched.count() // also materializes the cache
     val budget = math.max(k, math.ceil(n * RerankFraction).toInt)
     val qRow = sketched.where(col("vec_id") === queryId)
       .select(col("embedding"), col("sketch")).as[(Array[Float], Array[Long])].head()
     val bcQ = s.sparkContext.broadcast(qRow)
-    // stage 1: popcount ranking over sketches only, distributed top-B
-    val cand = sketched.select(col("vec_id"), col("embedding"), col("sketch"))
-      .as[(Long, Array[Float], Array[Long])]
-      .map { case (id, v, sk) => (id, v, hamming(sk, bcQ.value._2)) }
-      .toDF("vec_id", "embedding", "ham")
+    // stage 1: popcount ranking over (vec_id, sketch) ONLY — the full
+    // embedding column is not carried through the TakeOrdered cut
+    val cand = sketched.select(col("vec_id"), col("sketch"))
+      .as[(Long, Array[Long])]
+      .map { case (id, sk) => (id, hamming(sk, bcQ.value._2)) }
+      .toDF("vec_id", "ham")
       .where(col("vec_id") =!= queryId)
       .orderBy(col("ham").asc, col("vec_id").asc)
       .limit(budget)
-    // stage 2: exact cosine on the candidate set only
-    val q = sketched.where(col("vec_id") === queryId).select(col("embedding").as("qv"))
-    cand.crossJoin(broadcast(q))
+    // stage 2: exact cosine on the candidate set only (candidate list
+    // is budget-sized — broadcast side of the join)
+    val qv = typedlit(bcQ.value._1.toSeq)
+    cand.join(sketched.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(col("vec_id"),
-        round(dotD(col("embedding"), col("qv"))
-          / (normD(col("embedding")) * normD(col("qv"))) * 1e6)
+        round(dotD(col("embedding"), qv)
+          / (normD(col("embedding")) * normD(qv)) * 1e6)
           .cast("long").as("sim_q"))
       .orderBy(col("sim_q").desc, col("vec_id").asc)
       .limit(k)

@@ -63,11 +63,14 @@ object MultiField {
       ts.iterator.map(t => PostingInput(Indexer.segmentOf(id, segSize),
         f + ":" + t.term, id, t.tf, nb, Array.emptyIntArray))
     }
-    val postings = Indexer.buildPostings(spark, inputs,
-      spark.sessionState.conf.numShufflePartitions)
+    val postings = Indexer.buildPostings(spark, inputs)
     val terms = Indexer.buildTerms(postings)
 
-    // per-(field, term) idf from that field's df and docCount
+    // per-(field, term) idf from that field's df and docCount; K1/B and
+    // the idf shape come from the spec's constants (LuceneSpec is the
+    // single scoring source of truth — CLAUDE.md invariant)
+    val k1 = graft.spec.LuceneSpec.K1d
+    val b = graft.spec.LuceneSpec.Bd
     val qf = for (f <- Seq("title", "body"); t <- qTerms.distinct) yield f + ":" + t
     val idf: Map[String, Double] = terms.filter(col("term").isin(qf: _*))
       .groupBy("term").agg(sum("df").as("df")).collect()
@@ -93,7 +96,7 @@ object MultiField {
       rows.foreach { case (_, ft, tf, ldl) =>
         val f = ft.substring(0, ft.indexOf(':'))
         val s = bcIdf.value(ft) * tf /
-          (tf + 1.2 * (1 - 0.75 + 0.75 * ldl / bcAvg.value(f)))
+          (tf + k1 * (1 - b + b * ldl / bcAvg.value(f)))
         perField.update(f, perField.getOrElse(f, 0.0) + s)
       }
       val scores = perField.values.toArray

@@ -94,11 +94,18 @@ object QueryCompiler {
       case qq                => ConstScore(qq, s)
     }
     case Bool(sh, mu, no, fi, msm) =>
-      val sh2 = sh.map(rewrite(view, _)).flatMap {
-        // splice SHOULD-only child disjunctions (sum-of-sums identity)
-        case Bool(cs, Nil, Nil, Nil, m) if m <= 1 => cs
-        case c                                    => Seq(c)
-      }
+      // splice SHOULD-only child disjunctions (sum-of-sums identity) —
+      // ONLY when the parent's minShouldMatch <= 1: with msm >= 2 a
+      // nested disjunction counts as ONE clause toward msm, so
+      // flattening would change the clause count msm is evaluated
+      // against (review finding, round 2)
+      val rewritten = sh.map(rewrite(view, _))
+      val sh2 =
+        if (msm > 1) rewritten
+        else rewritten.flatMap {
+          case Bool(cs, Nil, Nil, Nil, m) if m <= 1 => cs
+          case c                                    => Seq(c)
+        }
       val b = Bool(sh2, mu.map(rewrite(view, _)), no.map(rewrite(view, _)),
         fi.map(rewrite(view, _)), msm)
       b match {
@@ -187,9 +194,13 @@ object QueryCompiler {
       case (Nil, Some(sa)) =>
         sa.where(col("n_should") >= effMsm)
           .select(col("doc_id"), col("s_should").as("score"))
-      case (Nil, None) => // filter-only bool: matches with score 0
-        require(filter.nonEmpty, "empty BooleanQuery")
+      case (Nil, None) if filter.nonEmpty => // filter-only: score 0
         docSet(filter.head).select(col("doc_id"), lit(0.0).as("score"))
+      case (Nil, None) => // MUST_NOT-only / empty bool: matches nothing
+        // (reference semantics: a BooleanQuery with only prohibited
+        // clauses is a valid query with an empty result, not an error)
+        spark.emptyDataFrame
+          .withColumn("doc_id", lit(0L)).withColumn("score", lit(0.0)).limit(0)
       case (ms, sa) =>
         val mustJoined = ms.map(c =>
             compileScored(spark, view, scorers, c))

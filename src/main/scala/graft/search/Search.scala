@@ -25,7 +25,9 @@ final case class QueryTermInfo(term: String, df: Long, idfD: Double)
 final class QueryScorers(val stats: CollectionStats,
                          val terms: Array[QueryTermInfo], // ascending term
                          val mode: ScoreMode) extends Serializable {
-  val k1d = 1.2d; val bd = 0.75d
+  // single source of truth for the constants: LuceneSpec (8.x K1/B)
+  val k1d: Double = LuceneSpec.K1d
+  val bd: Double = LuceneSpec.Bd
   val avgdlD: Double = stats.sumTotalTermFreq.toDouble / stats.docCount.toDouble
   @transient private lazy val f32: Map[String, LuceneSpec.TermScorer] =
     terms.map(t => t.term -> new LuceneSpec.TermScorer(

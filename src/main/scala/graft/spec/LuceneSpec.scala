@@ -24,8 +24,13 @@ import graft.codec.SmallFloat
  * fixtures in the test suite (SURVEY.md §5.2).
  */
 object LuceneSpec {
-  val K1: Float = 1.2f
-  val B: Float  = 0.75f
+  // double-precision masters (the DoubleOracle path and the DuckDB
+  // oracles use EXACT double literals 1.2/0.75 — never widen the float
+  // constants back to double: (1.2f).toDouble != 1.2d)
+  val K1d: Double = 1.2d
+  val Bd: Double  = 0.75d
+  val K1: Float = K1d.toFloat
+  val B: Float  = Bd.toFloat
 
   /** Lucene 8.x idf: computed in double, narrowed to float. */
   def idf(docFreq: Long, docCount: Long): Float =

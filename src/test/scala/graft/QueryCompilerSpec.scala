@@ -82,6 +82,39 @@ class QueryCompilerSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("nested disjunction counts as ONE clause toward minShouldMatch") {
+    // msm=2 over [bool(a OR b), c]: requires c AND (a OR b) — a doc
+    // with a and b but NOT c must NOT match (splice would wrongly
+    // flatten to [a,b,c] and let it through)
+    val a = "w0001"; val b = "w0002"; val c = "w0003"
+    val q = Q.Bool(
+      should = Seq(Q.Bool(should = Seq(Q.Term(a), Q.Term(b))), Q.Term(c)),
+      minShouldMatch = 2)
+    val got = QueryCompiler.compile(spark, view, q, DoubleOracle)
+      .collect().map(_.getLong(0)).toSet
+    def docsWith(t: String) = MoreQueries.matchingDocs(spark, view, Seq(t))
+      .collect().map(_.getLong(0)).toSet
+    val expected = docsWith(c).intersect(docsWith(a) ++ docsWith(b))
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // and some doc matching a+b but not c exists, so the test can fail
+    assert((docsWith(a).intersect(docsWith(b)) -- docsWith(c)).nonEmpty)
+    // msm<=1 splice still applies (structural)
+    assert(QueryCompiler.rewrite(view,
+      Q.Bool(should = Seq(Q.Bool(should = Seq(Q.Term(a), Q.Term(b))), Q.Term(c))))
+      == Q.Bool(should = Seq(Q.Term(a), Q.Term(b), Q.Term(c))))
+    // msm>1 keeps the nested clause intact
+    QueryCompiler.rewrite(view, q) match {
+      case Q.Bool(sh, _, _, _, 2) => assert(sh.size == 2)
+      case other => fail(s"unexpected: $other")
+    }
+  }
+
+  test("MUST_NOT-only boolean matches nothing (no crash)") {
+    val q = Q.Bool(mustNot = Seq(Q.Term("w0001")))
+    assert(QueryCompiler.compile(spark, view, q, DoubleOracle).count() == 0)
+  }
+
   test("QueryRequest front door: q + fq == Bool(must, filter)") {
     val req = QueryRequest(Q.Term("w0002"), Seq(Q.Prefix("w001")), 10)
     val viaReq = QueryCompiler.search(spark, view, req, DoubleOracle)

@@ -110,8 +110,8 @@ class SearchSpec extends AnyFunSuite {
         .map(b => (b.segment_id, b.term, b.block_id, b.first_doc_id, b.last_doc_id,
           b.docs.toList, b.freqs.toList, b.norms.toList))
         .sortBy(t => (t._1, t._2, t._3)).toList
-    val v3 = Indexer.buildTables(spark, Indexer.asDocInput(spark, corpus3), 128L, numPartitions = 3)
-    val v7 = Indexer.buildTables(spark, Indexer.asDocInput(spark, corpus7), 128L, numPartitions = 13)
+    val v3 = Indexer.buildTables(spark, Indexer.asDocInput(spark, corpus3), 128L)
+    val v7 = Indexer.buildTables(spark, Indexer.asDocInput(spark, corpus7), 128L)
     assert(signature(v3) == signature(v7))
   }
 
@@ -120,7 +120,7 @@ class SearchSpec extends AnyFunSuite {
     def sig(budget: Long) = {
       val inv = Indexer.invert(spark, Indexer.asDocInput(spark, corpus),
         128L, graft.analysis.Analyzer.EnglishStopWords)
-      Indexer.buildPostings(spark, inv, 8, combineBudgetBytes = budget)
+      Indexer.buildPostings(spark, inv, combineBudgetBytes = budget)
         .collect()
         .map(b => (b.segment_id, b.term, b.block_id, b.first_doc_id,
           b.last_doc_id, b.docs.toList, b.freqs.toList, b.norms.toList,
