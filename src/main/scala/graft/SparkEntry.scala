@@ -217,6 +217,23 @@ object SparkEntry {
     "func_datemath" -> (graft.operators.Functions.dateMath _),
     "func_strdist" -> (graft.operators.Functions.strDist _),
     "func_geodist" -> (graft.operators.Functions.geoDist _),
+    "func_math" -> (graft.operators.Functions.mathFuncs _),
+    // — Solr stream/graph extensions —
+    "significant_terms" -> ((s, dir) =>
+      graft.operators.Relational.significantTerms(s, dir)),
+    "gather_nodes" -> (graft.operators.Relational.gatherNodes _),
+    // — input_hint per-row invariant, oracle-checked: extracted text is
+    //   byte-identical per url (extract(render(text)) == text) —
+    "html_extract" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val html = graft.analysis.HtmlCodec.render(s"doc $id", text)
+          (id, graft.analysis.HtmlCodec.extractText(html))
+        }.toDF("doc_id", "extracted")
+        .select(col("doc_id"), md5(col("extracted")).as("text_md5"))
+    }),
     // — Plane B: relational/dataflow operators (SURVEY.md §2.5–2.7) —
     "rollup_agg" -> (graft.operators.Relational.rollupAgg _),
     "hash_join_topk" -> (graft.operators.Relational.hashJoinTopK _),
@@ -348,6 +365,30 @@ object SparkEntry {
     "func_datemath" -> graft.operators.FunctionOracles.dateMath,
     "func_strdist" -> graft.operators.FunctionOracles.strDist,
     "func_geodist" -> graft.operators.FunctionOracles.geoDist,
+    "func_math" -> graft.operators.FunctionOracles.mathFuncs,
+    "significant_terms" ->
+      (s"""WITH t AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+          |), dt AS (
+          |  SELECT DISTINCT doc_id, term FROM t
+          |  WHERE length(term) > 0 AND term NOT IN (${OracleGen.stopList})
+          |), fgd AS (SELECT DISTINCT doc_id FROM dt WHERE term = 'spark'),
+          |nn AS (SELECT count(DISTINCT doc_id) AS n_all FROM dt),
+          |ff AS (SELECT count(*) AS n_fg FROM fgd),
+          |fg AS (SELECT term, count(*) AS fg_df FROM dt JOIN fgd USING (doc_id) GROUP BY term),
+          |bg AS (SELECT term, count(*) AS bg_df FROM dt GROUP BY term)
+          |SELECT fg.term,
+          |  CAST(floor(10000.0 * fg_df * n_all / (bg_df * n_fg)) AS BIGINT) AS lift_q
+          |FROM fg JOIN bg USING (term) CROSS JOIN nn CROSS JOIN ff
+          |WHERE fg_df >= 5
+          |ORDER BY lift_q DESC, term ASC LIMIT 20""".stripMargin),
+    "gather_nodes" ->
+      """SELECT DISTINCT l_partkey AS node FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT DISTINCT o_orderkey FROM orders WHERE o_custkey IN (
+        |    SELECT c_custkey FROM customer
+        |    WHERE c_mktsegment = 'BUILDING' AND c_custkey < 200))""".stripMargin,
+    "html_extract" -> "SELECT doc_id, md5(text) AS text_md5 FROM documents",
     // Plane B (facet_hll omitted: approximate — rows-only check)
     "rollup_agg" -> RelationalOracles.rollupAgg,
     "hash_join_topk" -> RelationalOracles.hashJoinTopK,

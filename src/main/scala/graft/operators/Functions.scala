@@ -42,6 +42,20 @@ object Functions {
         levenshtein(col("c_name"), lit("Customer#000000042"))
           .cast("long").as("dist"))
 
+  /** Math function-query family (abs/sqrt/ln/mod/greatest — Solr
+    * ValueSource one-liners), integer-quantized for the oracle.
+    */
+  def mathFuncs(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .where(col("o_orderkey") < 5000)
+      .select(
+        col("o_orderkey"),
+        floor(sqrt(col("o_totalprice"))).cast("long").as("sqrt_floor"),
+        round(log(col("o_totalprice")) * 10000).cast("long").as("ln_q"),
+        (col("o_orderkey") % 7).cast("long").as("mod7"),
+        greatest(col("o_orderkey") % 7, col("o_orderkey") % 5)
+          .cast("long").as("gmax"))
+
   /** Mean earth radius used by the reference's DistanceUtils (km). */
   val EarthRadiusKm = 6371.0087714
 
@@ -71,6 +85,14 @@ object FunctionOracles {
       |       last_day(CAST(o_orderdate AS DATE))) AS BIGINT) AS days_left,
       |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY, '%Y-%m-%d') AS due_90d
       |FROM orders""".stripMargin
+
+  val mathFuncs: String =
+    """SELECT o_orderkey,
+      |  CAST(floor(sqrt(o_totalprice)) AS BIGINT) AS sqrt_floor,
+      |  CAST(round(ln(o_totalprice) * 10000) AS BIGINT) AS ln_q,
+      |  o_orderkey % 7 AS mod7,
+      |  greatest(o_orderkey % 7, o_orderkey % 5) AS gmax
+      |FROM orders WHERE o_orderkey < 5000""".stripMargin
 
   val strDist: String =
     """SELECT c_custkey,

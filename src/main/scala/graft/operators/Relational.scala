@@ -224,6 +224,55 @@ object Relational {
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
 
+  /** significantTerms stream analog [Solr SignificantTermsQParserPlugin
+    * / solrj io.stream SignificantTermsStream]: terms overrepresented
+    * in a FOREGROUND doc set (docs matching `fgTerm`) vs the corpus
+    * background. Significance here is the integer-exact lift
+    * floor(10000 * (fg_df/fg_docs) / (bg_df/all_docs)) — a documented
+    * re-derivation (Solr's own score is a different monotone blend);
+    * per-shard counting + global merge is exactly the aggregate shape
+    * below at scale.
+    */
+  def significantTerms(s: SparkSession, dir: String, fgTerm: String = "spark",
+                       minDf: Long = 5L, k: Int = 20): DataFrame = {
+    val stop = graft.analysis.Analyzer.EnglishStopWords.toSeq.sorted
+    val toks = tbl(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) > 0 && !col("term").isin(stop: _*))
+    val docTerm = toks.distinct()
+    val fgDocs = docTerm.where(col("term") === fgTerm).select("doc_id")
+    val nAll = docTerm.select("doc_id").distinct().count()
+    val nFg = fgDocs.count()
+    val fg = docTerm.join(fgDocs, Seq("doc_id"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("fg_df"))
+    val bg = docTerm.groupBy("term").agg(count(lit(1)).as("bg_df"))
+    fg.join(bg, Seq("term"))
+      .where(col("fg_df") >= minDf)
+      .select(col("term"),
+        floor(lit(10000.0) * col("fg_df") * nAll / (col("bg_df") * nFg))
+          .cast("long").as("lift_q"))
+      .orderBy(col("lift_q").desc, col("term").asc)
+      .limit(k)
+  }
+
+  /** GatherNodes stream analog [Solr solrj io.graph GatherNodesStream]:
+    * breadth-first node gathering across relations — 2 hops here:
+    * seed customers → their orders → the parts on those orders.
+    * Each hop is an equi-join + distinct (per-hop frontier), exactly
+    * the stream's shuffle shape at scale.
+    */
+  def gatherNodes(s: SparkSession, dir: String): DataFrame = {
+    val seeds = tbl(s, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING" && col("c_custkey") < 200)
+      .select(col("c_custkey"))
+    val hop1 = tbl(s, dir, "orders")
+      .join(seeds, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey")).distinct()
+    tbl(s, dir, "lineitem")
+      .join(hop1, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select(col("l_partkey").as("node")).distinct()
+  }
+
   /** §2.6 Parallel SQL surface: the engine accepts ANSI SQL directly —
     * Catalyst replaces the reference's Calcite layer wholesale.
     */
