@@ -117,6 +117,10 @@ object SparkEntry {
       MoreQueries.phraseMatch(s, IndexCache.documentsIndex(s, dir),
         Seq("hash", "join"), slop = 2)
     }),
+    "span_near_query" -> ((s, dir) => {
+      MoreQueries.spanNearOrdered(s, IndexCache.documentsIndex(s, dir),
+        Seq("hash", "join"), slop = 3)
+    }),
     "prefix_query" -> ((s, dir) => {
       val v = IndexCache.documentsIndex(s, dir)
       MoreQueries.matchingDocs(s, v, MoreQueries.prefixTerms(v, "sl"))
@@ -317,6 +321,7 @@ object SparkEntry {
     "token_counts" -> (graft.operators.TrainingData.tokenCounts _),
     "doc_fingerprint" -> (graft.operators.TrainingData.docFingerprint _),
     "ann_cosine_topk" -> ((s, dir) => graft.operators.Vectors.annBruteTopK(s, dir)),
+    "ann_batch_topk" -> ((s, dir) => graft.operators.Vectors.annBatchTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => graft.operators.Vectors.annLshTopK(s, dir)),
     "binary_meta" -> (graft.operators.Multimodal.binaryMeta _),
     "multimodal_decode" -> (graft.operators.Multimodal.mediaFeatures _),
@@ -342,6 +347,20 @@ object SparkEntry {
     "index_build_fresh" -> OracleGen.tokenizeCountsSql,
     "phrase_query" -> OracleGen.phraseSql("hash", "join"),
     "phrase_slop" -> OracleGen.phraseSlopSql("hash", "join", 2),
+    "span_near_query" ->
+      """WITH lists AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), tokpos AS (
+        |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+        |  FROM lists
+        |), a AS (SELECT doc_id, pos FROM tokpos WHERE term = 'hash'),
+        |   b AS (SELECT doc_id, pos FROM tokpos WHERE term = 'join'),
+        |anchors AS (
+        |  SELECT a.doc_id, a.pos, min(b.pos) AS nb
+        |  FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos > a.pos
+        |  GROUP BY a.doc_id, a.pos)
+        |SELECT doc_id, count(*) AS span_tf
+        |FROM anchors WHERE nb - pos - 1 <= 3 GROUP BY doc_id""".stripMargin,
     "prefix_query" -> OracleGen.docsWithTermWhereSql("term LIKE 'sl%'"),
     "wildcard_query" -> OracleGen.docsWithTermWhereSql("regexp_matches(term, '^s.an$')"),
     "fuzzy_query" -> OracleGen.docsWithTermWhereSql("levenshtein(term, 'merg') <= 1"),
@@ -424,6 +443,24 @@ object SparkEntry {
     "token_counts" -> TrainingOracles.tokenCounts,
     "doc_fingerprint" -> TrainingOracles.docFingerprint,
     "ann_cosine_topk" -> TrainingOracles.annCosineTopK,
+    "ann_batch_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |ev AS (SELECT vec_id, unnest(embedding) AS x,
+        |       generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |qe AS (SELECT qid, unnest(qv) AS x,
+        |       generate_subscripts(qv, 1) AS i FROM q),
+        |dots AS (
+        |  SELECT e.vec_id, v.qid,
+        |    sum(CAST(e.x AS DOUBLE) * CAST(v.x AS DOUBLE)) AS dot
+        |  FROM ev e JOIN qe v USING (i) GROUP BY e.vec_id, v.qid),
+        |nrm AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        |        FROM ev GROUP BY vec_id)
+        |SELECT dots.qid, dots.vec_id,
+        |  CAST(round(dot / (na.nrm * nb.nrm) * 1e6) AS BIGINT) AS sim_q
+        |FROM dots JOIN nrm na ON dots.vec_id = na.vec_id
+        |          JOIN nrm nb ON dots.qid = nb.vec_id
+        |WHERE dots.vec_id <> dots.qid
+        |QUALIFY row_number() OVER (PARTITION BY dots.qid ORDER BY sim_q DESC, dots.vec_id ASC) <= 5""".stripMargin,
     "binary_meta" -> TrainingOracles.binaryMeta,
   )
 }

@@ -186,6 +186,51 @@ object MoreQueries {
     perSegment.toDF("sorted_doc_id").orderBy($"sorted_doc_id".asc).limit(k)
   }
 
+  /** Minimal ordered span-near [8x search/spans/SpanNearQuery.java,
+    * ordered mode]: terms must appear in order with total gap
+    * (p_last - p_first - (n-1)) <= slop. span_tf counts anchor
+    * positions of the first term whose GREEDY minimal ordered chain
+    * fits the slop (each next slot takes the smallest position after
+    * the previous one — minimal, so if the greedy chain misses, no
+    * chain from that anchor fits).
+    */
+  def spanNearOrdered(spark: SparkSession, view: IndexView,
+                      terms: Seq[String], slop: Int): DataFrame = {
+    import spark.implicits._
+    require(terms.size >= 2, "span needs >= 2 terms")
+    val uniq = terms.distinct
+    val perDoc = view.postings
+      .filter($"term".isin(uniq: _*))
+      .flatMap { b =>
+        val d = PostingCodec.decode(b.docs, b.freqs, b.norms)
+        val ps = PostingCodec.decodePositions(b.positions, d.freqs)
+        Iterator.tabulate(d.docIds.length)(i => (d.docIds(i), b.term, ps(i)))
+      }
+      .groupByKey(_._1)
+      .mapGroups { (docId, it) =>
+        val posByTerm = it.map(t => t._2 -> t._3).toMap
+        val tf =
+          if (!uniq.forall(posByTerm.contains)) 0
+          else {
+            val lists = terms.map(posByTerm)
+            lists.head.count { p0 =>
+              var prev = p0
+              var ok = true
+              lists.tail.foreach { ps =>
+                if (ok) {
+                  val i = java.util.Arrays.binarySearch(ps, prev + 1)
+                  val at = if (i >= 0) i else -i - 1
+                  if (at >= ps.length) ok = false else prev = ps(at)
+                }
+              }
+              ok && (prev - p0 - (terms.size - 1)) <= slop
+            }
+          }
+        (docId, tf)
+      }
+    perDoc.filter(_._2 > 0).toDF("doc_id", "span_tf")
+  }
+
   /** Rescoring [8x search/QueryRescorer.java]: re-rank the top-N of a
     * cheap first-pass query with a costlier second query —
     * final = firstScore + weight * secondScore (docs not matching the

@@ -109,6 +109,29 @@ class MoreQueriesSpec extends AnyFunSuite {
     assert(got == Set(1L))
   }
 
+  test("ordered span-near equals brute force; reversed order never matches") {
+    val terms = Seq("w0000", "w0001")
+    for (slop <- Seq(0, 2, 5)) {
+      val got = MoreQueries.spanNearOrdered(spark, view, terms, slop)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      val expected = docs.flatMap { case (id, text) =>
+        val toks = Analyzer.tokenize(text)
+        val p0 = toks.filter(_.term == terms(0)).map(_.pos)
+        val p1 = toks.filter(_.term == terms(1)).map(_.pos).toSet
+        val tf = p0.count(a => p1.exists(b => b > a && b - a - 1 <= slop))
+        if (tf > 0) Some(id -> tf) else None
+      }.toMap
+      assert(got == expected, s"slop=$slop")
+    }
+    // strict order: "beta alpha" must not match span(alpha, beta, 0)
+    import spark.implicits._
+    val tiny = Seq((0L, "u", "beta alpha"), (1L, "u", "alpha beta"))
+      .toDF("doc_id", "url", "text")
+    val v = Indexer.buildTables(spark, Indexer.asDocInput(spark, tiny), 16L)
+    assert(MoreQueries.spanNearOrdered(spark, v, Seq("alpha", "beta"), 0)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("early-terminated sorted walk returns exactly the first k matching docIDs") {
     for (term <- Seq("w0000", "w0042", "w1999", "zzznotfound"); k <- Seq(5, 50)) {
       val got = MoreQueries.earlyTerminatedTopK(spark, view, term, k)
