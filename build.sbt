@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout VERBATIM: the default LoggedOutput
+// prefixes every line with "[info] ", which broke the driver's JSON
+// parse of the Bench metrics line in rounds 1-2 (BENCH_r{1,2}.json
+// parsed: null). StdoutOutput passes the child's stdout through as-is.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

