@@ -138,6 +138,39 @@ object OracleGen {
        |FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
        |GROUP BY a.doc_id""".stripMargin
 
+  /** BM25-scored phrase top-k: freq = phrase_tf (consecutive
+    * occurrences), weight = sum of the two slot terms' idfs — the
+    * reference's PhraseWeight (one TermStatistics per slot) through the
+    * 8.x BM25 formula shape, float64.
+    */
+  def phraseScoredSql(w1: String, w2: String, k: Int): String = {
+    val scoreExpr =
+      "widf.w * ph.ptf / (ph.ptf + 1.2 * (1 - 0.75 + 0.75 * norm.ldl / (st.sttf / CAST(st.n AS DOUBLE))))"
+    s"""WITH $tokCte, $dlCtes, pdf AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+       |  WHERE term IN ('$w1', '$w2') GROUP BY term
+       |), widf AS (
+       |  SELECT sum(ln(1 + (st.n - pdf.df + 0.5) / (pdf.df + 0.5))) AS w
+       |  FROM pdf CROSS JOIN st
+       |), lists AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), tokpos AS (
+       |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+       |  FROM lists
+       |), a AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w1'),
+       |   b AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w2'),
+       |   ph AS (
+       |  SELECT a.doc_id, count(*) AS ptf
+       |  FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |  GROUP BY a.doc_id
+       |)
+       |SELECT ph.doc_id,
+       |  CAST(round($scoreExpr * 10000) AS BIGINT) AS score_q
+       |FROM ph JOIN norm ON ph.doc_id = norm.doc_id CROSS JOIN widf CROSS JOIN st
+       |ORDER BY $scoreExpr DESC, ph.doc_id ASC
+       |LIMIT $k""".stripMargin
+  }
+
   /** Rescoring: top-N of the first-pass disjunction re-ranked by
     * first + weight * second (second-pass score 0 when not matching).
     */

@@ -117,6 +117,12 @@ object SparkEntry {
       MoreQueries.phraseMatch(s, IndexCache.documentsIndex(s, dir),
         Seq("hash", "join"), slop = 2)
     }),
+    "phrase_scored_topk" -> ((s, dir) => {
+      // PhraseWeight analog: phrase_tf through BM25 with summed slot idfs
+      val v = IndexCache.documentsIndex(s, dir)
+      quantize(MoreQueries.phraseScoredTopK(s, v, Seq("hash", "join"),
+        0, 10, DoubleOracle), 10)
+    }),
     "span_near_query" -> ((s, dir) => {
       MoreQueries.spanNearOrdered(s, IndexCache.documentsIndex(s, dir),
         Seq("hash", "join"), slop = 3)
@@ -347,6 +353,7 @@ object SparkEntry {
     "index_build_fresh" -> OracleGen.tokenizeCountsSql,
     "phrase_query" -> OracleGen.phraseSql("hash", "join"),
     "phrase_slop" -> OracleGen.phraseSlopSql("hash", "join", 2),
+    "phrase_scored_topk" -> OracleGen.phraseScoredSql("hash", "join", 10),
     "span_near_query" ->
       """WITH lists AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents

@@ -46,14 +46,48 @@ object Merger {
     * doc-ranges are disjoint, so any grouping preserves the per-segment
     * search invariants — block order inside a merged segment is
     * restored by first_doc_id, not block_id.
+    *
+    * Only the MERGE GROUP is rewritten (the reference merges only the
+    * selected segments [8x index/SegmentMerger.java]; a tier sweep of a
+    * few NRT segments must not rewrite the whole index at 100 TB):
+    * a segment is "touched" iff its group has >= 2 members, its id is
+    * remapped, or — when purging — it contains a tombstoned doc (so the
+    * purge stays complete; Lucene likewise rewrites exactly the
+    * segments whose liveDocs it reclaims). Untouched segments' block
+    * rows pass through BYTE-IDENTICAL (test-enforced in MergerSpec).
     */
   def mergeByMapping(spark: SparkSession, view: IndexView, remap: Int => Int,
                      tombstones: Option[org.apache.spark.sql.DataFrame] = None): IndexView = {
     import spark.implicits._
 
-    // decode blocks back to posting entries, retarget the segment id,
-    // and re-run the block build (same machinery = same invariants)
-    val entries: Dataset[PostingInput] = view.postings.flatMap { b =>
+    // metadata-scale driver step: one segment id per ~segSize docs
+    val segIds = view.postings.select("segment_id").distinct().as[Int].collect()
+    val groupSize: Map[Int, Int] =
+      segIds.groupBy(remap).map { case (t, ss) => t -> ss.length }
+    val tombSegs: Set[Int] = tombstones match {
+      case None    => Set.empty
+      case Some(t) =>
+        view.docmeta.toDF().join(t.select(col("doc_id")).distinct(), Seq("doc_id"))
+          .select("segment_id").distinct().as[Int].collect().toSet
+    }
+    val touched: Set[Int] =
+      segIds.filter(s => remap(s) != s || groupSize(remap(s)) >= 2).toSet ++ tombSegs
+    // small touched sets → isin (partition-prunable on a durable index);
+    // huge sweeps → broadcast-set lambda filter (isin's expression tree
+    // doesn't scale past ~1k literals)
+    def split(ds: Dataset[PostingBlockRow], in: Boolean): Dataset[PostingBlockRow] =
+      if (touched.size <= 1024) {
+        val p = col("segment_id").isin(touched.toSeq: _*)
+        ds.filter(if (in) p else !p)
+      } else {
+        val b = spark.sparkContext.broadcast(touched)
+        ds.filter(r => b.value.contains(r.segment_id) == in)
+      }
+
+    // decode only the touched blocks back to posting entries, retarget
+    // the segment id, and re-run the block build (same machinery = same
+    // invariants)
+    val entries: Dataset[PostingInput] = split(view.postings, in = true).flatMap { b =>
       val d = PostingCodec.decode(b.docs, b.freqs, b.norms)
       // positions-off indexes (IndexOptions.DOCS_AND_FREQS analog) have
       // empty position payloads with nonzero freqs — don't decode them
@@ -71,7 +105,12 @@ object Merger {
         entries.join(t.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
           .as[PostingInput]
     }
-    val merged = Indexer.buildPostings(spark, live)
+    val merged =
+      if (touched.isEmpty) view.postings
+      else Indexer.buildPostings(spark, live).union(split(view.postings, in = false))
+    // untouched segments have identity remap by construction, so the
+    // docmeta map is a no-op for them; tombSegs ⊆ touched keeps the
+    // global docmeta purge consistent with the postings purge
     val remapped = view.docmeta.map(m => m.copy(segment_id = remap(m.segment_id)))
     val docmeta = tombstones match {
       case None    => remapped

@@ -92,6 +92,12 @@ object MoreQueries {
                   terms: Seq[String], slop: Int = 0): DataFrame = {
     import spark.implicits._
     require(terms.size >= 2, "phrase needs >= 2 terms")
+    // the anchor-relative metric equals the reference's shared-budget
+    // edit-distance slop ONLY for 2-term phrases (review finding): 3+
+    // slots would each get an independent ±slop window instead of one
+    // shared total-moves budget, admitting docs the reference rejects
+    require(slop == 0 || terms.size == 2,
+      "sloppy phrases support exactly 2 terms (3+-term slop would need the shared-budget matcher)")
     // offset of each phrase slot; duplicate terms keep every slot
     val slots = terms.zipWithIndex // (term, offset)
     val uniq = terms.distinct
@@ -120,6 +126,49 @@ object MoreQueries {
       }
     perDoc.filter(_._2 > 0).toDF("doc_id", "phrase_tf")
   }
+
+  /** BM25-scored phrase [8x search/PhraseQuery.java → PhraseWeight/
+    * PhraseScorer]: the phrase is scored like a pseudo-term whose
+    * freq is the phrase_tf the matcher computes and whose weight is the
+    * SUM of the slot terms' idfs (one TermStatistics per slot in the
+    * reference — duplicate slots count twice). DoubleOracle mode is a
+    * pure-Catalyst column expression mirroring the DuckDB oracle's
+    * float64 shape; Float32Lucene routes through the same float
+    * arithmetic as [[graft.spec.LuceneSpec.TermScorer]].
+    */
+  def phraseScored(spark: SparkSession, view: IndexView, terms: Seq[String],
+                   slop: Int, scorers: QueryScorers): DataFrame = {
+    import spark.implicits._
+    val ph = phraseMatch(spark, view, terms, slop)
+    val meta = view.docmeta.toDF().select(col("doc_id"), col("norm_byte"),
+      col("lossy_dl"))
+    val joined = ph.join(meta, Seq("doc_id"))
+    scorers.mode match {
+      case DoubleOracle =>
+        val w = scorers.phraseWeightD(terms)
+        joined.select(col("doc_id"),
+          (lit(w) * col("phrase_tf") / (col("phrase_tf") +
+            lit(scorers.k1d) * (lit(1.0) - lit(scorers.bd) +
+              lit(scorers.bd) * col("lossy_dl") / lit(scorers.avgdlD))))
+            .as("score"))
+      case Float32Lucene =>
+        val bc = spark.sparkContext.broadcast(scorers)
+        val slotTerms = terms
+        joined.select(col("doc_id"), col("phrase_tf"), col("norm_byte"))
+          .as[(Long, Int, Int)]
+          .map { case (d, tf, nb) => (d, bc.value.phraseScoreF32(slotTerms, tf, nb)) }
+          .toDF("doc_id", "score")
+    }
+  }
+
+  /** Scored-phrase top-k (standalone entry point; the compiler lowers
+    * Query.Phrase in scoring position through the same scorer).
+    */
+  def phraseScoredTopK(spark: SparkSession, view: IndexView,
+                       terms: Seq[String], slop: Int, k: Int,
+                       mode: ScoreMode = DoubleOracle): DataFrame =
+    phraseScored(spark, view, terms, slop, QueryScorers(view, terms, mode))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
 
   /** DisjunctionMax top-k: per-clause BM25 scores combined as
     * max + tieBreaker*(sum-max). Clauses here are single terms.
@@ -242,7 +291,12 @@ object MoreQueries {
                   n: Int, k: Int, weight: Double,
                   mode: ScoreMode = DoubleOracle): DataFrame = {
     val first = ExactSearch.topK(spark, view, firstTerms, n, mode)
-    val second = ExactSearch.scored(spark, view, secondTerms, mode)
+    // restrict the second pass to the N survivors BEFORE scoring (the
+    // candidate set broadcasts into a map-side semi-filter of the
+    // second-pass postings), so second-pass cost is O(candidates), not
+    // O(full posting lists) — the QueryRescorer cost contract
+    val second = ExactSearch.scoredWith(spark, view, secondTerms,
+        QueryScorers(view, secondTerms, mode), candidates = Some(first))
       .withColumnRenamed("score", "s2")
     first.join(second, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),

@@ -18,9 +18,9 @@ sealed trait Query extends Serializable
 object Query {
   /** Single-term BM25 clause. */
   final case class Term(t: String) extends Query
-  /** Phrase (exact when slop=0). Scoring-position semantics v1:
-    * constant-score match (like a filter phrase); BM25-weighted phrase
-    * scoring is the documented follow-up.
+  /** Phrase (exact when slop=0). In scoring position it scores through
+    * BM25 like the reference [8x search/PhraseQuery.java → PhraseWeight]:
+    * freq = phrase_tf, weight = sum of slot-term idfs.
     */
   final case class Phrase(terms: Seq[String], slop: Int = 0) extends Query
   // — MultiTermQuery family: rewritten to ConstScore(TermSet) against
@@ -122,10 +122,11 @@ object QueryCompiler {
     */
   private def allTerms(q: Query): Seq[String] = q match {
     case Term(t)         => Seq(t)
+    case Phrase(ts, _)   => ts // phrase weight sums the slot terms' idfs
     case Boost(inner, _) => allTerms(inner)
     case ConstScore(inner, _) => allTerms(inner)
     case Bool(sh, mu, no, fi, _) => (sh ++ mu ++ no ++ fi).flatMap(allTerms)
-    case _               => Nil // TermSet/Phrase/MTQ/MatchAll don't use stats
+    case _               => Nil // TermSet/MTQ/MatchAll don't use stats
   }
 
   /** Matching doc set of a rewritten query — non-scoring positions
@@ -154,8 +155,7 @@ object QueryCompiler {
     case TermSet(ts) => // bare set in scoring position = constant score 1
       MoreQueries.matchingDocs(spark, view, ts).select(col("doc_id"), lit(1.0).as("score"))
     case Phrase(ts, slop) =>
-      MoreQueries.phraseMatch(spark, view, ts, slop)
-        .select(col("doc_id"), lit(1.0).as("score"))
+      MoreQueries.phraseScored(spark, view, ts, slop, scorers)
     case ConstScore(inner, s) =>
       compileScored(spark, view, scorers, inner)
         .select(col("doc_id"), lit(s).as("score"))
@@ -191,6 +191,15 @@ object QueryCompiler {
           .agg(sum("score").as("s_should"), count(lit(1)).as("n_should")))
 
     val base: DataFrame = (must, shouldAgg) match {
+      case (Nil, Some(sa)) if filter.nonEmpty && effMsm == 0 =>
+        // no MUST, FILTER present, msm=0: SHOULD is purely optional once
+        // a required clause exists (the reference's ReqOptSumScorer via
+        // Boolean2ScorerSupplier [8x search/Boolean2ScorerSupplier.java])
+        // — docs matching all filters but no SHOULD clause are hits with
+        // should-score 0, so build base from the filter doc set
+        docSet(filter.head)
+          .join(sa.select(col("doc_id"), col("s_should")), Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), coalesce(col("s_should"), lit(0.0)).as("score"))
       case (Nil, Some(sa)) =>
         sa.where(col("n_should") >= effMsm)
           .select(col("doc_id"), col("s_should").as("score"))

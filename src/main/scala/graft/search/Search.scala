@@ -44,6 +44,33 @@ final class QueryScorers(val stats: CollectionStats,
       idf * tf / (tf + k1d * (1 - bd + bd * lossyDl / avgdlD))
   }
 
+  /** idf of a query term (None when the term is absent from the index —
+    * it then matches nothing, so its weight never applies).
+    */
+  def idfDOf(term: String): Option[Double] = idfByTerm.get(term)
+
+  /** Phrase weight = sum of the slot terms' idfs (duplicated slots count
+    * twice — the reference builds one TermStatistics entry PER SLOT
+    * [8x search/PhraseQuery.java createWeight → Similarity.scorer with
+    * the termStats array; BM25Similarity.idfExplain sums]).
+    */
+  def phraseWeightD(slotTerms: Seq[String]): Double =
+    slotTerms.flatMap(idfByTerm.get).sum
+
+  /** Float32 phrase score: weight narrowed to float, then the 8.x score
+    * shape with the SmallFloat norm cache arithmetic (same expression as
+    * [[graft.spec.LuceneSpec.TermScorer]] with the summed weight).
+    */
+  def phraseScoreF32(slotTerms: Seq[String], ptf: Int, normByte: Int): Double = {
+    // duplicated slots: each occurrence contributes its idf again
+    val weight = slotTerms.flatMap(st => f32.get(st).map(_.termIdf.toDouble))
+      .sum.toFloat
+    val avgdlF = LuceneSpec.avgFieldLength(stats.sumTotalTermFreq, stats.docCount)
+    val inv = 1f / (LuceneSpec.K1 * ((1 - LuceneSpec.B) +
+      LuceneSpec.B * graft.codec.SmallFloat.LengthTable(normByte & 0xff) / avgdlF))
+    (weight - weight / (1f + ptf.toFloat * inv)).toDouble
+  }
+
   /** Upper bound for a block with impacts (maxTf, minLen): BM25 is
     * monotone ↑tf and ↓len, and IEEE rounding is monotone, so this is a
     * true bound in both modes.
@@ -109,10 +136,22 @@ object ExactSearch {
     * clause — at scale each stats gather is a job).
     */
   def scoredWith(spark: SparkSession, view: IndexView, queryTerms: Seq[String],
-                 scorers: QueryScorers, minShouldMatch: Int = 1): DataFrame = {
+                 scorers: QueryScorers, minShouldMatch: Int = 1,
+                 candidates: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(scorers)
-    val entries = decodedPostings(spark, view, queryTerms)
+    // candidate restriction (QueryRescorer-style second pass): semi-join
+    // the decoded postings with the candidate doc set BEFORE grouping —
+    // a small candidate frame broadcasts, so the full posting lists are
+    // filtered map-side and never flow into the aggregate
+    val decoded0 = decodedPostings(spark, view, queryTerms)
+    val decoded = candidates match {
+      case None    => decoded0
+      case Some(c) => decoded0.join(
+        org.apache.spark.sql.functions.broadcast(c.select("doc_id").distinct()),
+        Seq("doc_id"), "left_semi")
+    }
+    val entries = decoded.select("term", "doc_id", "tf", "norm_byte", "lossy_dl")
       .as[(String, Long, Int, Int, Int)]
     val perDoc = entries.groupByKey(_._2).mapGroups { (docId, it) =>
       val rows = it.toArray.sortBy(_._1) // ascending term order

@@ -96,6 +96,31 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(pre == post)
   }
 
+  test("merge rewrites ONLY the merge group: untouched blocks byte-identical") {
+    val view = Indexer.buildTables(spark, corpus(900), 128L).persisted()
+    val segs = view.postings.select("segment_id").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(segs.length >= 4)
+    // merge just the two smallest-id segments; leave the rest alone
+    val group = segs.take(2).toSet
+    val merged = Merger.mergeByMapping(spark, view,
+      sid => if (group(sid)) group.min else sid)
+    def payloads(v: graft.index.IndexView, keep: Int => Boolean) =
+      v.postings.collect().filter(b => keep(b.segment_id))
+        .map(b => (b.segment_id, b.term, b.block_id, b.first_doc_id,
+          b.last_doc_id, b.docs.toList, b.freqs.toList, b.norms.toList,
+          b.positions.toList))
+        .sortBy(t => (t._1, t._2, t._3)).toList
+    // untouched segments: block rows (incl. encoded payload bytes) pass
+    // through unchanged — a tier sweep must not rewrite the whole index
+    assert(payloads(merged, s => !group(s)) == payloads(view, s => !group(s)))
+    // the merge group really collapsed, and queries still agree
+    assert(merged.postings.select("segment_id").distinct().count() ==
+      segs.length - 1)
+    for (q <- Seq(Seq("w0000"), Seq("w0003", "w0017")))
+      assert(topDocs(merged, q) == topDocs(view, q), s"mismatch for $q")
+  }
+
   test("snapshot versions are write-once; lost race re-merges batches") {
     import graft.index.Snapshot
     val dir = tmpDir()

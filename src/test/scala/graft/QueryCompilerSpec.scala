@@ -136,16 +136,37 @@ class QueryCompilerSpec extends AnyFunSuite {
     assert(got == base.filter { case (d, _) => allow(d) })
     assert(got.nonEmpty)
 
-    // phrase in scoring position: constant score 1.0 added
+    // phrase in scoring position: BM25-weighted (phrase_tf through the
+    // formula with summed slot idfs), added to the MUST score
     val pq = Q.Bool(must = Seq(Q.Term("w0002")),
       should = Seq(Q.Phrase(Seq("w0000", "w0001"))))
     val got2 = scoredMap(QueryCompiler.compile(spark, view, pq, DoubleOracle))
-    val phr = MoreQueries.phraseMatch(spark, view, Seq("w0000", "w0001"))
-      .collect().map(_.getLong(0)).toSet
+    val phr = scoredMap(MoreQueries.phraseScoredTopK(spark, view,
+      Seq("w0000", "w0001"), 0, Int.MaxValue, DoubleOracle))
+    assert(phr.nonEmpty && phr.values.forall(_ > 0.0))
     assert(got2.keySet == base.keySet)
     got2.foreach { case (d, s) =>
-      val exp = base(d) + (if (phr(d)) 1.0 else 0.0)
+      val exp = base(d) + phr.getOrElse(d, 0.0)
       assert(close(s, exp), s"doc $d: $s vs $exp")
     }
+  }
+
+  test("FILTER + SHOULD-only (msm=0): filter-only matches are hits, score 0") {
+    // reference semantics (Boolean2ScorerSupplier/ReqOptSumScorer):
+    // SHOULD becomes purely optional once a required clause exists
+    val q = Q.Bool(should = Seq(Q.Term("w0005")), filter = Seq(Q.Prefix("w001")))
+    val got = scoredMap(QueryCompiler.compile(spark, view, q, DoubleOracle))
+    val allow = MoreQueries.matchingDocs(spark, view,
+      MoreQueries.prefixTerms(view, "w001")).collect().map(_.getLong(0)).toSet
+    val s5 = scoredMap(ExactSearch.scored(spark, view, Seq("w0005"), DoubleOracle))
+    // every filter-passing doc is a hit; score = its should-score or 0
+    assert(got.keySet == allow)
+    got.foreach { case (d, s) => assert(close(s, s5.getOrElse(d, 0.0))) }
+    // and some hits genuinely have score 0 (matched filter only)
+    assert(got.exists(_._2 == 0.0))
+    // msm >= 1 restores the SHOULD requirement
+    val strict = scoredMap(QueryCompiler.compile(spark, view,
+      q.copy(minShouldMatch = 1), DoubleOracle))
+    assert(strict.keySet == allow.intersect(s5.keySet))
   }
 }
