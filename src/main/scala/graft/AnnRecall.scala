@@ -52,28 +52,54 @@ object AnnRecall {
         .sortBy(t => (-t._2, t._1)).take(10).map(_._1)
 
     val byId = vecs.toMap // hoisted: one corpus map, not one per query
-    def sketchTop10(qi: Int): Seq[Long] = {
-      val cand = vecs.indices.filter(_ != qi)
-        .map(j => (vecs(j)._1, Vectors.hamming(sketches(j), sketches(qi))))
-        .sortBy(t => (t._2, t._1)).take(budget).map(_._1)
-      cand.map(id => (id, math.round(cos(vecs(qi)._2, byId(id)) * 1e6)))
+
+    /** Exact replication of the engine's stage-1 radius rule: the
+      * RerankFraction-quantile of the Hamming histogram over the
+      * deterministic every-20th-vec_id sample, widened by 8-bit steps
+      * until >= 10 candidates survive (Vectors.annLshTopK).
+      */
+    def radiusAndCands(qi: Int): (Int, IndexedSeq[Int]) = {
+      val hams = vecs.indices.filter(_ != qi)
+        .map(j => j -> Vectors.hamming(sketches(j), sketches(qi)))
+      val sample = hams.filter { case (j, _) => vecs(j)._1 % 20 == 0 }
+      val sampleN = math.max(1L, sample.size.toLong)
+      val target = math.max(1L, math.ceil(sampleN * Vectors.RerankFraction).toLong)
+      val hist = sample.groupBy(_._2).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      var radius = hist.collectFirst {
+        case (h, c) if { cum += c; cum >= target } => h
+      }.getOrElse(Vectors.SketchBits)
+      while (radius < Vectors.SketchBits &&
+             hams.count(_._2 <= radius) < 10) radius += 8
+      (radius, hams.filter(_._2 <= radius).map(_._1).toIndexedSeq)
+    }
+
+    def sketchTop10(qi: Int): (Seq[Long], Int) = {
+      val (_, candIdx) = radiusAndCands(qi)
+      val top = candIdx.map(j => (vecs(j)._1,
+          math.round(cos(vecs(qi)._2, byId(vecs(j)._1)) * 1e6)))
         .sortBy(t => (-t._2, t._1)).take(10).map(_._1)
+      (top, candIdx.size)
     }
 
     // cross-check: the distributed path == the driver replication
     for (q <- Seq(0L, 7L, 42L)) {
       val engine = Vectors.annLshTopK(spark, dir, queryId = q)
         .collect().map(_.getLong(0)).toSeq
-      val repl = sketchTop10(q.toInt)
+      val repl = sketchTop10(q.toInt)._1
       require(engine == repl,
         s"engine/replication divergence for query $q: $engine vs $repl")
     }
 
-    val recalls = (0 until math.min(nQueries, n)).map { qi =>
-      bruteTop10(qi).toSet.intersect(sketchTop10(qi).toSet).size / 10.0
+    val perQuery = (0 until math.min(nQueries, n)).map { qi =>
+      val (top, scanned) = sketchTop10(qi)
+      (bruteTop10(qi).toSet.intersect(top.toSet).size / 10.0,
+        scanned.toDouble / (n - 1))
     }
-    val recall = recalls.sum / recalls.size
-    println(f"""{"metric":"ann_recall_at_10","value":$recall%.4f,"n_vectors":$n,"n_queries":${recalls.size},"sketch_bits":${Vectors.SketchBits},"rerank_fraction":${Vectors.RerankFraction},"exact_scan_per_query":${budget}}""")
+    val recall = perQuery.map(_._1).sum / perQuery.size
+    val avgScan = perQuery.map(_._2).sum / perQuery.size
+    println(f"""{"metric":"ann_recall_at_10","value":$recall%.4f,"n_vectors":$n,"n_queries":${perQuery.size},"sketch_bits":${Vectors.SketchBits},"rerank_fraction":${Vectors.RerankFraction},"avg_scanned_fraction":$avgScan%.4f,"budget_reference":$budget}""")
     spark.stop()
   }
 }

@@ -220,6 +220,51 @@ object OracleGen {
        |FROM a JOIN b ON b.doc_id = a.doc_id AND abs((b.pos - 1) - a.pos) <= $slop
        |GROUP BY a.doc_id""".stripMargin
 
+  /** Unordered 2-term span-near: anchors of w1 with a w2 occurrence in
+    * EITHER direction within width-minus-length slop
+    * (|pos2 - pos1| - 1 <= slop).
+    */
+  def spanNearUnorderedSql(w1: String, w2: String, slop: Int): String =
+    s"""WITH lists AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), tokpos AS (
+       |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+       |  FROM lists
+       |), a AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w1'),
+       |   b AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w2')
+       |SELECT a.doc_id, count(DISTINCT a.pos) AS span_tf
+       |FROM a JOIN b ON b.doc_id = a.doc_id AND abs(b.pos - a.pos) - 1 <= $slop
+       |GROUP BY a.doc_id""".stripMargin
+
+  /** More-like-this: seed doc's top-m terms by tf(seed) x idf, then the
+    * BM25 disjunction over them, seed excluded.
+    */
+  def moreLikeThisSql(seed: Long, m: Int, k: Int): String =
+    s"""WITH $tokCte, $dlCtes, seedtf AS (
+       |  SELECT term, count(*) AS tf FROM tokf WHERE doc_id = $seed GROUP BY term
+       |), alldf AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM tokf GROUP BY term
+       |), mlt AS (
+       |  SELECT s.term,
+       |    s.tf * ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) AS w
+       |  FROM seedtf s JOIN alldf d USING (term) CROSS JOIN st
+       |  ORDER BY w DESC, s.term ASC LIMIT $m
+       |), tf2 AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tokf
+       |  WHERE term IN (SELECT term FROM mlt) GROUP BY doc_id, term
+       |), persc2 AS (
+       |  SELECT tf2.doc_id,
+       |    ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5))
+       |      * tf2.tf / (tf2.tf + 1.2 * (1 - 0.75 + 0.75 * norm.ldl / (st.sttf / CAST(st.n AS DOUBLE)))) AS s
+       |  FROM tf2 JOIN alldf d USING (term)
+       |  JOIN norm ON tf2.doc_id = norm.doc_id CROSS JOIN st
+       |), sc2 AS (
+       |  SELECT doc_id, sum(s) AS score FROM persc2 GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q
+       |FROM sc2 WHERE doc_id <> $seed
+       |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+
   /** Nested compiled query (the `query_compile_nested` entry):
     * must=[spark], should=[bool(merge OR join), boost(scan, 2.0)],
     * mustNot=[dup], filter=[prefix 'sl'] — score = s(spark) +
@@ -245,8 +290,9 @@ object OracleGen {
        |SELECT DISTINCT doc_id FROM tokf WHERE $termPred""".stripMargin
 
   /** Cross-field DisMax over (title = first 4 tokens, body): per-field
-    * BM25 with the FIELD's docCount/avgdl/df, combined per doc as
-    * max + tie * (sum - max).
+    * BM25 with the FIELD's docCount/avgdl/df, combined PER TERM across
+    * fields as max + tie * (sum - max), then summed over terms — the
+    * Solr DisMaxQParser shape (one DisjunctionMaxQuery per query term).
     */
   def multifieldDismaxSql(terms: Seq[String], tie: Double, k: Int): String = {
     val qs = termList(terms.distinct)
@@ -275,20 +321,23 @@ object OracleGen {
        |  SELECT doc_id, field, term, count(*) AS tf FROM toks
        |  WHERE term IN ($qs) GROUP BY doc_id, field, term
        |), fsc AS (
-       |  SELECT ftf.doc_id, ftf.field,
-       |    sum(ln(1 + (fst.n - fdf.df + 0.5) / (fdf.df + 0.5))
-       |      * ftf.tf / (ftf.tf + 1.2 * (1 - 0.75 + 0.75 * fnorm.ldl / (fst.sttf / CAST(fst.n AS DOUBLE))))) AS s
+       |  SELECT ftf.doc_id, ftf.field, ftf.term,
+       |    ln(1 + (fst.n - fdf.df + 0.5) / (fdf.df + 0.5))
+       |      * ftf.tf / (ftf.tf + 1.2 * (1 - 0.75 + 0.75 * fnorm.ldl / (fst.sttf / CAST(fst.n AS DOUBLE)))) AS s
        |  FROM ftf
        |  JOIN fdf ON ftf.field = fdf.field AND ftf.term = fdf.term
        |  JOIN fnorm ON ftf.doc_id = fnorm.doc_id AND ftf.field = fnorm.field
        |  JOIN fst ON fst.field = ftf.field
-       |  GROUP BY ftf.doc_id, ftf.field
+       |), pt AS (
+       |  SELECT doc_id, term, max(s) AS mx, sum(s) AS sm
+       |  FROM fsc GROUP BY doc_id, term
        |), agg AS (
-       |  SELECT doc_id, max(s) AS mx, sum(s) AS sm FROM fsc GROUP BY doc_id
+       |  SELECT doc_id, sum(mx + $tie * (sm - mx)) AS total
+       |  FROM pt GROUP BY doc_id
        |)
        |SELECT doc_id,
-       |  CAST(round((mx + $tie * (sm - mx)) * 10000) AS BIGINT) AS score_q
-       |FROM agg ORDER BY (mx + $tie * (sm - mx)) DESC, doc_id ASC LIMIT $k""".stripMargin
+       |  CAST(round(total * 10000) AS BIGINT) AS score_q
+       |FROM agg ORDER BY total DESC, doc_id ASC LIMIT $k""".stripMargin
   }
 
   /** docCount — docs with ≥1 indexed (non-stop) token. */

@@ -70,16 +70,22 @@ object SparkEntry {
     }),
     "index_sort_topk" -> ((s, dir) => {
       // index sort + early termination: docIDs remapped to the dense
-      // rank of (n_chars, doc_id) — at scale this global rank is a
-      // range-partitioned sort, the Spark analog of IndexSorter — then
+      // rank of (n_chars, doc_id) via a RANGE-PARTITIONED sort +
+      // partition-offset ranks (zipWithIndex — the same docID-assignment
+      // pattern as the main build, SURVEY §2.2; no single-partition
+      // window at any scale), the Spark analog of IndexSorter — then
       // "first k matching docs by the sort field" decodes only leading
       // blocks per segment (earlyTerminatedTopK) instead of the full
       // posting list
-      import org.apache.spark.sql.expressions.Window
-      val docs0 = s.read.parquet(s"$dir/documents.parquet")
-      val w = Window.orderBy(col("n_chars").asc, col("doc_id").asc)
-      val remap = docs0.select(col("doc_id"), col("n_chars"), col("text"))
-        .withColumn("sorted_doc_id", row_number().over(w).cast("long") - 1)
+      import s.implicits._
+      val sorted = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long"), col("n_chars").cast("long"),
+          col("text"))
+        .repartitionByRange(col("n_chars").asc, col("doc_id").asc)
+        .sortWithinPartitions(col("n_chars").asc, col("doc_id").asc)
+      val remap = sorted.as[(Long, Long, String)].rdd.zipWithIndex()
+        .map { case ((id, nc, tx), rank) => (id, nc, tx, rank) }
+        .toDF("doc_id", "n_chars", "text", "sorted_doc_id")
       val corpus = remap.select(col("sorted_doc_id").as("doc_id"),
         col("sorted_doc_id").cast("string").as("url"), col("text"))
       val view = graft.index.Indexer.buildTables(s,
@@ -87,7 +93,7 @@ object SparkEntry {
       MoreQueries.earlyTerminatedTopK(s, view, "spark", 10)
         .join(remap.select(col("sorted_doc_id"), col("doc_id"), col("n_chars")),
           Seq("sorted_doc_id"))
-        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+        .select(col("doc_id"), col("n_chars"))
     }),
     "tiered_merge" -> ((s, dir) => {
       // size-tiered candidate selection (TieredMergePolicy analog) +
@@ -126,6 +132,24 @@ object SparkEntry {
     "span_near_query" -> ((s, dir) => {
       MoreQueries.spanNearOrdered(s, IndexCache.documentsIndex(s, dir),
         Seq("hash", "join"), slop = 3)
+    }),
+    "span_near_unordered" -> ((s, dir) => {
+      // order-free proximity (NearSpansUnordered): 'join' before OR
+      // after 'hash' within the width budget
+      MoreQueries.spanNearUnordered(s, IndexCache.documentsIndex(s, dir),
+        Seq("join", "hash"), slop = 3)
+    }),
+    "more_like_this" -> ((s, dir) => {
+      // MLT: seed doc's tf-idf-top terms as a scored disjunction
+      val v = IndexCache.documentsIndex(s, dir)
+      val seedText = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") === 0L).select("text").head().getString(0)
+      quantize(MoreQueries.moreLikeThisTopK(s, v, 0L, seedText, 10, 10,
+        DoubleOracle), 10)
+    }),
+    "regexp_query" -> ((s, dir) => {
+      val v = IndexCache.documentsIndex(s, dir)
+      MoreQueries.matchingDocs(s, v, MoreQueries.regexpTerms(v, "s[cp]an"))
     }),
     "prefix_query" -> ((s, dir) => {
       val v = IndexCache.documentsIndex(s, dir)
@@ -370,6 +394,10 @@ object SparkEntry {
         |FROM anchors WHERE nb - pos - 1 <= 3 GROUP BY doc_id""".stripMargin,
     "prefix_query" -> OracleGen.docsWithTermWhereSql("term LIKE 'sl%'"),
     "wildcard_query" -> OracleGen.docsWithTermWhereSql("regexp_matches(term, '^s.an$')"),
+    "span_near_unordered" -> OracleGen.spanNearUnorderedSql("join", "hash", 3),
+    "more_like_this" -> OracleGen.moreLikeThisSql(0L, 10, 10),
+    "regexp_query" ->
+      OracleGen.docsWithTermWhereSql("regexp_matches(term, '^(?:s[cp]an)$')"),
     "fuzzy_query" -> OracleGen.docsWithTermWhereSql("levenshtein(term, 'merg') <= 1"),
     "term_range_query" -> OracleGen.docsWithTermWhereSql("term >= 'query' AND term < 'sort'"),
     "term_in_set_query" -> OracleGen.docsWithTermWhereSql("term IN ('spark', 'dup', 'batch')"),

@@ -141,6 +141,11 @@ object Indexer {
 
   val Field = "text"
 
+  /** Separator for field-qualified term keys in multi-field inputs
+    * (see [[MultiFieldIndex]]); never occurs in analyzer output.
+    */
+  val FieldSep = '\u0001'
+
   def segmentOf(docId: Long, segSize: Long): Int = (docId / segSize).toInt
 
   /** Analyze each document ONCE (the reference also tokenizes once per
@@ -374,8 +379,16 @@ object Indexer {
           }
         }
         java.util.Arrays.sort(entries, Ordering.by((e: (Long, Int, Byte, Array[Int])) => e._1))
+        // multi-field inputs carry the field as a `fieldterm` key
+        // through the (field-agnostic) chunk phase; split it back into
+        // the block row's first-class field column here. Analyzer terms
+        // are [a-z0-9]+, so the separator is unambiguous.
+        val sep = term.indexOf(FieldSep)
+        val (f, t) =
+          if (sep >= 0) (term.substring(0, sep), term.substring(sep + 1))
+          else (Field, term)
         PostingCodec.encodeBlocks(entries).iterator.map(b =>
-          PostingBlockRow(seg, Field, term, b.blockId, b.firstDocId,
+          PostingBlockRow(seg, f, t, b.blockId, b.firstDocId,
             b.lastDocId, b.docCount, b.maxTf, b.minNormLen, b.sumTf,
             b.docs, b.freqs, b.norms, b.positions))
       }

@@ -117,17 +117,39 @@ object Vectors {
     h
   }
 
+  /** Session-scoped cache of sketched corpora (vec_id, embedding,
+    * sketch), one per embeddings dir — repeated entry runs (Verify +
+    * Bench in one JVM) reuse one cached copy instead of leaking a new
+    * `persist()` per call (round-2 review finding). At scale this is
+    * the precomputed sketch side table.
+    */
+  private val sketchCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Long)]()
+
+  private[graft] def sketchedCorpus(s: SparkSession, dir: String): (DataFrame, Long) =
+    sketchCache.computeIfAbsent(dir, { _ =>
+      import s.implicits._
+      val sk = emb(s, dir).select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .map { case (id, v) => (id, v, sketchOf(v)) }
+        .toDF("vec_id", "embedding", "sketch")
+        .persist()
+      (sk, sk.count()) // materialize once; count reused by callers
+    })
+
   /** Approximate cosine top-k — two-stage SRP-LSH sketch + re-rank (the
     * 100 TB path):
     *
-    *  1. Stage 1 ranks the WHOLE corpus by Hamming distance between
-    *     32-byte sign sketches (popcount only — the scan touches the
-    *     compact sketch column, ~1–10% of the raw vector bytes; at
-    *     realistic dims the sketch table is ~1% of corpus bytes) and
-    *     keeps the best [[RerankFraction]] via a distributed
-    *     TakeOrderedAndProject.
-    *  2. Stage 2 exact-reranks only those candidates with full-precision
-    *     cosine.
+    *  1. Stage 1 keeps every vector whose sketch is within a Hamming
+    *     RADIUS of the query sketch — a NARROW filter over the compact
+    *     (vec_id, sketch) columns (popcount only, ~1% of corpus bytes at
+    *     realistic dims), with no global sort and no proportional-k
+    *     limit: nothing funnels through one partition at any corpus
+    *     size. The radius is estimated from a deterministic hash-sample
+    *     as the [[RerankFraction]]-quantile of the sample's Hamming
+    *     histogram (257 bins — a metadata-scale driver computation).
+    *  2. Stage 2 exact-reranks only the radius survivors with
+    *     full-precision cosine.
     *
     * Bucketed probing was measured and rejected: on near-random vectors
     * (this corpus) the best margin-guided multi-probe reaches only
@@ -138,30 +160,38 @@ object Vectors {
   def annLshTopK(s: SparkSession, dir: String, queryId: Long = 0L,
                  k: Int = 10): DataFrame = {
     import s.implicits._
-    val e = emb(s, dir)
-    // sketches computed ONCE and cached: three consumers follow (query
-    // lookup, stage-1 ranking, stage-2 candidate join); at scale this
-    // is the precomputed sketch side table
-    val sketched = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .map { case (id, v) => (id, v, sketchOf(v)) }
-      .toDF("vec_id", "embedding", "sketch")
-      .persist()
-    val n = sketched.count() // also materializes the cache
-    val budget = math.max(k, math.ceil(n * RerankFraction).toInt)
+    val (sketched, n) = sketchedCorpus(s, dir)
     val qRow = sketched.where(col("vec_id") === queryId)
       .select(col("embedding"), col("sketch")).as[(Array[Float], Array[Long])].head()
     val bcQ = s.sparkContext.broadcast(qRow)
-    // stage 1: popcount ranking over (vec_id, sketch) ONLY — the full
-    // embedding column is not carried through the TakeOrdered cut
-    val cand = sketched.select(col("vec_id"), col("sketch"))
+    val hams = sketched.select(col("vec_id"), col("sketch"))
       .as[(Long, Array[Long])]
       .map { case (id, sk) => (id, hamming(sk, bcQ.value._2)) }
       .toDF("vec_id", "ham")
       .where(col("vec_id") =!= queryId)
-      .orderBy(col("ham").asc, col("vec_id").asc)
-      .limit(budget)
-    // stage 2: exact cosine on the candidate set only (candidate list
-    // is budget-sized — broadcast side of the join)
+    // radius from a deterministic ~5% sample (every-20th vec_id — ids
+    // are dense and uncorrelated with sketch distance, and the rule is
+    // a pure function of the data, so results never depend on
+    // partitioning/scheduling and AnnRecall can replicate it exactly):
+    // smallest r with cumulative sample mass >= the budget fraction.
+    // The histogram is <= 257 rows — scalar driver work.
+    val sampleHist = hams
+      .where(col("vec_id") % 20 === 0)
+      .groupBy("ham").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val sampleN = math.max(1L, sampleHist.map(_._2).sum)
+    val target = math.max(1L, math.ceil(sampleN * RerankFraction).toLong)
+    var cum = 0L
+    val radius0 = sampleHist.collectFirst {
+      case (h, c) if { cum += c; cum >= target } => h
+    }.getOrElse(SketchBits)
+    // tiny-corpus guard: widen until >= k candidates survive (each probe
+    // is a scalar count; in practice 0 extra rounds at any real scale)
+    var radius = radius0
+    while (radius < SketchBits &&
+           hams.where(col("ham") <= radius).count() < k) radius += 8
+    val cand = hams.where(col("ham") <= radius)
+    // stage 2: exact cosine on the radius survivors only
     val qv = typedlit(bcQ.value._1.toSeq)
     cand.join(sketched.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(col("vec_id"),

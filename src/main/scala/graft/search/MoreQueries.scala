@@ -51,6 +51,13 @@ object MoreQueries {
   def fuzzyTerms(view: IndexView, term: String, maxEdits: Int): Seq[String] =
     expandTerms(view, levenshtein(col("term"), lit(term)) <= maxEdits)
 
+  /** RegexpQuery [8x search/RegexpQuery.java]: the pattern must match
+    * the WHOLE term (Lucene anchors the automaton), so the dictionary
+    * predicate is the anchored regex.
+    */
+  def regexpTerms(view: IndexView, pattern: String): Seq[String] =
+    expandTerms(view, col("term").rlike("^(?:" + pattern + ")$"))
+
   def rangeTerms(view: IndexView, lo: String, hi: String,
                  includeHi: Boolean = false): Seq[String] =
     expandTerms(view,
@@ -280,6 +287,61 @@ object MoreQueries {
     perDoc.filter(_._2 > 0).toDF("doc_id", "span_tf")
   }
 
+  /** Unordered span-near [8x search/spans/NearSpansUnordered.java]: the
+    * terms may appear in ANY order; a window of one occurrence per term
+    * matches when its width minus the term count fits the slop
+    * (maxPos - minPos + 1 - k <= slop — Lucene's width-minus-length
+    * metric for single-token clauses). span_tf counts anchor positions
+    * p of the FIRST term for which some matching window contains p.
+    * Exactness: a window containing p minimizes its width by taking,
+    * from each other list, either the closest position <= p or the
+    * closest >= p — enumerating those choices (2^(k-1), k is tiny) with
+    * width pruning is an exact feasibility check.
+    */
+  def spanNearUnordered(spark: SparkSession, view: IndexView,
+                        terms: Seq[String], slop: Int): DataFrame = {
+    import spark.implicits._
+    require(terms.size >= 2, "span needs >= 2 terms")
+    require(terms.distinct.size == terms.size,
+      "unordered span requires distinct terms")
+    val k = terms.size
+    val perDoc = view.postings
+      .filter($"term".isin(terms: _*))
+      .flatMap { b =>
+        val d = PostingCodec.decode(b.docs, b.freqs, b.norms)
+        val ps = PostingCodec.decodePositions(b.positions, d.freqs)
+        Iterator.tabulate(d.docIds.length)(i => (d.docIds(i), b.term, ps(i)))
+      }
+      .groupByKey(_._1)
+      .mapGroups { (docId, it) =>
+        val posByTerm = it.map(t => t._2 -> t._3).toMap
+        val tf =
+          if (!terms.forall(posByTerm.contains)) 0
+          else {
+            val others = terms.tail.map(posByTerm).toArray
+            def feasible(p: Int): Boolean = {
+              def rec(i: Int, mn: Int, mx: Int): Boolean = {
+                if (mx - mn + 1 - k > slop) false // window only grows
+                else if (i == others.length) true
+                else {
+                  val ps = others(i)
+                  val j = java.util.Arrays.binarySearch(ps, p)
+                  val at = if (j >= 0) j else -j - 1
+                  val cands =
+                    (if (at > 0) List(ps(at - 1)) else Nil) :::
+                    (if (at < ps.length) List(ps(at)) else Nil)
+                  cands.exists(q => rec(i + 1, math.min(mn, q), math.max(mx, q)))
+                }
+              }
+              rec(0, p, p)
+            }
+            posByTerm(terms.head).count(feasible)
+          }
+        (docId, tf)
+      }
+    perDoc.filter(_._2 > 0).toDF("doc_id", "span_tf")
+  }
+
   /** Rescoring [8x search/QueryRescorer.java]: re-rank the top-N of a
     * cheap first-pass query with a costlier second query —
     * final = firstScore + weight * secondScore (docs not matching the
@@ -303,6 +365,29 @@ object MoreQueries {
         (col("score") + lit(weight) * coalesce(col("s2"), lit(0.0))).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** More-like-this [8x queries/mlt/MoreLikeThis.java, solrj
+    * io/stream/KnnStream.java]: extract the seed document's top-`m`
+    * "interesting" terms ranked by tf(seed) x idf(corpus) (tie: term
+    * asc), then run them as a scored disjunction, excluding the seed.
+    * The idf is this engine's 8.x shape (the reference's default MLT
+    * uses a classic-similarity idf — same ranking intent, re-derived
+    * against the one scoring spec this engine has).
+    */
+  def moreLikeThisTopK(spark: SparkSession, view: IndexView,
+                       seedDocId: Long, seedText: String, m: Int, k: Int,
+                       mode: ScoreMode = DoubleOracle): DataFrame = {
+    val a = graft.analysis.Analyzer.analyze(seedText,
+      graft.analysis.Analyzer.EnglishStopWords)
+    val seedTerms = a.terms.map(t => t.term -> t.tf)
+    val scorers = QueryScorers(view, seedTerms.map(_._1).toSeq, mode)
+    val interesting = seedTerms.toSeq
+      .flatMap { case (t, tf) => scorers.idfDOf(t).map(idf => (t, tf * idf)) }
+      .sortBy { case (t, w) => (-w, t) }.take(m).map(_._1)
+    ExactSearch.scoredWith(spark, view, interesting, scorers)
+      .where(col("doc_id") =!= seedDocId)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
   /** FILTER clause: top-k for `queryTerms` restricted to a doc set

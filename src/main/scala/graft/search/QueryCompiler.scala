@@ -27,6 +27,8 @@ object Query {
   //   the term dictionary, the reference's CONSTANT_SCORE_REWRITE —
   final case class Prefix(prefix: String) extends Query
   final case class Wildcard(pattern: String) extends Query
+  /** Whole-term regular expression [8x search/RegexpQuery.java]. */
+  final case class Regexp(pattern: String) extends Query
   final case class Fuzzy(term: String, maxEdits: Int) extends Query
   final case class TermRange(lo: String, hi: String) extends Query
   final case class TermSet(terms: Seq[String]) extends Query
@@ -79,6 +81,7 @@ object QueryCompiler {
   def rewrite(view: IndexView, q: Query): Query = q match {
     case Prefix(p)       => ConstScore(TermSet(MoreQueries.prefixTerms(view, p)))
     case Wildcard(p)     => ConstScore(TermSet(MoreQueries.wildcardTerms(view, p)))
+    case Regexp(p)       => ConstScore(TermSet(MoreQueries.regexpTerms(view, p)))
     case Fuzzy(t, e)     => ConstScore(TermSet(MoreQueries.fuzzyTerms(view, t, e)))
     case TermRange(l, h) => ConstScore(TermSet(MoreQueries.rangeTerms(view, l, h)))
     case TermSet(ts)     => ConstScore(TermSet(ts.distinct.sorted))

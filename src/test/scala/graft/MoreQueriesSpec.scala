@@ -164,6 +164,71 @@ class MoreQueriesSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("unordered span-near equals brute force over all tuples; order-free") {
+    val terms = Seq("w0000", "w0001")
+    for (slop <- Seq(0, 1, 3, 6)) {
+      val got = MoreQueries.spanNearUnordered(spark, view, terms, slop)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      val expected = docs.flatMap { case (id, text) =>
+        val toks = Analyzer.tokenize(text)
+        val lists = terms.map(t => toks.filter(_.term == t).map(_.pos))
+        if (lists.exists(_.isEmpty)) None
+        else {
+          // brute force: anchor on every first-term position; any tuple
+          // (one occurrence per term) containing it within the width
+          // budget counts
+          val tf = lists.head.count { p =>
+            lists.tail.foldLeft(Seq((p, p))) { (acc, ps) =>
+              for ((mn, mx) <- acc; q <- ps) yield (math.min(mn, q), math.max(mx, q))
+            }.exists { case (mn, mx) => mx - mn + 1 - terms.size <= slop }
+          }
+          if (tf > 0) Some(id -> tf) else None
+        }
+      }.toMap
+      assert(got == expected, s"slop=$slop")
+      if (slop >= 3) assert(expected.nonEmpty)
+    }
+    // order-free: reversed term order gives the same doc set (anchors
+    // differ, so compare matching docs)
+    val fwd = MoreQueries.spanNearUnordered(spark, view, terms, 4)
+      .collect().map(_.getLong(0)).toSet
+    val rev = MoreQueries.spanNearUnordered(spark, view, terms.reverse, 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(fwd == rev)
+    // and it is a superset of the ordered variant at the same slop:
+    // ordered gap (p_last - p_first - (n-1)) equals width-minus-length
+    // for in-order windows
+    val ordered = MoreQueries.spanNearOrdered(spark, view, terms, 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(ordered.subsetOf(fwd))
+  }
+
+  test("three-term unordered span: neighbor enumeration is exact") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, "u", "alpha beta gamma"),          // width 3-3=0
+      (1L, "u", "gamma beta alpha"),          // any order
+      (2L, "u", "alpha x x beta gamma"),      // width 5-3=2
+      (3L, "u", "alpha x x x x beta gamma"),  // width 7-3=4
+      (4L, "u", "alpha beta delta")           // gamma missing
+    ).toDF("doc_id", "url", "text")
+    val v = Indexer.buildTables(spark, Indexer.asDocInput(spark, tiny), 16L)
+    def ids(slop: Int) =
+      MoreQueries.spanNearUnordered(spark, v, Seq("alpha", "beta", "gamma"), slop)
+        .collect().map(_.getLong(0)).toSet
+    assert(ids(0) == Set(0L, 1L))
+    assert(ids(2) == Set(0L, 1L, 2L))
+    assert(ids(4) == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("more-like-this: seed excluded, seed's own terms drive the ranking") {
+    val seedText = docs.find(_._1 == 0L).get._2
+    val got = MoreQueries.moreLikeThisTopK(spark, view, 0L, seedText, 10, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(got.nonEmpty && !got.exists(_._1 == 0L))
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse) // score desc
+  }
+
   test("early-terminated sorted walk returns exactly the first k matching docIDs") {
     for (term <- Seq("w0000", "w0042", "w1999", "zzznotfound"); k <- Seq(5, 50)) {
       val got = MoreQueries.earlyTerminatedTopK(spark, view, term, k)

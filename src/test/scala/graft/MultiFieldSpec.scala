@@ -40,27 +40,28 @@ class MultiFieldSpec extends AnyFunSuite {
     val df: Map[(String, String), Long] = (for {
       f <- fields; t <- qTerms
     } yield (f, t) -> docs.count { case (_, tx) => toks(tx, f).contains(t) }.toLong).toMap
+    // per-TERM dismax across fields, summed over terms (DisMaxQParser:
+    // one DisjunctionMaxQuery per query term)
     def score(id: Long, text: String): Option[Double] = {
-      val perField = fields.flatMap { f =>
-        val ts = toks(text, f)
-        val ldl = dls.get((id, f)).map(d =>
-          SmallFloat.byte4ToInt(SmallFloat.intToByte4(d)))
-        val s = qTerms.sorted.map { t =>
+      val perTerm = qTerms.sorted.flatMap { t =>
+        val fieldScores = fields.flatMap { f =>
+          val ts = toks(text, f)
           val tf = ts.count(_ == t)
-          if (tf == 0) 0.0
+          if (tf == 0) None
           else {
+            val ldl = SmallFloat.byte4ToInt(SmallFloat.intToByte4(dls((id, f))))
             val idf = math.log(1d + (n(f) - df((f, t)) + 0.5) / (df((f, t)) + 0.5))
             val avg = sttf(f).toDouble / n(f)
-            idf * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * ldl.get / avg))
+            Some(idf * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * ldl / avg)))
           }
-        }.sum
-        if (ts.exists(qTerms.contains)) Some(s) else None
+        }
+        if (fieldScores.isEmpty) None
+        else {
+          val mx = fieldScores.max
+          Some(mx + tie * (fieldScores.sum - mx))
+        }
       }
-      if (perField.isEmpty) None
-      else {
-        val mx = perField.max
-        Some(mx + tie * (perField.sum - mx))
-      }
+      if (perTerm.isEmpty) None else Some(perTerm.sum)
     }
     val expected = docs.flatMap { case (id, tx) => score(id, tx).map(id -> _) }
       .sortBy { case (id, s) => (-s, id) }.take(10).toList
