@@ -256,6 +256,19 @@ object SparkEntry {
     "significant_terms" -> ((s, dir) =>
       graft.operators.Relational.significantTerms(s, dir)),
     "gather_nodes" -> (graft.operators.Relational.gatherNodes _),
+    "shortest_path" -> ((s, dir) => {
+      // BFS shortest paths over the customer→order→part edge relation;
+      // target = the smallest part on the seed customer's orders (the
+      // oracle recomputes the same choice)
+      val edges = graft.operators.Relational.copurchaseEdges(s, dir)
+      val target = s.read.parquet(s"$dir/lineitem.parquet")
+        .join(s.read.parquet(s"$dir/orders.parquet")
+            .where(col("o_custkey") === 1L),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .agg(min("l_partkey")).head().getLong(0)
+      graft.operators.Relational.shortestPath(s, edges, "c:1", s"p:$target", 4)
+    }),
+    "score_nodes" -> (graft.operators.Relational.scoreNodes _),
     // — input_hint per-row invariant, oracle-checked: extracted text is
     //   byte-identical per url (extract(render(text)) == text) —
     "html_extract" -> ((s, dir) => {
@@ -442,6 +455,33 @@ object SparkEntry {
         |  SELECT DISTINCT o_orderkey FROM orders WHERE o_custkey IN (
         |    SELECT c_custkey FROM customer
         |    WHERE c_mktsegment = 'BUILDING' AND c_custkey < 200))""".stripMargin,
+    "shortest_path" ->
+      """WITH t AS (
+        |  SELECT min(l_partkey) AS pk FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey WHERE o_custkey = 1
+        |)
+        |SELECT DISTINCT 'c:1->o:' || o_orderkey || '->p:' || t.pk AS path
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey CROSS JOIN t
+        |WHERE o_custkey = 1 AND l_partkey = t.pk""".stripMargin,
+    "score_nodes" ->
+      """WITH seeds AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING' AND c_custkey < 200
+        |), so AS (
+        |  SELECT DISTINCT o_orderkey FROM orders
+        |  JOIN seeds ON o_custkey = c_custkey
+        |), g AS (
+        |  SELECT l_partkey AS node, count(DISTINCT l_orderkey) AS freq
+        |  FROM lineitem JOIN so ON l_orderkey = o_orderkey GROUP BY l_partkey
+        |), nn AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+        |d AS (
+        |  SELECT l_partkey AS node, count(DISTINCT l_orderkey) AS df
+        |  FROM lineitem GROUP BY l_partkey
+        |)
+        |SELECT g.node,
+        |  CAST(floor(10000.0 * g.freq * ln(1 + CAST(nn.n_orders AS DOUBLE) / d.df)) AS BIGINT) AS score_q
+        |FROM g JOIN d USING (node) CROSS JOIN nn
+        |ORDER BY score_q DESC, node ASC LIMIT 20""".stripMargin,
     "html_extract" -> "SELECT doc_id, md5(text) AS text_md5 FROM documents",
     // Plane B (facet_hll omitted: approximate — rows-only check)
     "rollup_agg" -> RelationalOracles.rollupAgg,

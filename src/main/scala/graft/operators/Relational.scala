@@ -273,6 +273,87 @@ object Relational {
       .select(col("l_partkey").as("node")).distinct()
   }
 
+  /** ShortestPathStream analog [Solr solrj io.graph
+    * ShortestPathStream]: iterative breadth-first search over an edge
+    * relation, returning ALL shortest paths from `from` to `to` (as
+    * `a->b->c` strings). Each level is one equi-join + anti-join
+    * against the visited set — the stream's iterative-join shape; the
+    * visited frontier keeps same-level alternatives so every shortest
+    * path survives. Driver work per level is a scalar found-check.
+    */
+  def shortestPath(s: SparkSession, edges: DataFrame, from: String,
+                   to: String, maxDepth: Int): DataFrame = {
+    import s.implicits._
+    var frontier = Seq((from, from)).toDF("node", "path")
+    var visited = Seq(from).toDF("v_node")
+    var found: Option[DataFrame] = None
+    var depth = 0
+    while (found.isEmpty && depth < maxDepth) {
+      // alias each level's edge scan so the repeated self-joins of the
+      // iterative BFS stay unambiguous to the analyzer
+      val lvlEdges = edges.select(col("src").as(s"src_$depth"),
+        col("dst").as(s"dst_$depth"))
+      val next = frontier.join(lvlEdges, col("node") === col(s"src_$depth"))
+        .select(col(s"dst_$depth").as("node"),
+          concat(col("path"), lit("->"), col(s"dst_$depth")).as("path"))
+        .join(visited, col("node") === col("v_node"), "left_anti")
+        .persist()
+      val hits = next.where(col("node") === to)
+      if (hits.limit(1).count() > 0) found = Some(hits.select("path").distinct())
+      else if (next.limit(1).count() == 0) depth = maxDepth // exhausted
+      else {
+        visited = visited
+          .union(next.select(col("node").as("v_node")).distinct()).distinct()
+        frontier = next
+        depth += 1
+      }
+    }
+    found.getOrElse(Seq.empty[String].toDF("path"))
+  }
+
+  /** The customer→order→part edge relation used by the graph entries
+    * (namespaced node ids keep the tripartite node sets disjoint).
+    */
+  def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val co = tbl(s, dir, "orders").select(
+      concat(lit("c:"), col("o_custkey")).as("src"),
+      concat(lit("o:"), col("o_orderkey")).as("dst"))
+    val op = tbl(s, dir, "lineitem").select(
+      concat(lit("o:"), col("l_orderkey")).as("src"),
+      concat(lit("p:"), col("l_partkey")).as("dst"))
+    co.union(op)
+  }
+
+  /** ScoreNodesStream analog [Solr solrj io.graph ScoreNodesStream]:
+    * rescore gathered nodes by tf-idf — a node reached often from the
+    * seed set but globally common scores lower than one reached often
+    * and globally rare. Here: gathered parts (freq = distinct seed
+    * orders containing the part) weighted by ln(1 + N_orders/df);
+    * integer-quantized for the oracle.
+    */
+  def scoreNodes(s: SparkSession, dir: String): DataFrame = {
+    val seeds = tbl(s, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING" && col("c_custkey") < 200)
+      .select(col("c_custkey"))
+    val seedOrders = tbl(s, dir, "orders")
+      .join(seeds, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey")).distinct()
+    val li = tbl(s, dir, "lineitem")
+    val gathered = li
+      .join(seedOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_partkey").as("node"))
+      .agg(countDistinct(col("l_orderkey")).as("freq"))
+    val nOrders = li.select("l_orderkey").distinct().count()
+    val df = li.groupBy(col("l_partkey").as("node"))
+      .agg(countDistinct(col("l_orderkey")).as("df"))
+    gathered.join(df, Seq("node"))
+      .select(col("node"),
+        floor(lit(10000.0) * col("freq") * log(lit(1.0) + lit(nOrders.toDouble) / col("df")))
+          .cast("long").as("score_q"))
+      .orderBy(col("score_q").desc, col("node").asc)
+      .limit(20)
+  }
+
   /** §2.6 Parallel SQL surface: the engine accepts ANSI SQL directly —
     * Catalyst replaces the reference's Calcite layer wholesale.
     */

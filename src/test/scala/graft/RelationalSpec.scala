@@ -38,6 +38,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(Relational.uniqueDedup(spark, dir).count() <= nCust)
   }
 
+  test("shortestPath: all shortest paths, BFS stops at first depth with hits") {
+    import spark.implicits._
+    // a->b->d (len 2), a->c->d (len 2), a->e->f->d (len 3, must not appear)
+    val edges = Seq(("a","b"), ("a","c"), ("a","e"), ("b","d"), ("c","d"),
+      ("e","f"), ("f","d")).toDF("src", "dst")
+    val got = Relational.shortestPath(spark, edges, "a", "d", 5)
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("a->b->d", "a->c->d"))
+    // unreachable target -> empty
+    assert(Relational.shortestPath(spark, edges, "d", "a", 5).count() == 0)
+    // depth cap respected
+    assert(Relational.shortestPath(spark, edges, "a", "d", 1).count() == 0)
+  }
+
   test("window_collapse returns one row per kept customer") {
     val df = Relational.windowCollapse(spark, dir)
     val n = df.count()
