@@ -151,6 +151,14 @@ object SparkEntry {
       val v = IndexCache.documentsIndex(s, dir)
       MoreQueries.matchingDocs(s, v, MoreQueries.regexpTerms(v, "s[cp]an"))
     }),
+    "interval_query" -> ((s, dir) => {
+      // interval algebra: ordered('hash', or('join','merge')) with at
+      // most 2 uncovered positions inside each minimal interval
+      import graft.search.{Interval => I}
+      I.matches(s, IndexCache.documentsIndex(s, dir),
+        I.Ordered(Seq(I.Term("hash"),
+          I.Or(Seq(I.Term("join"), I.Term("merge")))), maxGaps = 2))
+    }),
     "prefix_query" -> ((s, dir) => {
       val v = IndexCache.documentsIndex(s, dir)
       MoreQueries.matchingDocs(s, v, MoreQueries.prefixTerms(v, "sl"))
@@ -411,6 +419,28 @@ object SparkEntry {
     "more_like_this" -> OracleGen.moreLikeThisSql(0L, 10, 10),
     "regexp_query" ->
       OracleGen.docsWithTermWhereSql("regexp_matches(term, '^(?:s[cp]an)$')"),
+    // minimal ordered intervals of (hash, join|merge) are exactly the
+    // mutual-nearest pairs: p = max hash-pos < q AND q = min (join|merge)
+    // -pos > p; maxgaps=2 ⇒ q - p - 1 <= 2
+    "interval_query" ->
+      """WITH lists AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), tokpos AS (
+        |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+        |  FROM lists
+        |), a AS (SELECT doc_id, pos FROM tokpos WHERE term = 'hash'),
+        |   b AS (SELECT doc_id, pos FROM tokpos WHERE term IN ('join', 'merge')),
+        |   pairs AS (
+        |  SELECT b.doc_id, b.pos AS q, max(a.pos) AS p
+        |  FROM b JOIN a ON a.doc_id = b.doc_id AND a.pos < b.pos
+        |  GROUP BY b.doc_id, b.pos
+        |), minimal AS (
+        |  SELECT doc_id, p, q FROM pairs
+        |  WHERE q = (SELECT min(b2.pos) FROM b b2
+        |             WHERE b2.doc_id = pairs.doc_id AND b2.pos > pairs.p)
+        |)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_intervals FROM minimal
+        |WHERE q - p - 1 <= 2 GROUP BY doc_id""".stripMargin,
     "fuzzy_query" -> OracleGen.docsWithTermWhereSql("levenshtein(term, 'merg') <= 1"),
     "term_range_query" -> OracleGen.docsWithTermWhereSql("term >= 'query' AND term < 'sort'"),
     "term_in_set_query" -> OracleGen.docsWithTermWhereSql("term IN ('spark', 'dup', 'batch')"),

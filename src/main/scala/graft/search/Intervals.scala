@@ -1,0 +1,164 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.codec.PostingCodec
+import graft.index.IndexView
+
+/**
+ * Minimal-interval query algebra — re-derivation of the reference's
+ * interval queries [8x queries/intervals/Intervals.java,
+ * IntervalsSource, minimal-interval semantics after Clarke/Cormack and
+ * Vigna's "Efficient optimally lazy algorithms for minimal-interval
+ * semantics"]: every operator produces the MINIMAL set of matching
+ * position intervals per document (no interval in the result properly
+ * contains another), and combinators compose:
+ *
+ *  - [[Interval.Term]]        — one-position intervals of a term
+ *  - [[Interval.Or]]          — union, minimalized
+ *  - [[Interval.Ordered]]     — children in order, optional max gap
+ *                               count (Intervals.maxgaps analog)
+ *  - [[Interval.Unordered]]   — children in any order (min-window sweep)
+ *  - [[Interval.MaxWidth]]    — width filter (Intervals.maxwidth)
+ *
+ * Evaluation is per document over decoded position lists (the same
+ * two-phase shape as phrase/span matching: docs first, positions only
+ * for docs containing every required term).
+ */
+object Interval {
+  sealed trait Expr extends Serializable
+  final case class Term(t: String) extends Expr
+  final case class Or(children: Seq[Expr]) extends Expr
+  /** Children must match in order, later child strictly after the
+    * previous child's end. `maxGaps >= 0` bounds the total number of
+    * uncovered positions inside the enclosing interval.
+    */
+  final case class Ordered(children: Seq[Expr], maxGaps: Int = -1) extends Expr
+  final case class Unordered(children: Seq[Expr]) extends Expr
+  final case class MaxWidth(child: Expr, width: Int) extends Expr
+
+  /** All terms referenced by an expression. */
+  def termsOf(e: Expr): Seq[String] = e match {
+    case Term(t)        => Seq(t)
+    case Or(cs)         => cs.flatMap(termsOf)
+    case Ordered(cs, _) => cs.flatMap(termsOf)
+    case Unordered(cs)  => cs.flatMap(termsOf)
+    case MaxWidth(c, _) => termsOf(c)
+  }
+
+  /** (start, end, coveredLen) — coveredLen is the total length of the
+    * leaf intervals inside (for the gap metric).
+    */
+  private type Iv = (Int, Int, Int)
+
+  /** Keep only minimal intervals (none properly containing another),
+    * sorted by start asc; input may be any order. O(n log n).
+    */
+  private def minimalize(ivs: Array[Iv]): Array[Iv] = {
+    if (ivs.length <= 1) return ivs
+    val sorted = ivs.distinct.sortBy(iv => (-iv._1, iv._2)) // start desc, end asc
+    val out = new scala.collection.mutable.ArrayBuffer[Iv](sorted.length)
+    var minEnd = Int.MaxValue
+    sorted.foreach { iv =>
+      if (iv._2 < minEnd) { out += iv; minEnd = iv._2 }
+    }
+    out.reverseIterator.toArray // start asc, ends strictly increasing
+  }
+
+  /** Evaluate to the minimal interval set of one document. */
+  private[graft] def eval(e: Expr,
+                          posByTerm: Map[String, Array[Int]]): Array[Iv] = e match {
+    case Term(t) =>
+      posByTerm.getOrElse(t, Array.emptyIntArray).map(p => (p, p, 1))
+    case Or(cs) =>
+      minimalize(cs.toArray.flatMap(c => eval(c, posByTerm)))
+    case MaxWidth(c, w) =>
+      eval(c, posByTerm).filter(iv => iv._2 - iv._1 + 1 <= w)
+    case Ordered(cs, maxGaps) =>
+      val lists = cs.map(c => eval(c, posByTerm))
+      if (lists.exists(_.isEmpty)) Array.empty[Iv]
+      else {
+        // for each first-child interval, chain greedily: the first
+        // following interval of each next child (children are minimal
+        // with increasing starts AND ends, so the earliest-starting
+        // follower also has the minimal end) — yields the minimal
+        // ordered interval anchored at that start, then minimalize.
+        val out = lists.head.flatMap { first =>
+          var end = first._2
+          var covered = first._3
+          var ok = true
+          lists.tail.foreach { lst =>
+            if (ok) {
+              val i = indexOfFirstStartAfter(lst, end)
+              if (i < 0) ok = false
+              else { end = lst(i)._2; covered += lst(i)._3 }
+            }
+          }
+          if (ok) Some((first._1, end, covered)) else None
+        }
+        // minimalize FIRST, then apply the gap filter (the reference's
+        // maxgaps wraps the minimal iterator)
+        minimalize(out).filter(iv =>
+          maxGaps < 0 || (iv._2 - iv._1 + 1) - iv._3 <= maxGaps)
+      }
+    case Unordered(cs) =>
+      val lists = cs.map(c => eval(c, posByTerm)).toArray
+      if (lists.exists(_.isEmpty)) Array.empty[Iv]
+      else {
+        // classic min-window sweep: one cursor per child; record the
+        // current window, advance the child whose interval starts first
+        val idx = Array.fill(lists.length)(0)
+        val out = new scala.collection.mutable.ArrayBuffer[Iv]()
+        var done = false
+        while (!done) {
+          var mnStart = Int.MaxValue; var mxEnd = Int.MinValue
+          var covered = 0; var argmin = -1
+          var i = 0
+          while (i < lists.length) {
+            val iv = lists(i)(idx(i))
+            if (iv._1 < mnStart) { mnStart = iv._1; argmin = i }
+            if (iv._2 > mxEnd) mxEnd = iv._2
+            covered += iv._3
+            i += 1
+          }
+          out += ((mnStart, mxEnd, math.min(covered, mxEnd - mnStart + 1)))
+          idx(argmin) += 1
+          if (idx(argmin) >= lists(argmin).length) done = true
+        }
+        minimalize(out.toArray)
+      }
+  }
+
+  private def indexOfFirstStartAfter(lst: Array[Iv], pos: Int): Int = {
+    // first interval with start > pos (starts are strictly increasing)
+    var lo = 0; var hi = lst.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (lst(mid)._1 <= pos) lo = mid + 1 else hi = mid
+    }
+    if (lo < lst.length) lo else -1
+  }
+
+  /** (doc_id, n_intervals) for docs with >= 1 minimal matching interval
+    * — the IntervalQuery match surface (its score would feed the same
+    * per-doc freq into the similarity, like phrase_tf).
+    */
+  def matches(spark: SparkSession, view: IndexView, expr: Expr): DataFrame = {
+    import spark.implicits._
+    val terms = termsOf(expr).distinct
+    val bcExpr = spark.sparkContext.broadcast(expr)
+    val perDoc = view.postings
+      .filter($"term".isin(terms: _*))
+      .flatMap { b =>
+        val d = PostingCodec.decode(b.docs, b.freqs, b.norms)
+        val ps = PostingCodec.decodePositions(b.positions, d.freqs)
+        Iterator.tabulate(d.docIds.length)(i => (d.docIds(i), b.term, ps(i)))
+      }
+      .groupByKey(_._1)
+      .mapGroups { (docId, it) =>
+        val posByTerm = it.map(t => t._2 -> t._3).toMap
+        (docId, eval(bcExpr.value, posByTerm).length)
+      }
+    perDoc.filter(_._2 > 0).toDF("doc_id", "n_intervals")
+  }
+}

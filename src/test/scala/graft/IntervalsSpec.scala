@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.index.Indexer
+import graft.search.{Interval => I, MoreQueries}
+
+/** Minimal-interval algebra: unit evaluation on hand positions, the
+  * minimality law (no result interval properly contains another), and
+  * distributed consistency with the span operators.
+  */
+class IntervalsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def ev(e: I.Expr, pos: Map[String, Array[Int]]): List[(Int, Int)] =
+    I.eval(e, pos).map(iv => (iv._1, iv._2)).toList
+
+  test("term / or: union is minimal and sorted") {
+    val pos = Map("a" -> Array(1, 5, 9), "b" -> Array(5, 7))
+    assert(ev(I.Term("a"), pos) == List((1, 1), (5, 5), (9, 9)))
+    assert(ev(I.Or(Seq(I.Term("a"), I.Term("b"))), pos) ==
+      List((1, 1), (5, 5), (7, 7), (9, 9)))
+  }
+
+  test("ordered: minimal intervals, nested ones dropped, gaps filtered") {
+    // a at 1,5; b at 10 → only (5,10) is minimal
+    val p1 = Map("a" -> Array(1, 5), "b" -> Array(10))
+    assert(ev(I.Ordered(Seq(I.Term("a"), I.Term("b"))), p1) == List((5, 10)))
+    // a at 1; b at 5,8 → only (1,5)
+    val p2 = Map("a" -> Array(1), "b" -> Array(5, 8))
+    assert(ev(I.Ordered(Seq(I.Term("a"), I.Term("b"))), p2) == List((1, 5)))
+    // maxgaps: (5,10) has 4 uncovered inner positions
+    assert(ev(I.Ordered(Seq(I.Term("a"), I.Term("b")), maxGaps = 3), p1) == Nil)
+    assert(ev(I.Ordered(Seq(I.Term("a"), I.Term("b")), maxGaps = 4), p1) ==
+      List((5, 10)))
+    // three children, ordered chaining
+    val p3 = Map("a" -> Array(1), "b" -> Array(3, 9), "c" -> Array(5))
+    assert(ev(I.Ordered(Seq(I.Term("a"), I.Term("b"), I.Term("c"))), p3) ==
+      List((1, 5)))
+    // or-child inside ordered
+    val p4 = Map("a" -> Array(2), "b" -> Array(9), "c" -> Array(4))
+    assert(ev(I.Ordered(Seq(I.Term("a"), I.Or(Seq(I.Term("b"), I.Term("c"))))), p4) ==
+      List((2, 4)))
+  }
+
+  test("unordered + maxwidth: min-window sweep is minimal") {
+    val pos = Map("a" -> Array(1, 20), "b" -> Array(3, 18))
+    val got = ev(I.Unordered(Seq(I.Term("a"), I.Term("b"))), pos)
+    assert(got == List((1, 3), (18, 20)))
+    assert(ev(I.MaxWidth(I.Unordered(Seq(I.Term("a"), I.Term("b"))), 3), pos) == got)
+    assert(ev(I.MaxWidth(I.Unordered(Seq(I.Term("a"), I.Term("b"))), 2), pos).isEmpty)
+    // minimality law on a messier case
+    val messy = Map("a" -> Array(1, 4, 11), "b" -> Array(2, 9))
+    val ivs = ev(I.Unordered(Seq(I.Term("a"), I.Term("b"))), messy)
+    for (i <- ivs; j <- ivs if i != j)
+      assert(!(i._1 <= j._1 && j._2 <= i._2), s"$i contains $j")
+  }
+
+  test("distributed matches agree with span operators on the corpus") {
+    import graft.synth.CorpusSynth
+    val view = Indexer.buildTables(spark,
+      Indexer.asDocInput(spark, CorpusSynth.corpusWithIds(spark, 800, seed = 21L)),
+      segSize = 256L).persisted()
+    // unordered interval of 2 terms within width w  ==  unordered span
+    // with slop w-2 (width - length <= slop)
+    val terms = Seq("w0000", "w0001")
+    val viaIntervals = I.matches(spark, view,
+      I.MaxWidth(I.Unordered(terms.map(I.Term)), 6))
+      .collect().map(_.getLong(0)).toSet
+    val viaSpans = MoreQueries.spanNearUnordered(spark, view, terms, 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaIntervals == viaSpans)
+    assert(viaIntervals.nonEmpty)
+  }
+}
