@@ -54,24 +54,20 @@ object AnnRecall {
     val byId = vecs.toMap // hoisted: one corpus map, not one per query
 
     /** Exact replication of the engine's stage-1 radius rule: the
-      * RerankFraction-quantile of the Hamming histogram over the
-      * deterministic every-20th-vec_id sample, widened by 8-bit steps
-      * until >= 10 candidates survive (Vectors.annLshTopK).
+      * RerankFraction-quantile of the FULL Hamming histogram
+      * (Vectors.annLshTopK), target floored at k=10.
       */
     def radiusAndCands(qi: Int): (Int, IndexedSeq[Int]) = {
       val hams = vecs.indices.filter(_ != qi)
         .map(j => j -> Vectors.hamming(sketches(j), sketches(qi)))
-      val sample = hams.filter { case (j, _) => vecs(j)._1 % 20 == 0 }
-      val sampleN = math.max(1L, sample.size.toLong)
-      val target = math.max(1L, math.ceil(sampleN * Vectors.RerankFraction).toLong)
-      val hist = sample.groupBy(_._2).view.mapValues(_.size.toLong)
+      val target = math.max(10L,
+        math.ceil(math.max(1L, hams.size.toLong) * Vectors.RerankFraction).toLong)
+      val hist = hams.groupBy(_._2).view.mapValues(_.size.toLong)
         .toSeq.sortBy(_._1)
       var cum = 0L
-      var radius = hist.collectFirst {
+      val radius = hist.collectFirst {
         case (h, c) if { cum += c; cum >= target } => h
       }.getOrElse(Vectors.SketchBits)
-      while (radius < Vectors.SketchBits &&
-             hams.count(_._2 <= radius) < 10) radius += 8
       (radius, hams.filter(_._2 <= radius).map(_._1).toIndexedSeq)
     }
 

@@ -39,6 +39,13 @@ object Bench {
     // also warm the query path (plan compile + first parquet scan), so
     // per-query timings measure the queries, not one-time JVM costs
     graft.search.BmwSearch.topK(spark, warmView, Seq("spark"), 5).count()
+    // the other one-time durable-index analogs: the two-field index and
+    // the ANN sketch side table (entries measure QUERY cost; their
+    // builds are one-time like the main index build, measured by the
+    // build entries / warm figure)
+    graft.index.MultiFieldCache.titleBodyIndex(spark, sfDir,
+      IndexCache.TestSegmentSize)
+    graft.operators.Vectors.sketchedCorpus(spark, sfDir)
     val warmSec = (System.nanoTime() - tw0) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

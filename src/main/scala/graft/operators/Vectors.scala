@@ -145,9 +145,9 @@ object Vectors {
     *     (vec_id, sketch) columns (popcount only, ~1% of corpus bytes at
     *     realistic dims), with no global sort and no proportional-k
     *     limit: nothing funnels through one partition at any corpus
-    *     size. The radius is estimated from a deterministic hash-sample
-    *     as the [[RerankFraction]]-quantile of the sample's Hamming
-    *     histogram (257 bins — a metadata-scale driver computation).
+    *     size. The radius is the [[RerankFraction]]-quantile of the full
+    *     Hamming histogram (one 257-bin narrow aggregate over the same
+    *     compact columns + a scalar driver scan of the bins).
     *  2. Stage 2 exact-reranks only the radius survivors with
     *     full-precision cosine.
     *
@@ -169,27 +169,20 @@ object Vectors {
       .map { case (id, sk) => (id, hamming(sk, bcQ.value._2)) }
       .toDF("vec_id", "ham")
       .where(col("vec_id") =!= queryId)
-    // radius from a deterministic ~5% sample (every-20th vec_id — ids
-    // are dense and uncorrelated with sketch distance, and the rule is
-    // a pure function of the data, so results never depend on
-    // partitioning/scheduling and AnnRecall can replicate it exactly):
-    // smallest r with cumulative sample mass >= the budget fraction.
-    // The histogram is <= 257 rows — scalar driver work.
-    val sampleHist = hams
-      .where(col("vec_id") % 20 === 0)
-      .groupBy("ham").count().collect()
+    // radius = the budget-quantile of the FULL Hamming histogram: one
+    // narrow 257-bin aggregate over the compact (vec_id, sketch)
+    // columns — the same cost class as the stage-1 filter pass itself —
+    // then a scalar driver scan of the bins. Exact (no sampling error,
+    // no widening loop), deterministic (a pure function of the data),
+    // and >= k candidates by construction since target >= k.
+    val hist = hams.groupBy("ham").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val sampleN = math.max(1L, sampleHist.map(_._2).sum)
-    val target = math.max(1L, math.ceil(sampleN * RerankFraction).toLong)
+    val total = math.max(1L, hist.map(_._2).sum)
+    val target = math.max(k.toLong, math.ceil(total * RerankFraction).toLong)
     var cum = 0L
-    val radius0 = sampleHist.collectFirst {
+    val radius = hist.collectFirst {
       case (h, c) if { cum += c; cum >= target } => h
     }.getOrElse(SketchBits)
-    // tiny-corpus guard: widen until >= k candidates survive (each probe
-    // is a scalar count; in practice 0 extra rounds at any real scale)
-    var radius = radius0
-    while (radius < SketchBits &&
-           hams.where(col("ham") <= radius).count() < k) radius += 8
     val cand = hams.where(col("ham") <= radius)
     // stage 2: exact cosine on the radius survivors only
     val qv = typedlit(bcQ.value._1.toSeq)
