@@ -243,10 +243,14 @@ object Relational {
     val fgDocs = docTerm.where(col("term") === fgTerm).select("doc_id")
     val nAll = docTerm.select("doc_id").distinct().count()
     val nFg = fgDocs.count()
-    val fg = docTerm.join(fgDocs, Seq("doc_id"), "left_semi")
-      .groupBy("term").agg(count(lit(1)).as("fg_df"))
-    val bg = docTerm.groupBy("term").agg(count(lit(1)).as("bg_df"))
-    fg.join(bg, Seq("term"))
+    // foreground + background df in ONE aggregate pass (per-shard
+    // count + merge shape): tag rows with fg membership, then count
+    // both in the same groupBy
+    val merged = docTerm
+      .join(fgDocs.withColumn("is_fg", lit(1)), Seq("doc_id"), "left_outer")
+      .groupBy("term")
+      .agg(count(lit(1)).as("bg_df"), count(col("is_fg")).as("fg_df"))
+    merged
       .where(col("fg_df") >= minDf)
       .select(col("term"),
         floor(lit(10000.0) * col("fg_df") * nAll / (col("bg_df") * nFg))
@@ -285,6 +289,7 @@ object Relational {
                    to: String, maxDepth: Int): DataFrame = {
     import s.implicits._
     var frontier = Seq((from, from)).toDF("node", "path")
+    var prevPersisted: Option[DataFrame] = None
     var visited = Seq(from).toDF("v_node")
     var found: Option[DataFrame] = None
     var depth = 0
@@ -298,6 +303,7 @@ object Relational {
           concat(col("path"), lit("->"), col(s"dst_$depth")).as("path"))
         .join(visited, col("node") === col("v_node"), "left_anti")
         .persist()
+      // one pass decides hit/exhausted (scalar driver check per level)
       val hits = next.where(col("node") === to)
       if (hits.limit(1).count() > 0) found = Some(hits.select("path").distinct())
       else if (next.limit(1).count() == 0) depth = maxDepth // exhausted
@@ -307,6 +313,10 @@ object Relational {
         frontier = next
         depth += 1
       }
+      // previous level's cache is no longer referenced once `next` is
+      // materialized — a deep BFS must not accumulate cached frontiers
+      prevPersisted.foreach(_.unpersist())
+      prevPersisted = Some(next)
     }
     found.getOrElse(Seq.empty[String].toDF("path"))
   }
