@@ -87,15 +87,17 @@ object MultiFieldIndex {
 object MultiFieldCache {
   val TitleWords = 4
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, MultiFieldView]()
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, (MultiFieldView, Map[String, (Long, Long)])]()
 
   /** The (title = first [[TitleWords]] whitespace tokens, body = full
     * text) index of a documents corpus — deterministic fields, so the
-    * DuckDB oracle reproduces them.
+    * DuckDB oracle reproduces them. Returns the view and its per-field
+    * collection stats (computed once at build time — queries must not
+    * pay a stats aggregation per call).
     */
   def titleBodyIndex(spark: SparkSession, sfDir: String,
-                     segSize: Long): MultiFieldView =
+                     segSize: Long): (MultiFieldView, Map[String, (Long, Long)]) =
     cache.computeIfAbsent(s"$sfDir#$segSize", { _ =>
       import spark.implicits._
       val fielded = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -107,6 +109,6 @@ object MultiFieldCache {
         }
       val v = MultiFieldIndex.build(spark, fielded, segSize).persisted()
       v.postings.count() // materialize once
-      v
+      (v, MultiFieldIndex.fieldStats(v))
     })
 }

@@ -29,13 +29,12 @@ object MultiField {
   def dismaxTopK(spark: SparkSession, dir: String, qTerms: Seq[String],
                  tie: Double, k: Int, segSize: Long): DataFrame = {
     import spark.implicits._
-    val view = MultiFieldCache.titleBodyIndex(spark, dir, segSize)
+    val (view, fstats) = MultiFieldCache.titleBodyIndex(spark, dir, segSize)
     val fields = Seq("body", "title")
     val terms = qTerms.distinct.sorted
 
-    // per-FIELD collection stats + per-(field, term) idf (tiny aggs,
-    // broadcast — the one-stats-pass-per-query discipline)
-    val fstats = MultiFieldIndex.fieldStats(view)
+    // per-(field, term) idf: the one remaining per-query stats gather
+    // (field stats come precomputed with the cached index)
     val k1 = graft.spec.LuceneSpec.K1d
     val b = graft.spec.LuceneSpec.Bd
     val idf: Map[(String, String), Double] = view.terms
