@@ -36,6 +36,18 @@ object Interval {
   final case class Ordered(children: Seq[Expr], maxGaps: Int = -1) extends Expr
   final case class Unordered(children: Seq[Expr]) extends Expr
   final case class MaxWidth(child: Expr, width: Int) extends Expr
+  /** Exact adjacency (Intervals.phrase): ordered with zero gaps. */
+  def PhraseOf(children: Seq[Expr]): Expr = Ordered(children, maxGaps = 0)
+  /** Intervals of `big` that contain an interval of `small`
+    * (Intervals.containing) / the negation (notContaining).
+    */
+  final case class Containing(big: Expr, small: Expr,
+                              negate: Boolean = false) extends Expr
+  /** Intervals of `small` contained by an interval of `big`
+    * (Intervals.containedBy) / the negation (notContainedBy).
+    */
+  final case class ContainedBy(small: Expr, big: Expr,
+                               negate: Boolean = false) extends Expr
 
   /** All terms referenced by an expression. */
   def termsOf(e: Expr): Seq[String] = e match {
@@ -44,6 +56,8 @@ object Interval {
     case Ordered(cs, _) => cs.flatMap(termsOf)
     case Unordered(cs)  => cs.flatMap(termsOf)
     case MaxWidth(c, _) => termsOf(c)
+    case Containing(b, s, _)  => termsOf(b) ++ termsOf(s)
+    case ContainedBy(s, b, _) => termsOf(s) ++ termsOf(b)
   }
 
   /** (start, end, coveredLen) — coveredLen is the total length of the
@@ -74,6 +88,17 @@ object Interval {
       minimalize(cs.toArray.flatMap(c => eval(c, posByTerm)))
     case MaxWidth(c, w) =>
       eval(c, posByTerm).filter(iv => iv._2 - iv._1 + 1 <= w)
+    case Containing(b, s, neg) =>
+      // filters never break minimality (they only remove intervals)
+      val smalls = eval(s, posByTerm)
+      eval(b, posByTerm).filter { big =>
+        smalls.exists(sm => big._1 <= sm._1 && sm._2 <= big._2) != neg
+      }
+    case ContainedBy(s, b, neg) =>
+      val bigs = eval(b, posByTerm)
+      eval(s, posByTerm).filter { sm =>
+        bigs.exists(big => big._1 <= sm._1 && sm._2 <= big._2) != neg
+      }
     case Ordered(cs, maxGaps) =>
       val lists = cs.map(c => eval(c, posByTerm))
       if (lists.exists(_.isEmpty)) Array.empty[Iv]

@@ -55,6 +55,22 @@ class IntervalsSpec extends AnyFunSuite {
       assert(!(i._1 <= j._1 && j._2 <= i._2), s"$i contains $j")
   }
 
+  test("phrase / containing / containedBy combinators") {
+    val pos = Map("a" -> Array(1, 10), "b" -> Array(2, 14), "c" -> Array(12))
+    // phrase = ordered with zero gaps: only (1,2) is adjacent
+    assert(ev(I.PhraseOf(Seq(I.Term("a"), I.Term("b"))), pos) == List((1, 2)))
+    // unordered (a,b) windows: (1,2), (2,10), (10,14); only (10,14)
+    // contains c@12
+    val ab = I.Unordered(Seq(I.Term("a"), I.Term("b")))
+    assert(ev(ab, pos) == List((1, 2), (2, 10), (10, 14)))
+    assert(ev(I.Containing(ab, I.Term("c")), pos) == List((10, 14)))
+    assert(ev(I.Containing(ab, I.Term("c"), negate = true), pos) ==
+      List((1, 2), (2, 10)))
+    // c@12 is contained by (10,14)
+    assert(ev(I.ContainedBy(I.Term("c"), ab), pos) == List((12, 12)))
+    assert(ev(I.ContainedBy(I.Term("a"), ab, negate = true), pos) == Nil)
+  }
+
   test("distributed matches agree with span operators on the corpus") {
     import graft.synth.CorpusSynth
     val view = Indexer.buildTables(spark,
