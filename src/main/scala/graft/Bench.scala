@@ -18,7 +18,7 @@ object Bench {
   /** Headline subset for the short stdout line (index build, the BM25
     * kernels, and one representative per operator family).
     */
-  private val headline = Seq("index_build_fresh", "bm25_topk_exact",
+  private[graft] val headline = Seq("index_build_fresh", "bm25_topk_exact",
     "bm25_topk_bmw", "bm25_topk_and", "phrase_query", "rollup_agg",
     "hash_join_topk", "dedup_minhash_lsh", "ann_lsh_topk",
     "stream_window_agg")
