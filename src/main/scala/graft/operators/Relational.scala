@@ -288,9 +288,13 @@ object Relational {
   def shortestPath(s: SparkSession, edges: DataFrame, from: String,
                    to: String, maxDepth: Int): DataFrame = {
     import s.implicits._
+    // both the frontier and the visited set are persisted PER LEVEL and
+    // the previous level's caches dropped only after the new level is
+    // materialized: a deep walk neither accumulates caches nor re-runs
+    // earlier levels through unpersisted lineage
     var frontier = Seq((from, from)).toDF("node", "path")
-    var prevPersisted: Option[DataFrame] = None
-    var visited = Seq(from).toDF("v_node")
+    var visited = Seq(from).toDF("v_node").persist()
+    var prevFrontier: Option[DataFrame] = None
     var found: Option[DataFrame] = None
     var depth = 0
     while (found.isEmpty && depth < maxDepth) {
@@ -303,20 +307,21 @@ object Relational {
           concat(col("path"), lit("->"), col(s"dst_$depth")).as("path"))
         .join(visited, col("node") === col("v_node"), "left_anti")
         .persist()
-      // one pass decides hit/exhausted (scalar driver check per level)
       val hits = next.where(col("node") === to)
       if (hits.limit(1).count() > 0) found = Some(hits.select("path").distinct())
       else if (next.limit(1).count() == 0) depth = maxDepth // exhausted
       else {
-        visited = visited
+        val newVisited = visited
           .union(next.select(col("node").as("v_node")).distinct()).distinct()
+          .persist()
+        newVisited.count() // materialize BEFORE dropping its inputs
+        visited.unpersist()
+        visited = newVisited
+        prevFrontier.foreach(_.unpersist()) // next is cached; parent free
+        prevFrontier = Some(next)
         frontier = next
         depth += 1
       }
-      // previous level's cache is no longer referenced once `next` is
-      // materialized — a deep BFS must not accumulate cached frontiers
-      prevPersisted.foreach(_.unpersist())
-      prevPersisted = Some(next)
     }
     found.getOrElse(Seq.empty[String].toDF("path"))
   }
