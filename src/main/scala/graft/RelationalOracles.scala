@@ -86,6 +86,20 @@ object RelationalOracles {
        |  count(*) AS n, CAST(sum($centsP) AS BIGINT) AS total_cents
        |FROM orders GROUP BY 1""".stripMargin
 
+  val facetNested: String =
+    """WITH base AS (
+      |  SELECT c_mktsegment, c_nationkey, count(*) AS n,
+      |    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+      |  FROM customer GROUP BY c_mktsegment, c_nationkey
+      |), seg AS (
+      |  SELECT c_mktsegment, CAST(sum(n) AS BIGINT) AS seg_n FROM base
+      |  GROUP BY c_mktsegment ORDER BY seg_n DESC, c_mktsegment ASC LIMIT 3
+      |)
+      |SELECT b.c_mktsegment, seg.seg_n, b.c_nationkey, b.n, b.bal_cents
+      |FROM base b JOIN seg USING (c_mktsegment)
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY b.c_mktsegment ORDER BY b.n DESC, b.c_nationkey ASC) <= 3""".stripMargin
+
   val facetQuery: String =
     """SELECT
       |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,

@@ -304,6 +304,7 @@ object SparkEntry {
     "select_expr" -> (graft.operators.Relational.selectExpr _),
     "facet_terms" -> (graft.operators.Relational.facetTerms _),
     "facet_range" -> (graft.operators.Relational.facetRange _),
+    "facet_nested" -> (graft.operators.Relational.facetNested _),
     "facet_query" -> (graft.operators.Relational.facetQuery _),
     "facet_pivot" -> (graft.operators.Relational.facetPivot _),
     "facet_unique" -> (graft.operators.Relational.facetUnique _),
@@ -528,6 +529,7 @@ object SparkEntry {
     "select_expr" -> RelationalOracles.selectExpr,
     "facet_terms" -> RelationalOracles.facetTerms,
     "facet_range" -> RelationalOracles.facetRange,
+    "facet_nested" -> RelationalOracles.facetNested,
     "facet_query" -> RelationalOracles.facetQuery,
     "facet_pivot" -> RelationalOracles.facetPivot,
     "facet_unique" -> RelationalOracles.facetUnique,

@@ -159,6 +159,31 @@ object Relational {
       .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_cents"))
 
+  /** Nested subfacets (the JSON Facet API's bucket-in-bucket shape
+    * [Solr search/facet/FacetField.java]): top-3 mktsegment buckets by
+    * count, each carrying its own count plus a nested top-3 nations
+    * sub-facet with a sum metric. ONE aggregation pass at the finest
+    * grain, parent buckets derived by re-aggregation (partial+final —
+    * exact, no refinement pass needed), child ranks via a window
+    * PARTITIONED by the parent bucket.
+    */
+  def facetNested(s: SparkSession, dir: String): DataFrame = {
+    val base = tbl(s, dir, "customer")
+      .groupBy("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("n"), sum(cents(col("c_acctbal"))).as("bal_cents"))
+    // parent cut: tiny aggregated frame (one row per segment) → the
+    // orderBy/limit is a TakeOrdered over ~#segments rows
+    val topSegs = base.groupBy("c_mktsegment").agg(sum("n").as("seg_n"))
+      .orderBy(col("seg_n").desc, col("c_mktsegment").asc).limit(3)
+    val wNation = Window.partitionBy("c_mktsegment")
+      .orderBy(col("n").desc, col("c_nationkey").asc)
+    base.join(broadcast(topSegs), Seq("c_mktsegment"))
+      .withColumn("rn", row_number().over(wNation))
+      .where(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("seg_n"), col("c_nationkey"),
+        col("n"), col("bal_cents"))
+  }
+
   /** Query facet: arbitrary-predicate buckets in one pass. */
   def facetQuery(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "lineitem").agg(
