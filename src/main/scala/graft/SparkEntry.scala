@@ -151,6 +151,45 @@ object SparkEntry {
       val v = IndexCache.documentsIndex(s, dir)
       MoreQueries.matchingDocs(s, v, MoreQueries.regexpTerms(v, "s[cp]an"))
     }),
+    "suggest_prefix" -> ((s, dir) => {
+      // AnalyzingSuggester analog: dictionary completions by weight
+      graft.search.Suggest.suggestPrefix(s, IndexCache.documentsIndex(s, dir),
+        "s", 10)
+    }),
+    "spellcheck" -> ((s, dir) => {
+      // DirectSpellChecker analog: did-you-mean for an unindexed input
+      graft.search.Suggest.spellcheck(s, IndexCache.documentsIndex(s, dir),
+        "sark", 2, 5)
+    }),
+    "highlight_topk" -> ((s, dir) => {
+      // UnifiedHighlighter analog: fixed-width snippet around the first
+      // raw-text occurrence for each top-k hit
+      val v = IndexCache.documentsIndex(s, dir)
+      val top = ExactSearch.topK(s, v, Seq("spark"), 3, DoubleOracle)
+        .select("doc_id")
+      top.join(s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("doc_id"),
+          expr("substring(text, greatest(locate('spark', text) - 10, 1), 30)")
+            .as("snippet"))
+    }),
+    "cursor_page" -> ((s, dir) => {
+      // cursorMark deep paging: page 2 via a keyset predicate from the
+      // previous page's last (score_q, doc_id) — the cursor token is a
+      // driver-side handoff by design (it travels to the client), and
+      // the keyset filter replaces OFFSET's skip-and-discard scan
+      val v = IndexCache.documentsIndex(s, dir)
+      val scored = ExactSearch.scored(s, v, Seq("spark", "join"), DoubleOracle)
+        .select(col("doc_id"),
+          round(col("score") * 10000).cast("long").as("score_q"))
+      val page1 = scored.orderBy(col("score_q").desc, col("doc_id").asc)
+        .limit(5).collect()
+      require(page1.length == 5, "cursor test needs a full first page")
+      val (dLast, sLast) = (page1.last.getLong(0), page1.last.getLong(1))
+      scored.where(col("score_q") < sLast ||
+          (col("score_q") === sLast && col("doc_id") > dLast))
+        .orderBy(col("score_q").desc, col("doc_id").asc).limit(5)
+    }),
     "interval_query" -> ((s, dir) => {
       // interval algebra: ordered('hash', or('join','merge')) with at
       // most 2 uncovered positions inside each minimal interval
@@ -420,6 +459,29 @@ object SparkEntry {
     "more_like_this" -> OracleGen.moreLikeThisSql(0L, 10, 10),
     "regexp_query" ->
       OracleGen.docsWithTermWhereSql("regexp_matches(term, '^(?:s[cp]an)$')"),
+    "suggest_prefix" ->
+      s"""WITH ${OracleGen.tokCte}
+         |SELECT term, count(*) AS weight FROM tokf
+         |WHERE term LIKE 's%' GROUP BY term
+         |ORDER BY weight DESC, term ASC LIMIT 10""".stripMargin,
+    "spellcheck" ->
+      s"""WITH ${OracleGen.tokCte}, d AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df FROM tokf GROUP BY term
+         |)
+         |SELECT term, df, levenshtein(term, 'sark') AS dist FROM d
+         |WHERE levenshtein(term, 'sark') <= 2 AND levenshtein(term, 'sark') > 0
+         |ORDER BY dist ASC, df DESC, term ASC LIMIT 5""".stripMargin,
+    "highlight_topk" ->
+      s"""WITH ${OracleGen.bm25Ctes(Seq("spark"))}, top AS (
+         |  SELECT doc_id FROM sc ORDER BY score DESC, doc_id ASC LIMIT 3
+         |)
+         |SELECT t.doc_id,
+         |  substr(d.text, greatest(strpos(d.text, 'spark') - 10, 1), 30) AS snippet
+         |FROM top t JOIN documents d ON t.doc_id = d.doc_id""".stripMargin,
+    "cursor_page" ->
+      s"""WITH ${OracleGen.bm25Ctes(Seq("spark", "join"))}
+         |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q
+         |FROM sc ORDER BY score_q DESC, doc_id ASC LIMIT 5 OFFSET 5""".stripMargin,
     // minimal ordered intervals of (hash, join|merge) are exactly the
     // mutual-nearest pairs: p = max hash-pos < q AND q = min (join|merge)
     // -pos > p; maxgaps=2 ⇒ q - p - 1 <= 2
