@@ -151,6 +151,58 @@ object SparkEntry {
       val v = IndexCache.documentsIndex(s, dir)
       MoreQueries.matchingDocs(s, v, MoreQueries.regexpTerms(v, "s[cp]an"))
     }),
+    "atomic_update" -> ((s, dir) => {
+      // Solr atomic update == Lucene delete + re-add under a NEW docID
+      // [8x index/IndexWriter.java updateDocument]: patch every
+      // doc_id % 50 == 7 doc (append one term), tombstone the old
+      // version, index the patched version as a new high-range doc
+      // (disjoint doc/segment ranges), merge-purge the tombstones —
+      // post-update global term stats must equal a fresh index of the
+      // patched corpus, which is exactly what the oracle recomputes
+      val v = IndexCache.documentsIndex(s, dir)
+      val docs0 = s.read.parquet(s"$dir/documents.parquet")
+      val sel = col("doc_id") % 50 === 7
+      val patched = docs0.where(sel)
+        .select((col("doc_id") + (1L << 20)).as("doc_id"),
+          col("doc_id").cast("string").as("url"),
+          concat(col("text"), lit(" patched")).as("text"))
+      val addView = graft.index.Indexer.buildTables(s,
+        graft.index.Indexer.asDocInput(s, patched), IndexCache.TestSegmentSize)
+      val tomb = docs0.where(sel).select("doc_id")
+      val purged = graft.index.Merger.mergeByMapping(s, v, identity, Some(tomb))
+      graft.index.Indexer.buildTerms(purged.postings.union(addView.postings))
+        .groupBy("term").agg(sum("df").as("df"), sum("ctf").as("ctf"))
+    }),
+    "result_grouping" -> ((s, dir) => {
+      // Solr result grouping (group.field): top-3 groups ranked by
+      // their best doc's score, top-2 docs per group — grouped search
+      // results, not just collapse. Group key: doc_id % 10 (synthetic
+      // but deterministic; real schemas group on a stored field)
+      import org.apache.spark.sql.expressions.Window
+      val v = IndexCache.documentsIndex(s, dir)
+      val scored = ExactSearch.scored(s, v, Seq("spark", "join"), DoubleOracle)
+        .select(col("doc_id"), (col("doc_id") % 10).as("grp"),
+          round(col("score") * 10000).cast("long").as("score_q"))
+      val topGroups = scored.groupBy("grp").agg(max("score_q").as("g_best"))
+        .orderBy(col("g_best").desc, col("grp").asc).limit(3)
+      val w = Window.partitionBy("grp")
+        .orderBy(col("score_q").desc, col("doc_id").asc)
+      scored.join(broadcast(topGroups), Seq("grp"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+        .select(col("grp"), col("g_best"), col("doc_id"), col("score_q"))
+    }),
+    "join_query" -> ((s, dir) => {
+      // JoinQParser ({!join from=.. to=..}): docs whose join key matches
+      // the join key of docs matching the inner query — a semi-join on
+      // the field value (key: doc_id / 100, a synthetic stored field)
+      val v = IndexCache.documentsIndex(s, dir)
+      val inner = MoreQueries.matchingDocs(s, v, Seq("vector"))
+        .select(floor(col("doc_id") / 100).cast("long").as("jk")).distinct()
+      v.docmeta.toDF().select(col("doc_id"),
+          floor(col("doc_id") / 100).cast("long").as("jk"))
+        .join(broadcast(inner), Seq("jk"), "left_semi")
+        .select("doc_id")
+    }),
     "suggest_prefix" -> ((s, dir) => {
       // AnalyzingSuggester analog: dictionary completions by weight
       graft.search.Suggest.suggestPrefix(s, IndexCache.documentsIndex(s, dir),
@@ -459,6 +511,38 @@ object SparkEntry {
     "more_like_this" -> OracleGen.moreLikeThisSql(0L, 10, 10),
     "regexp_query" ->
       OracleGen.docsWithTermWhereSql("regexp_matches(term, '^(?:s[cp]an)$')"),
+    "atomic_update" ->
+      s"""WITH docs2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 50 = 7 THEN text || ' patched' ELSE text END AS text
+         |  FROM documents
+         |), tok2 AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs2
+         |), tokf2 AS (
+         |  SELECT doc_id, term FROM tok2
+         |  WHERE length(term) > 0 AND term NOT IN (${OracleGen.stopList})
+         |)
+         |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ctf
+         |FROM tokf2 GROUP BY term""".stripMargin,
+    "result_grouping" ->
+      s"""WITH ${OracleGen.bm25Ctes(Seq("spark", "join"))}, scq AS (
+         |  SELECT doc_id, doc_id % 10 AS grp,
+         |    CAST(round(score * 10000) AS BIGINT) AS score_q FROM sc
+         |), tg AS (
+         |  SELECT grp, max(score_q) AS g_best FROM scq GROUP BY grp
+         |  ORDER BY g_best DESC, grp ASC LIMIT 3
+         |)
+         |SELECT s.grp, tg.g_best, s.doc_id, s.score_q
+         |FROM scq s JOIN tg USING (grp)
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY s.grp ORDER BY s.score_q DESC, s.doc_id ASC) <= 2""".stripMargin,
+    "join_query" ->
+      s"""WITH ${OracleGen.tokCte}, inner_q AS (
+         |  SELECT DISTINCT CAST(floor(doc_id / 100) AS BIGINT) AS jk
+         |  FROM tokf WHERE term = 'vector'
+         |)
+         |SELECT DISTINCT doc_id FROM tokf
+         |WHERE CAST(floor(doc_id / 100) AS BIGINT) IN (SELECT jk FROM inner_q)""".stripMargin,
     "suggest_prefix" ->
       s"""WITH ${OracleGen.tokCte}
          |SELECT term, count(*) AS weight FROM tokf
