@@ -151,6 +151,38 @@ object SparkEntry {
       val v = IndexCache.documentsIndex(s, dir)
       MoreQueries.matchingDocs(s, v, MoreQueries.regexpTerms(v, "s[cp]an"))
     }),
+    "function_boost" -> ((s, dir) => {
+      // Solr boost= / ExtendedDismax bf: multiplicative function boost —
+      // BM25 score x a document-field function (here 1 + ln(1 + n_chars
+      // /1000)), integer-quantized like every scored entry
+      val v = IndexCache.documentsIndex(s, dir)
+      val base = ExactSearch.scored(s, v, Seq("spark"), DoubleOracle)
+      val meta = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"))
+      base.join(meta, Seq("doc_id"))
+        .select(col("doc_id"),
+          round(col("score") * (lit(1.0) + log(lit(1.0) + col("n_chars") / 1000.0))
+            * 10000).cast("long").as("score_q"))
+        .orderBy(col("score_q").desc, col("doc_id").asc).limit(10)
+    }),
+    "query_elevation" -> ((s, dir) => {
+      // QueryElevationComponent: editorially pinned docs rank above all
+      // organic hits (in the configured order), organic results follow
+      val v = IndexCache.documentsIndex(s, dir)
+      val elevated = Seq(42L, 7L)
+      val organic = ExactSearch.scored(s, v, Seq("spark", "join"), DoubleOracle)
+        .select(col("doc_id"),
+          round(col("score") * 10000).cast("long").as("score_q"))
+      import s.implicits._
+      val pins = elevated.zipWithIndex
+        .toDF("doc_id", "pin_rank")
+      organic.join(broadcast(pins), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("score_q"),
+          coalesce(col("pin_rank"), lit(java.lang.Integer.MAX_VALUE)).as("pin"))
+        .orderBy(col("pin").asc, col("score_q").desc, col("doc_id").asc)
+        .limit(10)
+        .select(col("doc_id"), col("score_q"))
+    }),
     "atomic_update" -> ((s, dir) => {
       // Solr atomic update == Lucene delete + re-add under a NEW docID
       // [8x index/IndexWriter.java updateDocument]: patch every
@@ -511,6 +543,22 @@ object SparkEntry {
     "more_like_this" -> OracleGen.moreLikeThisSql(0L, 10, 10),
     "regexp_query" ->
       OracleGen.docsWithTermWhereSql("regexp_matches(term, '^(?:s[cp]an)$')"),
+    "function_boost" ->
+      s"""WITH ${OracleGen.bm25Ctes(Seq("spark"))}
+         |SELECT sc.doc_id,
+         |  CAST(round(score * (1 + ln(1 + d.n_chars / 1000.0)) * 10000) AS BIGINT) AS score_q
+         |FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+         |ORDER BY score_q DESC, sc.doc_id ASC LIMIT 10""".stripMargin,
+    "query_elevation" ->
+      s"""WITH ${OracleGen.bm25Ctes(Seq("spark", "join"))}, scq AS (
+         |  SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q FROM sc
+         |), pinned AS (
+         |  SELECT doc_id, score_q,
+         |    CASE doc_id WHEN 42 THEN 0 WHEN 7 THEN 1 ELSE 2147483647 END AS pin
+         |  FROM scq
+         |)
+         |SELECT doc_id, score_q FROM pinned
+         |ORDER BY pin ASC, score_q DESC, doc_id ASC LIMIT 10""".stripMargin,
     "atomic_update" ->
       s"""WITH docs2 AS (
          |  SELECT doc_id,
