@@ -127,7 +127,7 @@ object BmwSearch {
       .filterNot(_.exhausted)
     if (cursors.isEmpty) return
 
-    val live = scala.collection.mutable.ArrayBuffer(cursors: _*)
+    val live = scala.collection.mutable.ArrayBuffer.from(cursors)
     while (live.nonEmpty) {
       // sort by current doc (WAND pivot selection)
       val sorted = live.sortBy(_.curDoc)
