@@ -294,8 +294,10 @@ object OracleGen {
     * fields as max + tie * (sum - max), then summed over terms — the
     * Solr DisMaxQParser shape (one DisjunctionMaxQuery per query term).
     */
-  def multifieldDismaxSql(terms: Seq[String], tie: Double, k: Int): String = {
+  def multifieldDismaxSql(terms: Seq[String], tie: Double, k: Int,
+                          titleBoost: Double = 1.0): String = {
     val qs = termList(terms.distinct)
+    val w = s"CASE ftf.field WHEN 'title' THEN $titleBoost ELSE 1.0 END"
     s"""WITH btok AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
        |         generate_subscripts(string_split(text, ' '), 1) AS pos
@@ -322,7 +324,7 @@ object OracleGen {
        |  WHERE term IN ($qs) GROUP BY doc_id, field, term
        |), fsc AS (
        |  SELECT ftf.doc_id, ftf.field, ftf.term,
-       |    ln(1 + (fst.n - fdf.df + 0.5) / (fdf.df + 0.5))
+       |    $w * ln(1 + (fst.n - fdf.df + 0.5) / (fdf.df + 0.5))
        |      * ftf.tf / (ftf.tf + 1.2 * (1 - 0.75 + 0.75 * fnorm.ldl / (fst.sttf / CAST(fst.n AS DOUBLE)))) AS s
        |  FROM ftf
        |  JOIN fdf ON ftf.field = fdf.field AND ftf.term = fdf.term

@@ -342,6 +342,13 @@ object SparkEntry {
       quantize(graft.search.MultiField.dismaxTopK(s, dir,
         Seq("spark", "merge"), 0.3, 10, IndexCache.TestSegmentSize), 10)
     }),
+    "multifield_dismax_qf" -> ((s, dir) => {
+      // weighted qf (title^2 body): field boosts multiply the clause
+      // scores before the per-term dismax combine
+      quantize(graft.search.MultiField.dismaxTopK(s, dir,
+        Seq("spark", "merge"), 0.3, 10, IndexCache.TestSegmentSize,
+        boosts = Map("title" -> 2.0)), 10)
+    }),
     "delete_then_search" -> ((s, dir) => {
       // tombstones excluded from results, stats untouched until merge
       val v = IndexCache.documentsIndex(s, dir)
@@ -650,6 +657,8 @@ object SparkEntry {
     "query_compile_nested" -> OracleGen.queryCompileNestedSql,
     "delete_then_search" -> OracleGen.bm25DeleteSql(Seq("spark", "join"), 10),
     "multifield_dismax" -> OracleGen.multifieldDismaxSql(Seq("spark", "merge"), 0.3, 10),
+    "multifield_dismax_qf" ->
+      OracleGen.multifieldDismaxSql(Seq("spark", "merge"), 0.3, 10, titleBoost = 2.0),
     "rescore_topn" -> OracleGen.rescoreSql(Seq("spark", "join"), Seq("merge"), 50, 10, 2.0),
     "total_hits" ->
       (s"WITH ${OracleGen.tokCte} SELECT count(DISTINCT doc_id) AS total_hits, " +

@@ -25,9 +25,15 @@ object MultiField {
 
   val TitleWords: Int = MultiFieldCache.TitleWords
 
-  /** Cross-field per-term DisMax top-k over (title, body) for `qTerms`. */
+  /** Cross-field per-term DisMax top-k over (title, body) for `qTerms`.
+    * `boosts` are the qf field weights (`qf=title^2 body` → title 2.0):
+    * each per-field clause score is multiplied by its field's boost
+    * BEFORE the per-term max/sum combine, as DisMaxQParser's weighted
+    * DisjunctionMaxQuery does.
+    */
   def dismaxTopK(spark: SparkSession, dir: String, qTerms: Seq[String],
-                 tie: Double, k: Int, segSize: Long): DataFrame = {
+                 tie: Double, k: Int, segSize: Long,
+                 boosts: Map[String, Double] = Map.empty): DataFrame = {
     import spark.implicits._
     val (view, fstats) = MultiFieldCache.titleBodyIndex(spark, dir, segSize)
     val fields = Seq("body", "title")
@@ -49,6 +55,8 @@ object MultiField {
       fstats.map { case (f, (n, sttf)) => f -> sttf.toDouble / n }
     val bcIdf = spark.sparkContext.broadcast(idf)
     val bcAvg = spark.sparkContext.broadcast(avgdl)
+    val bcBoost = spark.sparkContext.broadcast(
+      fields.map(f => f -> boosts.getOrElse(f, 1.0)).toMap)
 
     val entries = view.postings
       .filter(col("field").isin(fields: _*) && col("term").isin(terms: _*))
@@ -71,7 +79,7 @@ object MultiField {
         var sm = 0.0
         while (i < rows.length && rows(i)._3 == term) {
           val (_, f, t, tf, ldl) = rows(i)
-          val s = bcIdf.value((f, t)) * tf /
+          val s = bcBoost.value(f) * bcIdf.value((f, t)) * tf /
             (tf + k1 * (1 - b + b * ldl / bcAvg.value(f)))
           if (s > mx) mx = s
           sm += s
