@@ -104,6 +104,16 @@ object IndexStore {
       mapper.readValue(Files.readAllBytes(d.resolve(n)), classOf[Snapshot])
     }
   }
+
+  /** A specific published snapshot version — snapshots are write-once,
+    * so every past version stays readable (the reference's IndexCommit
+    * history / an Iceberg time-travel read).
+    */
+  def snapshotAt(dir: String, version: Int): Option[Snapshot] = {
+    val p = Paths.get(dir, "snapshots", f"v$version%05d.json")
+    if (!Files.exists(p)) None
+    else Some(mapper.readValue(Files.readAllBytes(p), classOf[Snapshot]))
+  }
 }
 
 /** Checkpointed, resumable index build (SURVEY.md §2.2 flush/commit row).
@@ -207,10 +217,24 @@ object IndexWriter {
 
 object IndexReader {
   /** Load the live snapshot as an IndexView (union of batch parquet). */
-  def load(spark: SparkSession, dir: String): IndexView = {
+  def load(spark: SparkSession, dir: String): IndexView =
+    ofSnapshot(spark, dir, IndexStore.currentSnapshot(dir)
+      .getOrElse(throw new IllegalStateException(s"no snapshot in $dir")))
+
+  /** Time-travel read: the index exactly as of a PAST published version
+    * (write-once snapshots + write-once batch segments make every
+    * committed state permanently reconstructable — the reference's
+    * IndexCommit / DirectoryReader.open(commit) [8x index/IndexCommit
+    * .java]; an Iceberg snapshot read at scale).
+    */
+  def loadVersion(spark: SparkSession, dir: String, version: Int): IndexView =
+    ofSnapshot(spark, dir, IndexStore.snapshotAt(dir, version)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot v$version in $dir")))
+
+  private def ofSnapshot(spark: SparkSession, dir: String,
+                         snap: Snapshot): IndexView = {
     import spark.implicits._
-    val snap = IndexStore.currentSnapshot(dir)
-      .getOrElse(throw new IllegalStateException(s"no snapshot in $dir"))
     val dirs = snap.batches.map(IndexStore.batchDir(dir, _))
     val postings = spark.read.parquet(dirs.map(_ + "/postings"): _*).as[PostingBlockRow]
     val terms    = spark.read.parquet(dirs.map(_ + "/terms"): _*)

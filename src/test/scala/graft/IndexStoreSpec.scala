@@ -121,6 +121,28 @@ class IndexStoreSpec extends AnyFunSuite {
       assert(topDocs(merged, q) == topDocs(view, q), s"mismatch for $q")
   }
 
+  test("time travel: past snapshot versions stay readable after NRT append") {
+    import graft.index.{IndexReader, Snapshot}
+    val dir = tmpDir()
+    IndexWriter.build(spark, corpus(600), dir, segSize = 128L, nBatches = 2) // v1
+    // NRT-append 300 more docs as batch 2 and publish v2 (the streaming
+    // micro-batch path: write-once batch + next snapshot)
+    val extra = Indexer.asDocInput(spark,
+      CorpusSynth.corpusWithIds(spark, 900, seed = 5L)).filter(_.doc_id >= 600L)
+    IndexWriter.writeBatch(spark, extra, dir, 2, 128L,
+      graft.analysis.Analyzer.EnglishStopWords, 600L, 900L)
+    assert(IndexStore.tryPublishSnapshot(dir, Snapshot(2, 128L, Seq(0, 1, 2))))
+    // live read sees v2; time-travel read reconstructs v1 exactly
+    assert(IndexReader.load(spark, dir).docmeta.count() == 900)
+    val v1 = IndexReader.loadVersion(spark, dir, 1)
+    assert(v1.docmeta.count() == 600)
+    assert(topDocs(v1, Seq("w0001", "w0042")) ==
+      topDocs(Indexer.buildTables(spark, corpus(600), 128L), Seq("w0001", "w0042")))
+    intercept[IllegalArgumentException] {
+      IndexReader.loadVersion(spark, dir, 9)
+    }
+  }
+
   test("snapshot versions are write-once; lost race re-merges batches") {
     import graft.index.Snapshot
     val dir = tmpDir()
