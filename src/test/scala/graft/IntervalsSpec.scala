@@ -71,6 +71,40 @@ class IntervalsSpec extends AnyFunSuite {
     assert(ev(I.ContainedBy(I.Term("a"), ab, negate = true), pos) == Nil)
   }
 
+  test("property: ordered/unordered minimal sets equal brute force on random positions") {
+    val rnd = new scala.util.Random(7)
+    // brute-force reference: enumerate ALL tuples, build their spans,
+    // then keep the minimal ones
+    def bruteMinimal(spans: Seq[(Int, Int)]): List[(Int, Int)] =
+      spans.distinct.filter(s =>
+        !spans.distinct.exists(o => o != s && s._1 <= o._1 && o._2 <= s._2))
+        .sorted.toList
+    for (_ <- 1 to 200) {
+      val k = 2 + rnd.nextInt(2) // 2-3 lists
+      val universe = rnd.shuffle((0 until 30).toList)
+      var at = 0
+      val lists = (0 until k).map { _ =>
+        val n = 1 + rnd.nextInt(4)
+        val l = universe.slice(at, at + n).sorted.toArray // disjoint positions
+        at += n
+        l
+      }
+      val pos = lists.zipWithIndex.map { case (l, i) => s"t$i" -> l }.toMap
+      val exprs = (0 until k).map(i => I.Term(s"t$i"))
+      // unordered: all tuples, window = (min, max)
+      val tuples = lists.foldLeft(Seq(Seq.empty[Int])) { (acc, l) =>
+        for (t <- acc; p <- l) yield t :+ p
+      }
+      val unoExpected = bruteMinimal(tuples.map(t => (t.min, t.max)))
+      assert(ev(I.Unordered(exprs), pos) == unoExpected, s"unordered $pos")
+      // ordered: strictly increasing tuples only
+      val ordExpected = bruteMinimal(tuples
+        .filter(t => t.sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
+        .map(t => (t.head, t.last)))
+      assert(ev(I.Ordered(exprs), pos) == ordExpected, s"ordered $pos")
+    }
+  }
+
   test("distributed matches agree with span operators on the corpus") {
     import graft.synth.CorpusSynth
     val view = Indexer.buildTables(spark,
