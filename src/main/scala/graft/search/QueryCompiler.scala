@@ -177,8 +177,14 @@ object QueryCompiler {
                           scorers: QueryScorers, should: Seq[Query],
                           must: Seq[Query], mustNot: Seq[Query],
                           filter: Seq[Query], msm: Int): DataFrame = {
+    val viewKey = System.identityHashCode(view).toString
     def docSet(q: Query): DataFrame =
       compileDocSet(spark, view, scorers, q)
+    // FILTER doc sets route through the filterCache (query-independent,
+    // the reference's fq caching); MUST_NOT stays uncached like the
+    // reference's prohibited clauses
+    def filterDocSet(q: Query): DataFrame =
+      FilterCache.getOrCompute(viewKey, q)(docSet(q))
     // SHOULD-only bool requires >= 1 matching SHOULD (reference rule)
     val effMsm = if (must.isEmpty && filter.isEmpty) math.max(1, msm) else msm
     if (msm > should.size) // unsatisfiable (reference: matches nothing)
@@ -200,14 +206,14 @@ object QueryCompiler {
         // Boolean2ScorerSupplier [8x search/Boolean2ScorerSupplier.java])
         // — docs matching all filters but no SHOULD clause are hits with
         // should-score 0, so build base from the filter doc set
-        docSet(filter.head)
+        filterDocSet(filter.head)
           .join(sa.select(col("doc_id"), col("s_should")), Seq("doc_id"), "left_outer")
           .select(col("doc_id"), coalesce(col("s_should"), lit(0.0)).as("score"))
       case (Nil, Some(sa)) =>
         sa.where(col("n_should") >= effMsm)
           .select(col("doc_id"), col("s_should").as("score"))
       case (Nil, None) if filter.nonEmpty => // filter-only: score 0
-        docSet(filter.head).select(col("doc_id"), lit(0.0).as("score"))
+        filterDocSet(filter.head).select(col("doc_id"), lit(0.0).as("score"))
       case (Nil, None) => // MUST_NOT-only / empty bool: matches nothing
         // (reference semantics: a BooleanQuery with only prohibited
         // clauses is a valid query with an empty result, not an error)
@@ -234,7 +240,7 @@ object QueryCompiler {
         }
     }
     val filtered = filter.foldLeft(base)((acc, f) =>
-      acc.join(docSet(f), Seq("doc_id"), "left_semi"))
+      acc.join(filterDocSet(f), Seq("doc_id"), "left_semi"))
     mustNot.foldLeft(filtered)((acc, f) =>
       acc.join(docSet(f), Seq("doc_id"), "left_anti"))
   }

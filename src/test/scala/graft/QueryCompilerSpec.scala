@@ -151,6 +151,22 @@ class QueryCompilerSpec extends AnyFunSuite {
     }
   }
 
+  test("filterCache: repeated fq reuses the cached doc set, results identical") {
+    import graft.search.FilterCache
+    val fq = Q.Prefix("w002")
+    val q1 = Q.Bool(must = Seq(Q.Term("w0003")), filter = Seq(fq))
+    val first = scoredMap(QueryCompiler.compile(spark, view, q1, DoubleOracle))
+    val h0 = FilterCache.hits
+    // same fq under a DIFFERENT main query: doc set must come from cache
+    val q2 = Q.Bool(must = Seq(Q.Term("w0005")), filter = Seq(fq))
+    val second = scoredMap(QueryCompiler.compile(spark, view, q2, DoubleOracle))
+    assert(FilterCache.hits > h0, "second fq use should hit the cache")
+    // and a repeat of the first query is value-identical
+    val again = scoredMap(QueryCompiler.compile(spark, view, q1, DoubleOracle))
+    assert(again == first)
+    assert(second.nonEmpty && first.nonEmpty)
+  }
+
   test("FILTER + SHOULD-only (msm=0): filter-only matches are hits, score 0") {
     // reference semantics (Boolean2ScorerSupplier/ReqOptSumScorer):
     // SHOULD becomes purely optional once a required clause exists
