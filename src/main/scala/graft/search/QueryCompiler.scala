@@ -29,6 +29,15 @@ object Query {
   final case class Wildcard(pattern: String) extends Query
   /** Whole-term regular expression [8x search/RegexpQuery.java]. */
   final case class Regexp(pattern: String) extends Query
+  /** Span-near clause (ordered or unordered) — match-only in scoring
+    * position (constant score 1.0 per matching doc, the reference's
+    * common SpanQuery-as-filter use; span scoring proper would feed
+    * span_tf through the similarity like Phrase does).
+    */
+  final case class SpanNear(terms: Seq[String], slop: Int,
+                            ordered: Boolean = true) extends Query
+  /** Interval-algebra clause ([[Interval.Expr]]) — match-only. */
+  final case class IntervalQ(expr: Interval.Expr) extends Query
   final case class Fuzzy(term: String, maxEdits: Int) extends Query
   final case class TermRange(lo: String, hi: String) extends Query
   final case class TermSet(terms: Seq[String]) extends Query
@@ -143,6 +152,12 @@ object QueryCompiler {
     case Boost(inner, _)      => compileDocSet(spark, view, scorers, inner)
     case Phrase(ts, slop)     =>
       MoreQueries.phraseMatch(spark, view, ts, slop).select("doc_id")
+    case SpanNear(ts, slop, ordered) =>
+      (if (ordered) MoreQueries.spanNearOrdered(spark, view, ts, slop)
+       else MoreQueries.spanNearUnordered(spark, view, ts, slop))
+        .select("doc_id")
+    case IntervalQ(e)         =>
+      Interval.matches(spark, view, e).select("doc_id")
     case MatchAll             => view.docmeta.toDF().select("doc_id")
     case b: Bool              =>
       compileScored(spark, view, scorers, b).select("doc_id")
@@ -159,6 +174,12 @@ object QueryCompiler {
       MoreQueries.matchingDocs(spark, view, ts).select(col("doc_id"), lit(1.0).as("score"))
     case Phrase(ts, slop) =>
       MoreQueries.phraseScored(spark, view, ts, slop, scorers)
+    case q @ SpanNear(_, _, _) => // match-only: constant score 1.0
+      compileDocSet(spark, view, scorers, q)
+        .select(col("doc_id"), lit(1.0).as("score"))
+    case q @ IntervalQ(_) => // match-only: constant score 1.0
+      compileDocSet(spark, view, scorers, q)
+        .select(col("doc_id"), lit(1.0).as("score"))
     case ConstScore(inner, s) =>
       compileScored(spark, view, scorers, inner)
         .select(col("doc_id"), lit(s).as("score"))

@@ -151,6 +151,30 @@ class QueryCompilerSpec extends AnyFunSuite {
     }
   }
 
+  test("span and interval clauses compose in the boolean tree") {
+    import graft.search.{Interval => I, MoreQueries}
+    // span as FILTER: restricts without scoring
+    val q = Q.Bool(must = Seq(Q.Term("w0002")),
+      filter = Seq(Q.SpanNear(Seq("w0000", "w0001"), slop = 4, ordered = false)))
+    val got = scoredMap(QueryCompiler.compile(spark, view, q, DoubleOracle))
+    val base = scoredMap(ExactSearch.scored(spark, view, Seq("w0002"), DoubleOracle))
+    val allow = MoreQueries.spanNearUnordered(spark, view,
+      Seq("w0000", "w0001"), 4).collect().map(_.getLong(0)).toSet
+    assert(got == base.filter { case (d, _) => allow(d) })
+    // interval clause in scoring position: constant 1.0 added
+    val iq = Q.Bool(must = Seq(Q.Term("w0002")),
+      should = Seq(Q.IntervalQ(I.MaxWidth(
+        I.Unordered(Seq(I.Term("w0000"), I.Term("w0001"))), 6))))
+    val got2 = scoredMap(QueryCompiler.compile(spark, view, iq, DoubleOracle))
+    val ivDocs = graft.search.Interval.matches(spark, view,
+      I.MaxWidth(I.Unordered(Seq(I.Term("w0000"), I.Term("w0001"))), 6))
+      .collect().map(_.getLong(0)).toSet
+    assert(got2.keySet == base.keySet)
+    got2.foreach { case (d, s) =>
+      assert(close(s, base(d) + (if (ivDocs(d)) 1.0 else 0.0)))
+    }
+  }
+
   test("filterCache: repeated fq reuses the cached doc set, results identical") {
     import graft.search.FilterCache
     val fq = Q.Prefix("w002")
