@@ -171,6 +171,40 @@ object OracleGen {
        |LIMIT $k""".stripMargin
   }
 
+  /** Scored ordered span-near top-k: span_tf (ordered anchors within
+    * the gap budget) through the same phrase-weight BM25 shape.
+    */
+  def spanScoredSql(w1: String, w2: String, slop: Int, k: Int): String = {
+    val scoreExpr =
+      "widf.w * sp.stf / (sp.stf + 1.2 * (1 - 0.75 + 0.75 * norm.ldl / (st.sttf / CAST(st.n AS DOUBLE))))"
+    s"""WITH $tokCte, $dlCtes, pdf AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+       |  WHERE term IN ('$w1', '$w2') GROUP BY term
+       |), widf AS (
+       |  SELECT sum(ln(1 + (st.n - pdf.df + 0.5) / (pdf.df + 0.5))) AS w
+       |  FROM pdf CROSS JOIN st
+       |), lists AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), tokpos AS (
+       |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+       |  FROM lists
+       |), a AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w1'),
+       |   b AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w2'),
+       |   anchors AS (
+       |  SELECT a.doc_id, a.pos, min(b.pos) AS nb
+       |  FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos > a.pos
+       |  GROUP BY a.doc_id, a.pos
+       |), sp AS (
+       |  SELECT doc_id, count(*) AS stf FROM anchors
+       |  WHERE nb - pos - 1 <= $slop GROUP BY doc_id
+       |)
+       |SELECT sp.doc_id,
+       |  CAST(round($scoreExpr * 10000) AS BIGINT) AS score_q
+       |FROM sp JOIN norm ON sp.doc_id = norm.doc_id CROSS JOIN widf CROSS JOIN st
+       |ORDER BY $scoreExpr DESC, sp.doc_id ASC
+       |LIMIT $k""".stripMargin
+  }
+
   /** Rescoring: top-N of the first-pass disjunction re-ranked by
     * first + weight * second (second-pass score 0 when not matching).
     */

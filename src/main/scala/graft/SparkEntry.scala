@@ -139,6 +139,13 @@ object SparkEntry {
       MoreQueries.spanNearUnordered(s, IndexCache.documentsIndex(s, dir),
         Seq("join", "hash"), slop = 3)
     }),
+    "span_scored_topk" -> ((s, dir) => {
+      // SpanWeight analog: ordered span_tf through BM25 with summed
+      // slot idfs (shared similarity step with scored phrases)
+      val v = IndexCache.documentsIndex(s, dir)
+      quantize(MoreQueries.spanScoredTopK(s, v, Seq("hash", "join"),
+        3, 10, DoubleOracle), 10)
+    }),
     "more_like_this" -> ((s, dir) => {
       // MLT: seed doc's tf-idf-top terms as a scored disjunction
       val v = IndexCache.documentsIndex(s, dir)
@@ -547,6 +554,7 @@ object SparkEntry {
     "prefix_query" -> OracleGen.docsWithTermWhereSql("term LIKE 'sl%'"),
     "wildcard_query" -> OracleGen.docsWithTermWhereSql("regexp_matches(term, '^s.an$')"),
     "span_near_unordered" -> OracleGen.spanNearUnorderedSql("join", "hash", 3),
+    "span_scored_topk" -> OracleGen.spanScoredSql("hash", "join", 3, 10),
     "more_like_this" -> OracleGen.moreLikeThisSql(0L, 10, 10),
     "regexp_query" ->
       OracleGen.docsWithTermWhereSql("regexp_matches(term, '^(?:s[cp]an)$')"),

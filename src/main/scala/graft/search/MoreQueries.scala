@@ -144,28 +144,55 @@ object MoreQueries {
     * arithmetic as [[graft.spec.LuceneSpec.TermScorer]].
     */
   def phraseScored(spark: SparkSession, view: IndexView, terms: Seq[String],
-                   slop: Int, scorers: QueryScorers): DataFrame = {
+                   slop: Int, scorers: QueryScorers): DataFrame =
+    freqScored(spark, view, phraseMatch(spark, view, terms, slop),
+      "phrase_tf", terms, scorers)
+
+  /** Score a (doc_id, freq) frame through BM25 with weight = the sum of
+    * the slot terms' idfs — the shared similarity step for scored
+    * phrases AND scored spans (both feed a position-derived freq into
+    * the formula; [8x search/PhraseQuery.java PhraseWeight,
+    * spans/SpanWeight.java]).
+    */
+  def freqScored(spark: SparkSession, view: IndexView, freqs: DataFrame,
+                 freqCol: String, slotTerms: Seq[String],
+                 scorers: QueryScorers): DataFrame = {
     import spark.implicits._
-    val ph = phraseMatch(spark, view, terms, slop)
     val meta = view.docmeta.toDF().select(col("doc_id"), col("norm_byte"),
       col("lossy_dl"))
-    val joined = ph.join(meta, Seq("doc_id"))
+    val joined = freqs.join(meta, Seq("doc_id"))
     scorers.mode match {
       case DoubleOracle =>
-        val w = scorers.phraseWeightD(terms)
+        val w = scorers.phraseWeightD(slotTerms)
         joined.select(col("doc_id"),
-          (lit(w) * col("phrase_tf") / (col("phrase_tf") +
+          (lit(w) * col(freqCol) / (col(freqCol) +
             lit(scorers.k1d) * (lit(1.0) - lit(scorers.bd) +
               lit(scorers.bd) * col("lossy_dl") / lit(scorers.avgdlD))))
             .as("score"))
       case Float32Lucene =>
         val bc = spark.sparkContext.broadcast(scorers)
-        val slotTerms = terms
-        joined.select(col("doc_id"), col("phrase_tf"), col("norm_byte"))
+        val ts = slotTerms
+        joined.select(col("doc_id"), col(freqCol), col("norm_byte"))
           .as[(Long, Int, Int)]
-          .map { case (d, tf, nb) => (d, bc.value.phraseScoreF32(slotTerms, tf, nb)) }
+          .map { case (d, tf, nb) => (d, bc.value.phraseScoreF32(ts, tf, nb)) }
           .toDF("doc_id", "score")
     }
+  }
+
+  /** Scored span-near top-k: span_tf through the similarity with the
+    * summed slot idfs (SpanWeight analog; our span_tf counts anchors
+    * rather than sloppy-weighting each match — documented divergence
+    * from SpanScorer's sloppyFreq, same monotone intent).
+    */
+  def spanScoredTopK(spark: SparkSession, view: IndexView,
+                     terms: Seq[String], slop: Int, k: Int,
+                     mode: ScoreMode = DoubleOracle,
+                     ordered: Boolean = true): DataFrame = {
+    val m = if (ordered) spanNearOrdered(spark, view, terms, slop)
+            else spanNearUnordered(spark, view, terms, slop)
+    freqScored(spark, view, m, "span_tf", terms,
+      QueryScorers(view, terms, mode))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
   /** Scored-phrase top-k (standalone entry point; the compiler lowers
