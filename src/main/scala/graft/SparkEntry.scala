@@ -242,6 +242,19 @@ object SparkEntry {
         .join(broadcast(inner), Seq("jk"), "left_semi")
         .select("doc_id")
     }),
+    "facet_on_query" -> ((s, dir) => {
+      // Solr facets are computed over the QUERY's doc set, not the
+      // whole collection: range-bucket n_chars for docs matching
+      // 'spark' (matching set semi-joins the metadata — at scale the
+      // facet pass never touches non-matching rows)
+      val v = IndexCache.documentsIndex(s, dir)
+      val hits = MoreQueries.matchingDocs(s, v, Seq("spark"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"))
+        .join(hits, Seq("doc_id"), "left_semi")
+        .groupBy((floor(col("n_chars") / 100) * 100).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+    }),
     "suggest_prefix" -> ((s, dir) => {
       // AnalyzingSuggester analog: dictionary completions by weight
       graft.search.Suggest.suggestPrefix(s, IndexCache.documentsIndex(s, dir),
@@ -606,6 +619,14 @@ object SparkEntry {
          |)
          |SELECT DISTINCT doc_id FROM tokf
          |WHERE CAST(floor(doc_id / 100) AS BIGINT) IN (SELECT jk FROM inner_q)""".stripMargin,
+    "facet_on_query" ->
+      s"""WITH ${OracleGen.tokCte}, hits AS (
+         |  SELECT DISTINCT doc_id FROM tokf WHERE term = 'spark'
+         |)
+         |SELECT CAST(floor(d.n_chars / 100) * 100 AS BIGINT) AS bucket,
+         |  count(*) AS n
+         |FROM documents d JOIN hits USING (doc_id)
+         |GROUP BY 1""".stripMargin,
     "suggest_prefix" ->
       s"""WITH ${OracleGen.tokCte}
          |SELECT term, count(*) AS weight FROM tokf
