@@ -517,6 +517,7 @@ object SparkEntry {
     "dedup_exact" -> (graft.operators.TrainingData.dedupExact _),
     "dedup_ngram_pairs" -> ((s, dir) => graft.operators.TrainingData.dedupNgramPairs(s, dir)),
     "dedup_minhash_lsh" -> ((s, dir) => graft.operators.TrainingData.dedupMinhashLsh(s, dir)),
+    "dedup_embedding" -> ((s, dir) => graft.operators.TrainingData.dedupEmbedding(s, dir)),
     "dedup_simhash" -> (graft.operators.TrainingData.dedupSimhash _),
     "lang_id" -> (graft.operators.TrainingData.langId _),
     "quality_score" -> (graft.operators.TrainingData.qualityScore _),
@@ -777,6 +778,7 @@ object SparkEntry {
     "dedup_exact" -> TrainingOracles.dedupExact,
     "dedup_ngram_pairs" -> TrainingOracles.ngramJaccardPairs,
     "dedup_minhash_lsh" -> TrainingOracles.ngramJaccardPairs,
+    "dedup_embedding" -> TrainingOracles.embeddingCosinePairs,
     "lang_id" -> TrainingOracles.langId,
     "quality_score" -> TrainingOracles.qualityScore,
     "token_counts" -> TrainingOracles.tokenCounts,

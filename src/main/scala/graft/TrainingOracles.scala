@@ -45,6 +45,32 @@ object TrainingOracles {
       |FROM pair JOIN sz x ON i = x.doc_id JOIN sz y ON j = y.doc_id
       |WHERE CAST(round(inter * 10000.0 / (x.n + y.n - inter)) AS BIGINT) >= 8000""".stripMargin
 
+  /** Exact all-pairs hashed-TF cosine pairs at τ = 0.99, integer-exact:
+    * the same md5-hex feature bucket as the Spark side, then
+    * 10⁴·dot² ≥ 9801·n2a·n2b (dot > 0). Also the oracle of the
+    * sign-sketch LSH path ([[graft.operators.TrainingData.dedupEmbedding]]).
+    * HUGEINT-safe: products cast back to BIGINT only in the output.
+    */
+  val embeddingCosinePairs: String =
+    """WITH tk0 AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tk AS (SELECT doc_id, term FROM tk0 WHERE length(term) > 0),
+      |buck AS (
+      |  SELECT doc_id,
+      |    ((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+      |     + strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) % 64 AS b
+      |  FROM tk),
+      |vec AS (SELECT doc_id, b, count(*) AS c FROM buck GROUP BY 1, 2),
+      |nrm AS (SELECT doc_id, sum(c * c) AS n2 FROM vec GROUP BY 1),
+      |dots AS (
+      |  SELECT a.doc_id AS i, b2.doc_id AS j, sum(a.c * b2.c) AS dot
+      |  FROM vec a JOIN vec b2 ON a.b = b2.b AND a.doc_id < b2.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT i, j,
+      |  CAST((10000 * dot * dot) // (na.n2 * nb.n2) AS BIGINT) AS cos2_q
+      |FROM dots JOIN nrm na ON dots.i = na.doc_id JOIN nrm nb ON dots.j = nb.doc_id
+      |WHERE dot > 0 AND 10000 * dot * dot >= 9801 * na.n2 * nb.n2""".stripMargin
+
   val langId: String =
     s"""WITH t AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

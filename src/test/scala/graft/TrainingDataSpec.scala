@@ -125,6 +125,51 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding near-dup: exact dups pair at cos2_q=10000; 0.95/0.97 pairs excluded") {
+    // crafted corpus: only the exact-dup pair (0,1) reaches cos ≥ 0.99 —
+    // the 19/20-token near-dups sit at cos ≈ 0.95 and must NOT match
+    val r = TrainingData.dedupEmbedding(spark, corpusDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(r == Set((0L, 1L, 10000L)))
+  }
+
+  test("embedding near-dup: LSH path equals independent brute force (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = TrainingData.dedupEmbedding(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    // independent reimplementation: md5-first-byte feature buckets in
+    // plain Scala, all-pairs integer cosine test
+    def vec(text: String): Array[Long] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val v = new Array[Long](64)
+      text.split(' ').filter(_.nonEmpty).foreach { t =>
+        val b = (md.digest(t.getBytes("UTF-8"))(0) & 0xff) % 64
+        v(b) += 1
+      }
+      v
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), vec(r.getString(1)))).sortBy(_._1)
+    val want = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    for (a <- docs.indices; b <- (a + 1) until docs.length) {
+      val (ia, va) = docs(a); val (jb, vb) = docs(b)
+      var dot = 0L; var na2 = 0L; var nb2 = 0L
+      var d = 0
+      while (d < 64) {
+        dot += va(d) * vb(d); na2 += va(d) * va(d); nb2 += vb(d) * vb(d); d += 1
+      }
+      if (dot > 0 && 10000L * dot * dot >= 9801L * na2 * nb2)
+        want += ((ia, jb, (10000L * dot * dot) / (na2 * nb2)))
+    }
+    assert(got == want.toSet)
+    assert(got.nonEmpty)
+  }
+
+  test("embedding LSH planes are balanced (sum 0 per row)") {
+    TrainingData.embPlanes.foreach(r => assert(r.sum == 0 && r.length == 64))
+  }
+
   test("doc fingerprint: equal for exact dups, stable") {
     val f = TrainingData.docFingerprint(spark, corpusDir).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
