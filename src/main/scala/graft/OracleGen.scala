@@ -87,6 +87,30 @@ object OracleGen {
        |FROM sc WHERE n_matched >= $minShouldMatch
        |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
 
+  /** SynonymQuery: the synonym set as ONE pseudo-term — per-doc
+    * tf = Σ over the terms, idf from the blended docFreq = max over the
+    * terms' dfs (8.x SynonymQuery.createWeight blending).
+    */
+  def synonymTopKSql(terms: Seq[String], k: Int): String = {
+    val qs = termList(terms.distinct)
+    s"""WITH $tokCte, $dlCtes, sdf AS (
+       |  SELECT max(df) AS df FROM (
+       |    SELECT count(DISTINCT doc_id) AS df FROM tokf
+       |    WHERE term IN ($qs) GROUP BY term)
+       |), stf AS (
+       |  SELECT doc_id, count(*) AS tf FROM tokf
+       |  WHERE term IN ($qs) GROUP BY doc_id
+       |)
+       |SELECT stf.doc_id, CAST(round(
+       |  ln(1 + (st.n - sdf.df + 0.5) / (sdf.df + 0.5))
+       |    * stf.tf / (stf.tf + 1.2 * (1 - 0.75 + 0.75 * norm.ldl / (st.sttf / CAST(st.n AS DOUBLE))))
+       |  * 10000) AS BIGINT) AS score_q
+       |FROM stf JOIN norm ON stf.doc_id = norm.doc_id CROSS JOIN sdf CROSS JOIN st
+       |ORDER BY ln(1 + (st.n - sdf.df + 0.5) / (sdf.df + 0.5))
+       |    * stf.tf / (stf.tf + 1.2 * (1 - 0.75 + 0.75 * norm.ldl / (st.sttf / CAST(st.n AS DOUBLE)))) DESC,
+       |  stf.doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** BoostQuery: wrapped query's score × boost. */
   def bm25BoostSql(terms: Seq[String], boost: Double, k: Int): String =
     s"""WITH ${bm25Ctes(terms)}

@@ -146,6 +146,18 @@ object SparkEntry {
       quantize(MoreQueries.spanScoredTopK(s, v, Seq("hash", "join"),
         3, 10, DoubleOracle), 10)
     }),
+    "synonym_query" -> ((s, dir) => {
+      // SynonymQuery: blended df (max), summed tf, scored as one term
+      val v = IndexCache.documentsIndex(s, dir)
+      quantize(MoreQueries.synonymTopK(s, v, Seq("spark", "scan", "merge"), 10), 10)
+    }),
+    "term_vectors" -> ((s, dir) => {
+      // TermVectorsComponent: (term, tf) vectors for a doc range, via
+      // skip-window-pruned posting block inversion
+      MoreQueries.termVectors(s, IndexCache.documentsIndex(s, dir), 0L, 4L)
+    }),
+    "geo_filter" -> ((s, dir) =>
+      graft.operators.Functions.geoFilter(s, dir)),
     "more_like_this" -> ((s, dir) => {
       // MLT: seed doc's tf-idf-top terms as a scored disjunction
       val v = IndexCache.documentsIndex(s, dir)
@@ -569,6 +581,14 @@ object SparkEntry {
     "wildcard_query" -> OracleGen.docsWithTermWhereSql("regexp_matches(term, '^s.an$')"),
     "span_near_unordered" -> OracleGen.spanNearUnorderedSql("join", "hash", 3),
     "span_scored_topk" -> OracleGen.spanScoredSql("hash", "join", 3, 10),
+    "synonym_query" -> OracleGen.synonymTopKSql(Seq("spark", "scan", "merge"), 10),
+    "term_vectors" ->
+      s"""WITH ${OracleGen.tokCte}
+         |SELECT doc_id, term, count(*) AS tf FROM tokf
+         |WHERE doc_id BETWEEN 0 AND 4 GROUP BY doc_id, term""".stripMargin,
+    "geo_filter" ->
+      (s"SELECT c_custkey, dist_10m FROM (${graft.operators.FunctionOracles.geoDist}) g " +
+        "WHERE dist_10m <= 300000"),
     "more_like_this" -> OracleGen.moreLikeThisSql(0L, 10, 10),
     "regexp_query" ->
       OracleGen.docsWithTermWhereSql("regexp_matches(term, '^(?:s[cp]an)$')"),

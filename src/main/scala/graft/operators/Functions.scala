@@ -73,6 +73,21 @@ object Functions {
       .select(col("c_custkey"),
         round(distKm * 100).cast("long").as("dist_10m"))
   }
+
+  /** geofilt [Solr {!geofilt} / Lucene LatLonPoint.newDistanceQuery]:
+    * rows within `dKm` of the origin point. The filter compares the
+    * QUANTIZED distance (10 m units, same rounding as [[geoDist]]), so
+    * the boundary is integer-exact for the oracle. At scale the real
+    * LatLonPoint plan prunes with a bounding box first; the lat-band
+    * prefilter below is that analog — a sargable range predicate the
+    * scan can push down before any trigonometry runs.
+    */
+  def geoFilter(s: SparkSession, dir: String, dKm: Double = 3000.0): DataFrame = {
+    val latBandDeg = math.ceil(dKm / 111.0) // 1° latitude ≥ ~111 km
+    geoDist(s, dir)
+      .where((col("c_custkey") % 180 - 90 + 0.5).between(-latBandDeg, latBandDeg))
+      .where(col("dist_10m") <= (dKm * 100).toLong)
+  }
 }
 
 /** DuckDB twins of [[Functions]]. */

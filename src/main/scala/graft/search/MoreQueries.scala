@@ -429,4 +429,52 @@ object MoreQueries {
     base.join(filterDocs.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
+
+  /** Term-vector retrieval (Solr TermVectorsComponent / Lucene
+    * TermVectorsReader analog): the per-doc (term, tf) vector for a
+    * docID range, recovered by inverting ONLY the posting blocks whose
+    * [first_doc_id, last_doc_id] skip window overlaps the range —
+    * parquet min/max stats prune the rest at the scan on disk-backed
+    * indexes, so the cost is proportional to the hit range, not the
+    * corpus.
+    */
+  def termVectors(spark: SparkSession, view: IndexView,
+                  lo: Long, hi: Long): DataFrame = {
+    import spark.implicits._
+    view.postings
+      .filter(col("first_doc_id") <= hi && col("last_doc_id") >= lo)
+      .flatMap { b =>
+        val d = PostingCodec.decode(b.docs, b.freqs, b.norms)
+        Iterator.range(0, d.docIds.length)
+          .filter(i => d.docIds(i) >= lo && d.docIds(i) <= hi)
+          .map(i => (d.docIds(i), b.term, d.freqs(i).toLong))
+      }.toDF("doc_id", "term", "tf")
+  }
+
+  /** SynonymQuery [8x search/SynonymQuery.java]: the synonym set scores
+    * as ONE pseudo-term. `createWeight` blends the TermStatistics —
+    * docFreq = max over the terms' dfs (ttf summed, unused by BM25 idf)
+    * — and at scoring time the merged postings iterator reports
+    * freq = Σ tf over the terms present in the doc. Whole pipeline is
+    * Catalyst: posting decode → per-doc sum agg → column-expression
+    * score (shape mirrored by the DuckDB oracle) → TakeOrdered top-k.
+    */
+  def synonymTopK(spark: SparkSession, view: IndexView,
+                  synTerms: Seq[String], k: Int): DataFrame = {
+    val cs = graft.stats.GlobalStats.collectionStats(view)
+    val ts = graft.stats.GlobalStats.termStats(view, synTerms)
+    val blendedDf = ts.values.map(_.df).foldLeft(0L)(math.max)
+    val idfD = math.log(1d + (cs.docCount - blendedDf + 0.5d) / (blendedDf + 0.5d))
+    val avgdlD = cs.sumTotalTermFreq.toDouble / cs.docCount.toDouble
+    val agg = ExactSearch.decodedPostings(spark, view, synTerms)
+      .groupBy("doc_id")
+      // lossy_dl is a per-DOC property (same on every term row)
+      .agg(sum("tf").as("tf"), max("lossy_dl").as("lossy_dl"))
+    val score = lit(idfD) * col("tf") /
+      (col("tf") + lit(graft.spec.LuceneSpec.K1d) *
+        (lit(1d) - lit(graft.spec.LuceneSpec.Bd) +
+          lit(graft.spec.LuceneSpec.Bd) * col("lossy_dl") / lit(avgdlD)))
+    agg.select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
 }

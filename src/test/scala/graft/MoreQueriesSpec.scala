@@ -257,6 +257,51 @@ class MoreQueriesSpec extends AnyFunSuite {
     assert(got.map(_._1) != s1.take(10).map(_._1).toList)
   }
 
+  test("synonym query: single-term set degenerates to the plain term query") {
+    val syn = MoreQueries.synonymTopK(spark, view, Seq("w0002"), 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val plain = graft.search.ExactSearch.topK(spark, view, Seq("w0002"), 25, DoubleOracle)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(syn == plain && syn.nonEmpty)
+  }
+
+  test("synonym query: blended df = max, tf summed (brute force)") {
+    val terms = Seq("w0005", "w0011")
+    val got = MoreQueries.synonymTopK(spark, view, terms, 10000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // brute force from the raw corpus
+    val n = docs.length.toLong
+    val toks = docs.map { case (id, t) =>
+      id -> Analyzer.tokenize(t).map(_.term).toSeq }
+    val dls = toks.map { case (id, ts) => id -> ts.length }.toMap
+    val lossy = dls.view.mapValues(dl =>
+      graft.codec.SmallFloat.byte4ToInt(graft.codec.SmallFloat.intToByte4(dl))).toMap
+    val sttf = dls.values.map(_.toLong).sum
+    val avgdl = sttf.toDouble / n
+    val df = terms.map(t => toks.count(_._2.contains(t)).toLong).max
+    val idf = math.log(1d + (n - df + 0.5d) / (df + 0.5d))
+    toks.foreach { case (id, ts) =>
+      val tf = ts.count(terms.contains)
+      if (tf > 0) {
+        val want = idf * tf / (tf + graft.spec.LuceneSpec.K1d *
+          (1 - graft.spec.LuceneSpec.Bd + graft.spec.LuceneSpec.Bd * lossy(id) / avgdl))
+        assert(math.abs(got(id) - want) < 1e-12, s"doc $id")
+      } else assert(!got.contains(id))
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("term vectors: equal to per-doc token counts; pruned blocks only") {
+    val got = MoreQueries.termVectors(spark, view, 10L, 14L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = docs.filter { case (id, _) => id >= 10L && id <= 14L }
+      .flatMap { case (id, t) =>
+        Analyzer.tokenize(t).groupBy(_.term).map { case (term, xs) =>
+          (id, term, xs.length.toLong) }
+      }.toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("MUST_NOT excludes and FILTER restricts without changing scores") {
     val base = graft.search.ExactSearch.scored(spark, view, Seq("w0002"), DoubleOracle)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
