@@ -132,6 +132,15 @@ object RelationalOracles {
       |  FROM orders)
       |WHERE rn = 1 AND o_custkey % 10 = 0""".stripMargin
 
+  val expandGroups: String =
+    """SELECT o_custkey, o_orderkey, price_cents, rn FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey ASC) AS BIGINT) AS rn
+      |  FROM orders WHERE o_custkey % 10 = 0)
+      |WHERE rn BETWEEN 2 AND 3""".stripMargin
+
   val timeSeries: String =
     """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
       |  count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents

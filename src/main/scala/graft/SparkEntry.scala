@@ -224,6 +224,28 @@ object SparkEntry {
       graft.index.Indexer.buildTerms(purged.postings.union(addView.postings))
         .groupBy("term").agg(sum("df").as("df"), sum("ctf").as("ctf"))
     }),
+    "realtime_get" -> ((s, dir) => {
+      // RealTimeGetComponent (/get) [8x solr handler/component/
+      // RealTimeGetComponent.java]: point lookup by id that sees
+      // UNCOMMITTED tlog updates before any commit/searcher reopen.
+      // The pending-tlog frame holds patched versions of doc_id%50==7
+      // docs; /get answers tlog-first with stored-fields fallback. At
+      // scale: broadcast id set + parquet-stat-pruned point scan of the
+      // stored fields; the tlog is small and memory-resident.
+      val ids = (0L to 500L by 7L)
+      val stored = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+        .where(col("doc_id").isin(ids: _*))
+      val tlog = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 50 === 7 && col("doc_id").isin(ids: _*))
+        .select(col("doc_id"), concat(col("text"), lit(" patched")).as("t_text"))
+      stored.join(broadcast(tlog), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("t_text"), col("text")).as("text"),
+          col("t_text").isNotNull.cast("long").as("from_tlog"))
+    }),
+    "expand_groups" -> ((s, dir) =>
+      graft.operators.Relational.expandGroups(s, dir)),
     "result_grouping" -> ((s, dir) => {
       // Solr result grouping (group.field): top-3 groups ranked by
       // their best doc's score, top-2 docs per group — grouped search
@@ -621,6 +643,12 @@ object SparkEntry {
          |)
          |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ctf
          |FROM tokf2 GROUP BY term""".stripMargin,
+    "realtime_get" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 50 = 7 THEN text || ' patched' ELSE text END AS text,
+        |  CAST(doc_id % 50 = 7 AS BIGINT) AS from_tlog
+        |FROM documents WHERE doc_id % 7 = 0 AND doc_id <= 500""".stripMargin,
+    "expand_groups" -> RelationalOracles.expandGroups,
     "result_grouping" ->
       s"""WITH ${OracleGen.bm25Ctes(Seq("spark", "join"))}, scq AS (
          |  SELECT doc_id, doc_id % 10 AS grp,

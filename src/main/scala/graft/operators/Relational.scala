@@ -242,6 +242,23 @@ object Relational {
       .select("o_custkey", "o_orderkey", "price_cents")
   }
 
+  /** ExpandComponent [8x solr handler/component/ExpandComponent.java]:
+    * the companion of collapse ([[windowCollapse]]) — for each group in
+    * the collapsed page, the next `expandRows` members EXCLUDING the
+    * head, in the collapse sort order. Same single-window shape as the
+    * collapse (partition-key filter below the window exchange).
+    */
+  def expandGroups(s: SparkSession, dir: String, expandRows: Int = 2): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+    tbl(s, dir, "orders")
+      .filter(col("o_custkey") % 10 === 0)
+      .select(col("o_custkey"), col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") > 1 && col("rn") <= 1 + expandRows)
+      .select("o_custkey", "o_orderkey", "price_cents", "rn")
+  }
+
   /** TimeSeriesStream over the events table: tumbling 1-day windows. */
   def timeSeries(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "events")
