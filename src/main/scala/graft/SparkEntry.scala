@@ -151,6 +151,12 @@ object SparkEntry {
       val v = IndexCache.documentsIndex(s, dir)
       quantize(MoreQueries.synonymTopK(s, v, Seq("spark", "scan", "merge"), 10), 10)
     }),
+    "block_join_parent" -> ((s, dir) => {
+      // {!parent}: parents with a child (positional half) matching the
+      // conjunctive child query — stronger than doc-level AND
+      MoreQueries.blockJoinParents(s,
+        s.read.parquet(s"$dir/documents.parquet"), "spark", "join")
+    }),
     "term_vectors" -> ((s, dir) => {
       // TermVectorsComponent: (term, tf) vectors for a doc range, via
       // skip-window-pruned posting block inversion
@@ -604,6 +610,20 @@ object SparkEntry {
     "span_near_unordered" -> OracleGen.spanNearUnorderedSql("join", "hash", 3),
     "span_scored_topk" -> OracleGen.spanScoredSql("hash", "join", 3, 10),
     "synonym_query" -> OracleGen.synonymTopKSql(Seq("spark", "scan", "merge"), 10),
+    "block_join_parent" ->
+      """WITH lists AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), halves AS (
+        |  SELECT doc_id, l[1:(len(l)+1)//2] AS c0, l[(len(l)+1)//2+1:len(l)] AS c1
+        |  FROM lists
+        |)
+        |SELECT doc_id,
+        |  CAST(list_contains(c0, 'spark') AND list_contains(c0, 'join') AS BIGINT)
+        |  + CAST(list_contains(c1, 'spark') AND list_contains(c1, 'join') AS BIGINT)
+        |    AS n_child_hits
+        |FROM halves
+        |WHERE list_contains(c0, 'spark') AND list_contains(c0, 'join')
+        |   OR list_contains(c1, 'spark') AND list_contains(c1, 'join')""".stripMargin,
     "term_vectors" ->
       s"""WITH ${OracleGen.tokCte}
          |SELECT doc_id, term, count(*) AS tf FROM tokf

@@ -430,6 +430,30 @@ object MoreQueries {
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
+  /** ToParentBlockJoinQuery [8x search/join/ToParentBlockJoinQuery.java,
+    * Solr BlockJoinParentQParser `{!parent}`]: parent docs having ≥ 1
+    * CHILD matching the child query, with the matching-child count.
+    * Children here are the two positional halves of each document — a
+    * deterministic block structure standing in for indexed child docs —
+    * and the child query is CONJUNCTIVE (both terms within ONE half),
+    * so the result is strictly stronger than a doc-level AND. The whole
+    * child evaluation is an in-row array expression (narrow, codegen);
+    * nothing shuffles.
+    */
+  def blockJoinParents(spark: SparkSession, corpus: DataFrame,
+                       t1: String, t2: String): DataFrame = {
+    val l = split(col("text"), " ")
+    val n = size(l)
+    val half = ((n + 1) / 2).cast("int") // Column `/` is double division
+    val c0 = slice(l, lit(1), half)
+    val c1 = slice(l, half + 1, n - half)
+    def hits(c: Column): Column =
+      (array_contains(c, t1) && array_contains(c, t2)).cast("long")
+    corpus
+      .select(col("doc_id"), (hits(c0) + hits(c1)).as("n_child_hits"))
+      .where(col("n_child_hits") > 0)
+  }
+
   /** Term-vector retrieval (Solr TermVectorsComponent / Lucene
     * TermVectorsReader analog): the per-doc (term, tf) vector for a
     * docID range, recovered by inverting ONLY the posting blocks whose
