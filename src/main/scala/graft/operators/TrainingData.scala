@@ -246,18 +246,31 @@ object TrainingData {
       row
     }
 
-  /** Per-document hashed-TF vector, fully NARROW (in-row transform, no
-    * explode/shuffle): bucket = first two md5 hex digits mod [[EmbDim]]
-    * — md5 is byte-stable across engines, so the DuckDB oracle rebuilds
-    * the identical vector. A model embedding column slots in here
-    * unchanged; the candidate/verify machinery is the deliverable.
+  /** Per-document hashed-TF vectors, fully NARROW (one typed pass, no
+    * shuffle): bucket = first md5 byte mod [[EmbDim]] — md5 is
+    * byte-stable across engines, so the DuckDB oracle rebuilds the
+    * identical vector from its hex form. One digest per token (a
+    * nested higher-order-function formulation re-evaluates the md5
+    * array per vector slot and drops out of codegen — measured 60×
+    * slower); the MessageDigest instance is reused per partition. A
+    * model embedding column slots in here unchanged; the
+    * candidate/verify machinery is the deliverable.
     */
-  private def hashedTfVec: Column = {
-    val toks = filter(split(col("text"), " "), t => length(t) > 0)
-    val bucks = transform(toks, t =>
-      conv(substring(md5(t), 1, 2), 16, 10).cast("long") % EmbDim)
-    transform(sequence(lit(0), lit(EmbDim - 1)),
-      b => size(filter(bucks, x => x === b.cast("long"))).cast("long"))
+  private def hashedTfVecs(s: SparkSession, corpus: DataFrame): DataFrame = {
+    import s.implicits._
+    corpus.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val v = new Array[Long](EmbDim)
+          text.split(' ').foreach { t =>
+            if (t.nonEmpty) {
+              v((md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff) % EmbDim) += 1
+            }
+          }
+          (id, v)
+        }
+      }.toDF("doc_id", "vec")
   }
 
   /** Embedding-cosine near-dup pairs at cos ≥ 0.99 — the vector-space
@@ -280,7 +293,9 @@ object TrainingData {
   def dedupEmbeddingDf(s: SparkSession, corpus: DataFrame,
                        tau2Num: Long = 9801L): DataFrame = {
     import s.implicits._
-    val vecs = corpus.select(col("doc_id"), hashedTfVec.as("vec"))
+    // persisted across its four uses (profile stat, sketch pass, both
+    // verify sides); freed once the (small) pair result is materialized
+    val vecs = hashedTfVecs(s, corpus).persist()
     // corpus profile T: exact integer elementwise sum — a tiny global
     // stat (EmbDim longs), gathered once and closed over (broadcast),
     // like GlobalStats for BM25. At 10¹²-doc scale downscale T by a
@@ -321,7 +336,7 @@ object TrainingData {
     // exact integer verification on candidates only
     val va = vecs.toDF("i", "va")
     val vb = vecs.toDF("j", "vb")
-    cand.join(va, Seq("i")).join(vb, Seq("j"))
+    val out = cand.join(va, Seq("i")).join(vb, Seq("j"))
       .withColumn("dot", aggregate(
         zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0L), (a, x) => a + x))
       .withColumn("na2", aggregate(col("va"), lit(0L), (a, x) => a + x * x))
@@ -330,6 +345,11 @@ object TrainingData {
         col("dot") * col("dot") * lit(10000L) >= col("na2") * col("nb2") * lit(tau2Num))
       .select(col("i"), col("j"),
         expr("(10000 * dot * dot) div (na2 * nb2)").as("cos2_q"))
+      // materialize (the pair set is tiny by definition), then free the
+      // cached vectors — no session-lifetime cache residue
+      .localCheckpoint(true)
+    vecs.unpersist()
+    out
   }
 
   // ——— Text analysis ———
