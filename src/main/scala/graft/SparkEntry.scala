@@ -295,6 +295,10 @@ object SparkEntry {
         .groupBy((floor(col("n_chars") / 100) * 100).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n"))
     }),
+    "edge_ngram_suggest" -> ((s, dir) => {
+      // EdgeNGram completion dictionary: weighted 2..6-char prefixes
+      graft.search.Suggest.edgeNgramDict(s, IndexCache.documentsIndex(s, dir), 6, 30)
+    }),
     "suggest_prefix" -> ((s, dir) => {
       // AnalyzingSuggester analog: dictionary completions by weight
       graft.search.Suggest.suggestPrefix(s, IndexCache.documentsIndex(s, dir),
@@ -696,6 +700,16 @@ object SparkEntry {
          |  count(*) AS n
          |FROM documents d JOIN hits USING (doc_id)
          |GROUP BY 1""".stripMargin,
+    "edge_ngram_suggest" ->
+      s"""WITH ${OracleGen.tokCte}, ctf AS (
+         |  SELECT term, count(*) AS ctf FROM tokf GROUP BY term
+         |), grams AS (
+         |  SELECT substr(term, 1, s.g) AS gram, ctf
+         |  FROM ctf, LATERAL (SELECT unnest(generate_series(2, least(6, length(term)))) AS g) s
+         |  WHERE length(term) >= 2
+         |)
+         |SELECT gram, CAST(sum(ctf) AS BIGINT) AS weight FROM grams
+         |GROUP BY gram ORDER BY weight DESC, gram ASC LIMIT 30""".stripMargin,
     "suggest_prefix" ->
       s"""WITH ${OracleGen.tokCte}
          |SELECT term, count(*) AS weight FROM tokf

@@ -26,6 +26,26 @@ object Suggest {
       .orderBy(col("weight").desc, col("term").asc)
       .limit(k)
 
+  /** Edge-n-gram completion dictionary [8x analysis/common
+    * EdgeNGramTokenFilter.java; Solr FreeTextSuggester-style lookup]:
+    * every 2..maxGram prefix of every dictionary term, weighted by the
+    * terms' total occurrence count — the index-time expansion behind
+    * instant prefix lookup (the completion FST analog). Dictionary-side
+    * only: the corpus is never re-read, and the explode fans out ≤
+    * maxGram-1 rows per dictionary term.
+    */
+  def edgeNgramDict(s: SparkSession, view: IndexView, maxGram: Int,
+                    k: Int): DataFrame =
+    view.terms
+      .groupBy("term").agg(sum("ctf").as("ctf"))
+      .where(length(col("term")) >= 2)
+      .select(explode(sequence(lit(2), least(lit(maxGram), length(col("term")))))
+        .as("g"), col("term"), col("ctf"))
+      .groupBy(expr("substring(term, 1, g)").as("gram"))
+      .agg(sum("ctf").as("weight"))
+      .orderBy(col("weight").desc, col("gram").asc)
+      .limit(k)
+
   /** Did-you-mean: candidate corrections within `maxEdits` of the
     * (presumably unindexed) input, ranked by (edit distance asc,
     * document frequency desc, term asc) — DirectSpellChecker's
