@@ -256,7 +256,7 @@ object TrainingData {
     * model embedding column slots in here unchanged; the
     * candidate/verify machinery is the deliverable.
     */
-  private def hashedTfVecs(s: SparkSession, corpus: DataFrame): DataFrame = {
+  private[graft] def hashedTfVecs(s: SparkSession, corpus: DataFrame): DataFrame = {
     import s.implicits._
     corpus.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
@@ -292,10 +292,24 @@ object TrainingData {
 
   def dedupEmbeddingDf(s: SparkSession, corpus: DataFrame,
                        tau2Num: Long = 9801L): DataFrame = {
-    import s.implicits._
     // persisted across its four uses (profile stat, sketch pass, both
     // verify sides); freed once the (small) pair result is materialized
     val vecs = hashedTfVecs(s, corpus).persist()
+    val out = dedupEmbeddingLazy(s, vecs, tau2Num)
+      // materialize (the pair set is tiny by definition), then free the
+      // cached vectors — no session-lifetime cache residue
+      .localCheckpoint(true)
+    vecs.unpersist()
+    out
+  }
+
+  /** The un-materialized pair pipeline over a (doc_id, vec) frame —
+    * exposed for the plan audit (ExplainDump), which needs the real
+    * plan, not the checkpoint scan.
+    */
+  private[graft] def dedupEmbeddingLazy(s: SparkSession, vecs: DataFrame,
+                                        tau2Num: Long): DataFrame = {
+    import s.implicits._
     // corpus profile T: exact integer elementwise sum — a tiny global
     // stat (EmbDim longs), gathered once and closed over (broadcast),
     // like GlobalStats for BM25. At 10¹²-doc scale downscale T by a
@@ -336,7 +350,7 @@ object TrainingData {
     // exact integer verification on candidates only
     val va = vecs.toDF("i", "va")
     val vb = vecs.toDF("j", "vb")
-    val out = cand.join(va, Seq("i")).join(vb, Seq("j"))
+    cand.join(va, Seq("i")).join(vb, Seq("j"))
       .withColumn("dot", aggregate(
         zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0L), (a, x) => a + x))
       .withColumn("na2", aggregate(col("va"), lit(0L), (a, x) => a + x * x))
@@ -345,11 +359,6 @@ object TrainingData {
         col("dot") * col("dot") * lit(10000L) >= col("na2") * col("nb2") * lit(tau2Num))
       .select(col("i"), col("j"),
         expr("(10000 * dot * dot) div (na2 * nb2)").as("cos2_q"))
-      // materialize (the pair set is tiny by definition), then free the
-      // cached vectors — no session-lifetime cache residue
-      .localCheckpoint(true)
-    vecs.unpersist()
-    out
   }
 
   // ——— Text analysis ———
