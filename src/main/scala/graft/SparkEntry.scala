@@ -295,6 +295,31 @@ object SparkEntry {
         .groupBy((floor(col("n_chars") / 100) * 100).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n"))
     }),
+    "minimal_stem_df" -> ((s, dir) => {
+      // EnglishMinimalStemFilter (s-stemmer): stemmed term dictionary
+      // stats; the stem rules are ONE shared portable SQL expression
+      // evaluated verbatim by Spark and the DuckDB oracle (Stemmer)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .where(length(col("term")) > 0 &&
+          !col("term").isin(graft.analysis.Analyzer.EnglishStopWords.toSeq: _*))
+        .select(col("doc_id"), expr(graft.analysis.Stemmer.stemSql("term")).as("stem"))
+        .groupBy("stem")
+        .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("ctf"))
+    }),
+    "session_window_agg" -> ((s, dir) => {
+      // session windows (30-minute gap) per user over the events table —
+      // the session_window operator exercised in batch (its streaming
+      // execution path is covered by stream_window_agg); a session ends
+      // gap minutes after its last event, Spark's session semantics
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("user_id"), col("n"), col("value_cents"))
+    }),
     "edge_ngram_suggest" -> ((s, dir) => {
       // EdgeNGram completion dictionary: weighted 2..6-char prefixes
       graft.search.Suggest.edgeNgramDict(s, IndexCache.documentsIndex(s, dir), 6, 30)
@@ -700,6 +725,27 @@ object SparkEntry {
          |  count(*) AS n
          |FROM documents d JOIN hits USING (doc_id)
          |GROUP BY 1""".stripMargin,
+    "minimal_stem_df" ->
+      s"""WITH ${OracleGen.tokCte}
+         |SELECT ${graft.analysis.Stemmer.stemSql("term")} AS stem,
+         |  count(DISTINCT doc_id) AS df, count(*) AS ctf
+         |FROM tokf GROUP BY 1""".stripMargin,
+    "session_window_agg" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS vc,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts, vc,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x
+        |)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  user_id, count(*) AS n, CAST(sum(vc) AS BIGINT) AS value_cents
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
     "edge_ngram_suggest" ->
       s"""WITH ${OracleGen.tokCte}, ctf AS (
          |  SELECT term, count(*) AS ctf FROM tokf GROUP BY term

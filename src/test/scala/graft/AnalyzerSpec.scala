@@ -1,5 +1,35 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, expr}
+
+class StemmerSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("minimal stemmer: SQL expression equals the Scala mirror on vocab + edges") {
+    import spark.implicits._
+    val edges = Seq("s", "as", "ss", "us", "bus", "miss", "dogs", "cats",
+      "dies", "ties", "cries", "flies", "ponies", "aies", "eies",
+      "goes", "does", "gases", "shoes", "pies", "runs", "focus", "is")
+    val vocab = graft.synth.CorpusSynth.corpus(spark, 500L, seed = 9L)
+      .select("text").as[String].collect()
+      .flatMap(_.split(' ')).filter(_.nonEmpty).distinct.toSeq
+    val words = (edges ++ vocab).distinct
+    val got = words.toDF("w")
+      .select(col("w"), expr(graft.analysis.Stemmer.stemSql("w")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    words.foreach { w =>
+      assert(got(w) == graft.analysis.Stemmer.stem(w), s"word '$w'")
+    }
+    // spot checks of the reference rules
+    assert(graft.analysis.Stemmer.stem("dogs") == "dog")
+    assert(graft.analysis.Stemmer.stem("ponies") == "pony")
+    assert(graft.analysis.Stemmer.stem("miss") == "miss")
+    assert(graft.analysis.Stemmer.stem("focus") == "focus")
+    assert(graft.analysis.Stemmer.stem("dies") == "dy") // ies→y behind a consonant
+    assert(graft.analysis.Stemmer.stem("goes") == "goes")
+  }
+}
+
 import org.scalatest.funsuite.AnyFunSuite
 import graft.analysis.{Analyzer, HtmlCodec, Token}
 
