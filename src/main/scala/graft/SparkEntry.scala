@@ -551,6 +551,23 @@ object SparkEntry {
       graft.index.IndexReader.load(s, tmp).docmeta.toDF()
         .select(col("doc_id"), col("dl"))
     }),
+    "time_travel" -> ((s, dir) => {
+      // snapshot time travel (Iceberg-style): read the index AS OF
+      // version 1 (the first committed batch) after a later commit
+      // advanced the snapshot — write-once segment batches + versioned
+      // manifests make every published version reconstructable
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tt-entry").toString
+      val corpus = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("doc_id").cast("string").as("url"), col("text"))
+      val input = graft.index.Indexer.asDocInput(s, corpus)
+      val m = corpus.agg(max("doc_id")).head().getLong(0) / 2
+      graft.streaming.NrtIngest.ingestBatch(s, input.filter(col("doc_id") <= m),
+        tmp, 0L, IndexCache.TestSegmentSize, graft.analysis.Analyzer.EnglishStopWords)
+      graft.streaming.NrtIngest.ingestBatch(s, input.filter(col("doc_id") > m),
+        tmp, 1L, IndexCache.TestSegmentSize, graft.analysis.Analyzer.EnglishStopWords)
+      graft.index.IndexReader.loadVersion(s, tmp, 1).docmeta.toDF()
+        .select(col("doc_id"), col("dl"))
+    }),
     "stream_window_agg" -> ((s, dir) => {
       // a REAL Structured Streaming execution (file source → watermarked
       // tumbling window agg → memory sink, AvailableNow to completion);
@@ -900,6 +917,11 @@ object SparkEntry {
     "time_series" -> RelationalOracles.timeSeries,
     "sql_select" -> RelationalOracles.sqlSelect,
     "nrt_ingest_commit" -> OracleGen.tokenizeCountsSql,
+    "time_travel" ->
+      s"""WITH ${OracleGen.tokCte}
+         |SELECT doc_id, count(*) AS dl FROM tokf
+         |WHERE doc_id <= (SELECT max(doc_id) // 2 FROM documents)
+         |GROUP BY doc_id""".stripMargin,
     "stream_window_agg" -> RelationalOracles.timeSeries,
     // Training-data ops (simhash / lsh-ann / multimodal decode are
     // hash- or stub-based — rows-only checks, deliberately no oracle)
