@@ -403,4 +403,48 @@ object OracleGen {
   /** docCount — docs with ≥1 indexed (non-stop) token. */
   def matchAllCountSql: String =
     s"WITH $tokCte SELECT count(DISTINCT doc_id) AS n FROM tokf"
+
+  /** CommonTermsQuery: low-df terms (df ≤ maxTf·N) required, high-df
+    * optional, score over all matched — the classification is DERIVED
+    * from dfs in-query, same as the engine.
+    */
+  def commonTermsSql(terms: Seq[String], maxTf: Double, k: Int): String =
+    s"""WITH ${bm25Ctes(terms)}, lowt AS (
+       |  SELECT df.term FROM df CROSS JOIN st WHERE df.df <= $maxTf * st.n
+       |), nlow AS (SELECT count(*) AS c FROM lowt),
+       |lowm AS (
+       |  SELECT doc_id, count(DISTINCT term) AS lm FROM persc
+       |  WHERE term IN (SELECT term FROM lowt) GROUP BY doc_id
+       |)
+       |SELECT sc.doc_id, CAST(round(sc.score * 10000) AS BIGINT) AS score_q
+       |FROM sc JOIN lowm USING (doc_id) CROSS JOIN nlow
+       |WHERE lowm.lm = nlow.c
+       |ORDER BY sc.score DESC, sc.doc_id ASC LIMIT $k""".stripMargin
+
+  /** LTR linear-model rerank of the BM25 top-n: model = w0·score +
+    * w1·ln(1 + n_chars/100) + w2·[doc matches flagTerm].
+    */
+  def ltrRerankSql(terms: Seq[String], flagTerm: String, n: Int, k: Int,
+                   w0: Double, w1: Double, w2: Double): String = {
+    val model = s"($w0 * c.score + $w1 * ln(1 + d.n_chars / 100.0) + " +
+      s"$w2 * (CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END))"
+    s"""WITH ${bm25Ctes(terms)}, cand AS (
+       |  SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id ASC LIMIT $n
+       |), flag AS (SELECT DISTINCT doc_id FROM tokf WHERE term = '$flagTerm')
+       |SELECT c.doc_id, CAST(round($model * 10000) AS BIGINT) AS ltr_q
+       |FROM cand c JOIN documents d ON c.doc_id = d.doc_id
+       |LEFT JOIN flag f ON c.doc_id = f.doc_id
+       |ORDER BY $model DESC, c.doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** Soundex codebook over the stop-filtered term stream: the phonetic
+    * rules are ONE shared portable SQL expression (Phonetic.soundexSql)
+    * evaluated verbatim here and in the engine.
+    */
+  def phoneticSoundexSql: String =
+    s"""WITH $tokCte
+       |SELECT ${graft.analysis.Phonetic.soundexSql("term")} AS code,
+       |  count(DISTINCT term) AS n_terms, count(*) AS ctf
+       |FROM tokf WHERE ${graft.analysis.Phonetic.alphaOnlySql("term")}
+       |GROUP BY 1""".stripMargin
 }

@@ -112,6 +112,21 @@ object RelationalOracles {
       |  coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
+  val facetHeatmap: String =
+    """SELECT
+      |  CAST(floor(((c_custkey % 180 - 90) + 0.5) / 30) AS BIGINT) AS cell_lat,
+      |  CAST(floor((((c_custkey * 7) % 360 - 180) + 0.5) / 30) AS BIGINT) AS cell_lon,
+      |  count(*) AS n
+      |FROM customer GROUP BY 1, 2""".stripMargin
+
+  val facetInterval: String =
+    """SELECT
+      |  CAST(sum(CASE WHEN n_chars <= 200 THEN 1 ELSE 0 END) AS BIGINT) AS le_200,
+      |  CAST(sum(CASE WHEN n_chars > 200 AND n_chars <= 400 THEN 1 ELSE 0 END) AS BIGINT) AS mid_200_400,
+      |  CAST(sum(CASE WHEN n_chars > 400 THEN 1 ELSE 0 END) AS BIGINT) AS gt_400,
+      |  CAST(sum(CASE WHEN n_chars >= 100 AND n_chars < 500 THEN 1 ELSE 0 END) AS BIGINT) AS overlap_100_500
+      |FROM documents""".stripMargin
+
   val facetUnique: String =
     """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
       |FROM lineitem GROUP BY l_returnflag""".stripMargin

@@ -474,6 +474,38 @@ object SparkEntry {
       MoreQueries.matchingDocs(s, v, Seq("spark", "join"))
         .agg(count(lit(1)).as("total_hits"), lit("EQ").as("relation"))
     }),
+    "common_terms_topk" -> ((s, dir) => {
+      // CommonTermsQuery: rare terms required, common terms optional-
+      // but-scored (df cutoff at 10% of docCount; 'dup' is the one
+      // discriminative term in the corpus, 'spark'/'merge' are common)
+      val v = IndexCache.documentsIndex(s, dir)
+      quantize(MoreQueries.commonTermsTopK(s, v,
+        Seq("dup", "spark", "merge"), 0.1, 10, DoubleOracle), 10)
+    }),
+    "ltr_rerank" -> ((s, dir) => {
+      // solr/contrib/ltr: linear model over (originalScore, field value,
+      // query-match flag) features re-ranks the BM25 top-50 to a top-10
+      val v = IndexCache.documentsIndex(s, dir)
+      MoreQueries.ltrRerankTopK(s, v,
+          s.read.parquet(s"$dir/documents.parquet"),
+          Seq("spark", "join"), "vector", 50, 10, 0.6, 0.3, 0.5)
+        .select(col("doc_id"),
+          round(col("ltr") * 10000).cast("long").as("ltr_q"))
+    }),
+    "phonetic_soundex" -> ((s, dir) => {
+      // PhoneticFilter(Soundex): codebook stats over the stop-filtered
+      // term stream; rules are ONE shared portable SQL expression
+      // evaluated verbatim by Spark and the DuckDB oracle (Phonetic)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .where(length(col("term")) > 0 &&
+          !col("term").isin(graft.analysis.Analyzer.EnglishStopWords.toSeq: _*))
+        .where(expr(graft.analysis.Phonetic.alphaOnlySql("term")))
+        .select(col("term"),
+          expr(graft.analysis.Phonetic.soundexSql("term")).as("code"))
+        .groupBy("code")
+        .agg(countDistinct("term").as("n_terms"), count(lit(1)).as("ctf"))
+    }),
     // — §2.8 scalar function-query surface —
     "func_datemath" -> (graft.operators.Functions.dateMath _),
     "func_strdist" -> (graft.operators.Functions.strDist _),
@@ -528,6 +560,8 @@ object SparkEntry {
     "facet_pivot" -> (graft.operators.Relational.facetPivot _),
     "facet_unique" -> (graft.operators.Relational.facetUnique _),
     "facet_hll" -> (graft.operators.Relational.facetHll _),
+    "facet_heatmap" -> (graft.operators.Relational.facetHeatmap _),
+    "facet_interval" -> (graft.operators.Relational.facetInterval _),
     "stats_component" -> (graft.operators.Relational.statsComponent _),
     "stats_percentile" -> (graft.operators.Relational.statsPercentile _),
     "window_collapse" -> (graft.operators.Relational.windowCollapse _),
@@ -609,6 +643,8 @@ object SparkEntry {
     "quality_score" -> (graft.operators.TrainingData.qualityScore _),
     "token_counts" -> (graft.operators.TrainingData.tokenCounts _),
     "doc_fingerprint" -> (graft.operators.TrainingData.docFingerprint _),
+    "decontaminate" -> (graft.operators.TrainingData.decontaminate _),
+    "url_normalize" -> (graft.operators.TrainingData.urlNormalize _),
     "ann_cosine_topk" -> ((s, dir) => graft.operators.Vectors.annBruteTopK(s, dir)),
     "ann_batch_topk" -> ((s, dir) => graft.operators.Vectors.annBatchTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => graft.operators.Vectors.annLshTopK(s, dir)),
@@ -911,6 +947,8 @@ object SparkEntry {
     "facet_query" -> RelationalOracles.facetQuery,
     "facet_pivot" -> RelationalOracles.facetPivot,
     "facet_unique" -> RelationalOracles.facetUnique,
+    "facet_heatmap" -> RelationalOracles.facetHeatmap,
+    "facet_interval" -> RelationalOracles.facetInterval,
     "stats_component" -> RelationalOracles.statsComponent,
     "stats_percentile" -> RelationalOracles.statsPercentile,
     "window_collapse" -> RelationalOracles.windowCollapse,
@@ -933,6 +971,11 @@ object SparkEntry {
     "quality_score" -> TrainingOracles.qualityScore,
     "token_counts" -> TrainingOracles.tokenCounts,
     "doc_fingerprint" -> TrainingOracles.docFingerprint,
+    "decontaminate" -> TrainingOracles.decontaminate,
+    "url_normalize" -> TrainingOracles.urlNormalize,
+    "common_terms_topk" -> OracleGen.commonTermsSql(Seq("dup", "spark", "merge"), 0.1, 10),
+    "ltr_rerank" -> OracleGen.ltrRerankSql(Seq("spark", "join"), "vector", 50, 10, 0.6, 0.3, 0.5),
+    "phonetic_soundex" -> OracleGen.phoneticSoundexSql,
     "ann_cosine_topk" -> TrainingOracles.annCosineTopK,
     "ann_batch_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),

@@ -134,6 +134,40 @@ object TrainingOracles {
       |WHERE vec_id <> 0
       |ORDER BY sim_q DESC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** Benchmark decontamination: 8-gram md5 collision vs the held-out
+    * doc_id % 97 == 0 set (same lead()-window shingle formulation as the
+    * Jaccard oracle; DISTINCT mirrors the engine's array_distinct).
+    */
+  val decontaminate: String = {
+    val leads = (1 to 7)
+      .map(i => s"lead(term, $i) OVER w").mkString(" || ' ' || ")
+    s"""WITH tp AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id, term || ' ' || $leads AS s
+       |  FROM tp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |sh AS (SELECT DISTINCT doc_id, md5(s) AS h FROM sh0 WHERE s IS NOT NULL),
+       |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0)
+       |SELECT s.doc_id, count(DISTINCT s.h) AS n_hits
+       |FROM sh s JOIN bench USING (h)
+       |WHERE s.doc_id % 97 <> 0
+       |GROUP BY s.doc_id""".stripMargin
+  }
+
+  /** URL canonicalization: the oracle reconstructs the normalized form
+    * arithmetically from the same deterministic doc_id-derived raw URL
+    * the engine parses with real `parse_url` machinery.
+    */
+  val urlNormalize: String =
+    """SELECT doc_id,
+      |  'example' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS host,
+      |  'http://example' || CAST(doc_id % 50 AS VARCHAR) || '.com/p/'
+      |    || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id % 7 AS VARCHAR)
+      |    AS norm_url
+      |FROM documents""".stripMargin
+
   val binaryMeta: String =
     """SELECT doc_id,
       |  CAST(length('<html><head><title>doc ' || CAST(doc_id AS VARCHAR)

@@ -411,6 +411,55 @@ object Relational {
       .limit(20)
   }
 
+  /** Heatmap facet [Solr facet.heatmap / HeatmapFacetCounter]: 2D
+    * spatial grid counts over key-derived coordinates (same synthetic
+    * lat/lon as [[Functions.geoDist]]) — one hash aggregation on the
+    * (gridLat, gridLon) cell key, exactly the shape that scales (cells
+    * are bounded by the grid resolution, not the row count; no skew
+    * beyond real spatial density, which AQE splits).
+    */
+  def facetHeatmap(s: SparkSession, dir: String): DataFrame = {
+    val lat = (col("c_custkey") % 180 - 90).cast("double") + lit(0.5)
+    val lon = ((col("c_custkey") * 7) % 360 - 180).cast("double") + lit(0.5)
+    tbl(s, dir, "customer")
+      .select(floor(lat / 30).cast("long").as("cell_lat"),
+        floor(lon / 30).cast("long").as("cell_lon"))
+      .groupBy("cell_lat", "cell_lon").agg(count(lit(1)).as("n"))
+  }
+
+  /** Interval facets [Solr IntervalFacets / facet.interval]: counts for
+    * explicitly configured intervals with per-end open/closed bounds
+    * ((*,200], (200,400], (400,*)) — one pass, each row tested against
+    * every interval (intervals may overlap in Solr; counts are
+    * independent conditional sums, not a partition).
+    */
+  def facetInterval(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet").agg(
+      sum(when(col("n_chars") <= 200, 1L).otherwise(0L)).as("le_200"),
+      sum(when(col("n_chars") > 200 && col("n_chars") <= 400, 1L)
+        .otherwise(0L)).as("mid_200_400"),
+      sum(when(col("n_chars") > 400, 1L).otherwise(0L)).as("gt_400"),
+      sum(when(col("n_chars") >= 100 && col("n_chars") < 500, 1L)
+        .otherwise(0L)).as("overlap_100_500"))
+
+  /** Stats component variance surface [Solr StatsComponent sumOfSquares/
+    * stddev]: EXACT integer moments — n, Σx, Σx², and the variance
+    * numerator n·Σx² − (Σx)² (variance = num / (n·(n−1))) — the
+    * shuffle-friendly one-pass shape (moments combine associatively
+    * across partitions; no two-pass mean-centering), and integer-exact
+    * so the oracle hash cannot wobble on float summation order.
+    */
+  def statsVariance(s: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity").cast("long")
+    tbl(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(q).as("sum_qty"),
+        sum(q * q).as("sumsq_qty"))
+      .select(col("l_returnflag"), col("n"), col("sum_qty"), col("sumsq_qty"),
+        (col("n") * col("sumsq_qty") - col("sum_qty") * col("sum_qty"))
+          .as("var_num"))
+  }
+
   /** §2.6 Parallel SQL surface: the engine accepts ANSI SQL directly —
     * Catalyst replaces the reference's Calcite layer wholesale.
     */

@@ -422,4 +422,49 @@ object TrainingData {
       .select(col("doc_id"),
         array_min(transform(grams, g => md5(g))).as("fingerprint"))
   }
+
+  /** Benchmark decontamination: flag training docs sharing any word
+    * 8-gram with a held-out benchmark set (here: doc_id % 97 == 0 docs —
+    * deterministic stand-in for an eval suite). The standard n-gram
+    * overlap check (GPT-3 appendix C / PaLM-style 8-gram collision):
+    * shingle both sides NARROW (per-row transform, no shuffle), hash to
+    * md5, broadcast the benchmark hash set (eval suites are tiny vs the
+    * corpus), count distinct colliding shingles per training doc.
+    * At 100 TB the benchmark side stays a broadcast; the corpus side is
+    * one narrow scan + map-side semi-join — no wide shuffle at all.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir, n = 8)
+      .select(col("doc_id"), md5(col("shingle")).as("h"))
+    val bench = sh.where(col("doc_id") % 97 === 0)
+      .select("h").distinct()
+    sh.where(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(countDistinct("h").as("n_hits"))
+  }
+
+  /** URL canonicalization for web-corpus dedup [the crawl-pipeline
+    * normalize step]: lowercase host, drop default port, drop tracking
+    * params and fragments, keep meaningful params. The messy raw URL is
+    * synthesized deterministically per doc (the test corpus has no url
+    * column; the arithmetic shape mirrors the oracle), then normalized
+    * with REAL url machinery — `parse_url` HOST/PATH/QUERY extraction —
+    * all narrow per-row expressions (codegen'd, no shuffle, no UDF).
+    */
+  def urlNormalize(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      lit("HTTP://Example"), (col("doc_id") % 50).cast("string"),
+      lit(".COM:80/p/"), col("doc_id").cast("string"),
+      lit("/?utm_source=x&id="), (col("doc_id") % 7).cast("string"),
+      lit("#frag"))
+    docs(s, dir)
+      .select(col("doc_id"), raw.as("raw_url"))
+      .select(col("doc_id"),
+        lower(parse_url(col("raw_url"), lit("HOST"))).as("host"),
+        expr("trim(TRAILING '/' FROM parse_url(raw_url, 'PATH'))").as("path"),
+        parse_url(col("raw_url"), lit("QUERY"), lit("id")).as("idv"))
+      .select(col("doc_id"), col("host"),
+        concat(lit("http://"), col("host"), col("path"),
+          lit("?id="), col("idv")).as("norm_url"))
+  }
 }

@@ -501,4 +501,62 @@ object MoreQueries {
     agg.select(col("doc_id"), score.as("score"))
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
+
+  /** CommonTermsQuery [8x lucene/queries .../CommonTermsQuery.java]:
+    * query terms split by docFreq against `maxTermFrequency * docCount` —
+    * low-frequency terms become REQUIRED (the discriminative part),
+    * high-frequency terms stay OPTIONAL but still score (the stopword-
+    * robust query shape; unlike a StopFilter the common terms are not
+    * thrown away, they just can't gate matching). Score = BM25 sum over
+    * ALL matched clauses. Stats are gathered ONCE (QueryScorers) and the
+    * df classification reuses them — no extra pass. The required-set
+    * conjunction runs over the RARE terms' postings only (short lists by
+    * construction), then semi-joins the scored disjunction.
+    */
+  def commonTermsTopK(spark: SparkSession, view: IndexView,
+                      terms: Seq[String], maxTermFrequency: Double,
+                      k: Int, mode: ScoreMode = DoubleOracle): DataFrame = {
+    val scorers = QueryScorers(view, terms, mode)
+    val cutoff = maxTermFrequency * scorers.stats.docCount
+    val low = scorers.terms.filter(_.df <= cutoff).map(_.term).toSeq
+    val base = ExactSearch.scoredWith(spark, view, terms, scorers)
+    val required =
+      if (low.isEmpty) base.select("doc_id") // all-common: pure disjunction
+      else ExactSearch.decodedPostings(spark, view, low)
+        .groupBy("doc_id").agg(countDistinct("term").as("nm"))
+        .where(col("nm") === low.size).select("doc_id")
+    base.join(required, Seq("doc_id"), "left_semi")
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+
+  /** LTR re-ranking [8x solr/contrib/ltr .../LTRScoringQuery.java +
+    * LTRRescorer.java]: first pass retrieves top-N by BM25, features are
+    * extracted ONLY for those N candidates (the reRankDocs contract —
+    * OriginalScoreFeature, a field-value feature over n_chars, and a
+    * SolrFeature-style query-match flag), then a linear model
+    * (LinearModel.score = Σ wᵢ·fᵢ) re-orders and the top-k is returned.
+    * The N-row candidate frame broadcasts into the metadata join, so
+    * feature extraction is a map-side lookup, never a corpus scan.
+    */
+  def ltrRerankTopK(spark: SparkSession, view: IndexView, corpus: DataFrame,
+                    terms: Seq[String], flagTerm: String,
+                    n: Int, k: Int,
+                    w0: Double, w1: Double, w2: Double): DataFrame = {
+    val cand = ExactSearch.topK(spark, view, terms, n, DoubleOracle)
+    val meta = corpus.select(col("doc_id"), col("n_chars"))
+    // flag feature evaluated on the candidates only: the flag term's
+    // postings are semi-joined with the broadcast N-doc candidate set
+    // map-side — the feature pass never materializes the full doc set
+    val flag = matchingDocs(spark, view, Seq(flagTerm))
+      .join(broadcast(cand.select("doc_id")), Seq("doc_id"), "left_semi")
+      .withColumn("has_flag", lit(1L))
+    // expression shape mirrored verbatim by the DuckDB oracle (float64)
+    val model = lit(w0) * col("score") +
+      lit(w1) * log(lit(1d) + col("n_chars") / 100.0) +
+      lit(w2) * coalesce(col("has_flag"), lit(0L))
+    meta.join(broadcast(cand), Seq("doc_id"))
+      .join(broadcast(flag), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), model.as("ltr"))
+      .orderBy(col("ltr").desc, col("doc_id").asc).limit(k)
+  }
 }

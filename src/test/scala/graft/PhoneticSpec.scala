@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions.{broadcast, col, expr, lit}
+
+class PhoneticSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("soundex: known answers incl. the H/W merge rule") {
+    import graft.analysis.Phonetic.soundex
+    assert(soundex("robert") == "r163")
+    assert(soundex("rupert") == "r163")
+    assert(soundex("ashcraft") == "a261") // h transparent: s,c merge
+    assert(soundex("ashcroft") == "a261")
+    assert(soundex("tymczak") == "t522")
+    assert(soundex("pfister") == "p236") // p,f same class, merged
+    assert(soundex("honeyman") == "h555")
+    assert(soundex("jackson") == "j250")
+    assert(soundex("a") == "a000")
+    assert(soundex("hw") == "h000")
+  }
+
+  test("soundex: SQL expression equals the Scala mirror on vocab + edges") {
+    import spark.implicits._
+    val edges = Seq("robert", "rupert", "ashcraft", "tymczak", "pfister",
+      "honeyman", "a", "hw", "who", "bbbb", "mississippi", "checkpoint",
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaabbbbbbbbbbbbbbbbbbbbcccccccccccc")
+    val vocab = graft.synth.CorpusSynth.corpus(spark, 500L, seed = 9L)
+      .select("text").as[String].collect()
+      .flatMap(_.split(' ')).filter(w => w.nonEmpty && w.forall(_.isLetter))
+      .distinct.toSeq
+    val words = (edges ++ vocab).distinct
+    val got = words.toDF("w")
+      .select(col("w"), expr(graft.analysis.Phonetic.soundexSql("w")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    words.foreach { w =>
+      assert(got(w) == graft.analysis.Phonetic.soundex(w), s"word '$w'")
+    }
+  }
+
+  test("common terms: rare terms gate matching, common terms still score") {
+    val dir = "/root/testdata/sf0.001"
+    val v = IndexCache.documentsIndex(spark, dir)
+    val hits = graft.search.MoreQueries
+      .commonTermsTopK(spark, v, Seq("dup", "spark", "merge"), 0.1, 1000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every hit contains the rare term 'dup'
+    val dupDocs = graft.search.MoreQueries.matchingDocs(spark, v, Seq("dup"))
+      .collect().map(_.getLong(0)).toSet
+    assert(hits.nonEmpty && hits.subsetOf(dupDocs))
+    // with the cutoff at 100% every term is "low" → plain conjunction
+    val all = graft.search.MoreQueries
+      .commonTermsTopK(spark, v, Seq("dup", "spark", "merge"), 1.0, 1000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val conj = graft.search.ExactSearch
+      .topK(spark, v, Seq("dup", "spark", "merge"), 1000,
+        graft.search.DoubleOracle, minShouldMatch = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(all == conj)
+  }
+
+  test("ltr rerank: model order differs from BM25 order but uses only top-N docs") {
+    val dir = "/root/testdata/sf0.001"
+    val v = IndexCache.documentsIndex(spark, dir)
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+    val base = graft.search.ExactSearch
+      .topK(spark, v, Seq("spark", "join"), 50, graft.search.DoubleOracle)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val reranked = graft.search.MoreQueries
+      .ltrRerankTopK(spark, v, corpus, Seq("spark", "join"), "vector",
+        50, 50, 0.6, 0.3, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reranked == base) // rerank is a permutation of the candidates
+  }
+
+  test("decontaminate: no benchmark docs in output; hits share an 8-gram") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.TrainingData.decontaminate(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.forall { case (id, n) => id % 97 != 0 && n >= 1 })
+    // brute-force check one flagged doc: it really shares an 8-gram
+    if (out.nonEmpty) {
+      val id = out.head._1
+      import spark.implicits._
+      val texts = spark.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 97 === 0 || col("doc_id") === id)
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      def grams(t: String) =
+        t.split(' ').sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+      val g = grams(texts(id))
+      assert(texts.filter(_._1 != id).values.exists(t => grams(t).intersect(g).nonEmpty))
+    }
+  }
+}
