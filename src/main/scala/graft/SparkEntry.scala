@@ -506,6 +506,27 @@ object SparkEntry {
         .groupBy("code")
         .agg(countDistinct("term").as("n_terms"), count(lit(1)).as("ctf"))
     }),
+    "terms_enum" -> ((s, dir) => {
+      // TermsComponent (/terms): dictionary enumeration under a prefix,
+      // ranked by docFreq — reads ONLY the term dictionary (parquet
+      // prefix range prunes the scan; no postings touched)
+      val v = IndexCache.documentsIndex(s, dir)
+      v.terms.where(col("term").startsWith("s"))
+        .groupBy("term").agg(sum("df").as("df"))
+        .orderBy(col("df").desc, col("term").asc).limit(10)
+    }),
+    "payload_score" -> ((s, dir) => {
+      // PayloadScoreQuery(sum) [8x queries/payloads/PayloadScoreQuery
+      // .java]: per-occurrence payloads folded into the doc score — the
+      // payload here is the token position (a deterministic stand-in
+      // for an indexed payload byte), aggregated per matching doc
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .where(col("col") === "spark")
+        .groupBy("doc_id")
+        .agg(sum(col("pos") + 1).as("payload_sum"),
+          count(lit(1)).as("occ"))
+    }),
     // — §2.8 scalar function-query surface —
     "func_datemath" -> (graft.operators.Functions.dateMath _),
     "func_strdist" -> (graft.operators.Functions.strDist _),
@@ -564,6 +585,7 @@ object SparkEntry {
     "facet_interval" -> (graft.operators.Relational.facetInterval _),
     "stats_component" -> (graft.operators.Relational.statsComponent _),
     "stats_percentile" -> (graft.operators.Relational.statsPercentile _),
+    "stats_variance" -> (graft.operators.Relational.statsVariance _),
     "window_collapse" -> (graft.operators.Relational.windowCollapse _),
     "time_series" -> (graft.operators.Relational.timeSeries _),
     "sql_select" -> (graft.operators.Relational.sqlSelect _),
@@ -627,6 +649,39 @@ object SparkEntry {
       val out = graft.streaming.WindowedAggs.tumblingDaily(stream, lateness = "0 seconds")
       val qname = "swa_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+    }),
+    "stream_dedup" -> ((s, dir) => {
+      // streaming exact-dedup (the tlog-replay / at-least-once ingest
+      // guard): the event stream is staged with every file DUPLICATED,
+      // dropDuplicates("event_id") keyed state collapses replays, and
+      // the per-type counts must equal the batch answer over the
+      // un-duplicated table exactly. At scale the dedup state is
+      // hash-partitioned by key across executors (RocksDB-backed) and
+      // a watermark bounds it; the finite AvailableNow run here keeps
+      // the full key set, which the oracle compare requires.
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val srcDir = {
+        val d = java.nio.file.Files.createTempDirectory("graft-sdedup-src")
+        val f = new java.io.File(s"$dir/events.parquet")
+        val parts: Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+          else Seq(f)
+        parts.zipWithIndex.foreach { case (p, i) =>
+          java.nio.file.Files.copy(p.toPath, d.resolve(s"part-$i-a.parquet"))
+          java.nio.file.Files.copy(p.toPath, d.resolve(s"part-$i-b.parquet"))
+        }
+        d.toString
+      }
+      val deduped = s.readStream.schema(schema).parquet(srcDir)
+        .dropDuplicates("event_id")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      val qname = "sdd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = deduped.writeStream.format("memory").queryName(qname)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -976,6 +1031,28 @@ object SparkEntry {
     "common_terms_topk" -> OracleGen.commonTermsSql(Seq("dup", "spark", "merge"), 0.1, 10),
     "ltr_rerank" -> OracleGen.ltrRerankSql(Seq("spark", "join"), "vector", 50, 10, 0.6, 0.3, 0.5),
     "phonetic_soundex" -> OracleGen.phoneticSoundexSql,
+    "terms_enum" ->
+      s"""WITH ${OracleGen.tokCte}
+         |SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+         |WHERE term LIKE 's%' GROUP BY term
+         |ORDER BY df DESC, term ASC LIMIT 10""".stripMargin,
+    "payload_score" ->
+      """WITH tp AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents)
+        |SELECT doc_id, CAST(sum(pos) AS BIGINT) AS payload_sum,
+        |  count(*) AS occ
+        |FROM tp WHERE term = 'spark' GROUP BY doc_id""".stripMargin,
+    "stats_variance" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sumsq_qty,
+        |  CAST(count(*) * sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |    - sum(CAST(l_quantity AS BIGINT)) * sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS var_num
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "stream_dedup" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
     "ann_cosine_topk" -> TrainingOracles.annCosineTopK,
     "ann_batch_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
