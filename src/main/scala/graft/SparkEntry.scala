@@ -157,6 +157,32 @@ object SparkEntry {
       MoreQueries.blockJoinParents(s,
         s.read.parquet(s"$dir/documents.parquet"), "spark", "join")
     }),
+    "block_join_scored" -> ((s, dir) => {
+      // ToParentBlockJoin ScoreMode.Max: parent takes its best-matching
+      // child's score (integer child tf-sum keeps the oracle exact)
+      MoreQueries.blockJoinScored(s,
+        s.read.parquet(s"$dir/documents.parquet"), "spark", "join")
+    }),
+    "sharded_topk" -> ((s, dir) => {
+      // distributed search, two-phase [Solr distributed search /
+      // TopDocs.merge]: doc-range shards each produce a LOCAL top-k
+      // with shared GLOBAL term stats (Solr's distributed IDF), the
+      // k·#shards survivors merge to the global top-k — must equal the
+      // single-index answer exactly. The per-shard cut is the scale
+      // mechanism: each shard ships k rows, never its full hit set.
+      import org.apache.spark.sql.expressions.Window
+      val v = IndexCache.documentsIndex(s, dir)
+      val scored = ExactSearch.scored(s, v, Seq("spark", "join"), DoubleOracle)
+        .withColumn("shard", floor(col("doc_id") / 128).cast("long"))
+      val w = Window.partitionBy("shard")
+        .orderBy(col("score").desc, col("doc_id").asc)
+      quantize(scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 10)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(10)
+        .select("doc_id", "score"), 10)
+    }),
+    "repetition_ratio" -> ((s, dir) =>
+      graft.operators.TrainingData.repetitionRatio(s, dir)),
     "term_vectors" -> ((s, dir) => {
       // TermVectorsComponent: (term, tf) vectors for a doc range, via
       // skip-window-pruned posting block inversion
@@ -1053,6 +1079,43 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "stream_dedup" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    "sharded_topk" -> OracleGen.bm25TopKSql(Seq("spark", "join"), 10),
+    "block_join_scored" ->
+      """WITH lists AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), halves AS (
+        |  SELECT doc_id, l[1:(len(l)+1)//2] AS c0,
+        |         l[(len(l)+1)//2+1:len(l)] AS c1 FROM lists
+        |), scored AS (
+        |  SELECT doc_id,
+        |    CASE WHEN list_contains(c0, 'spark') AND list_contains(c0, 'join')
+        |      THEN CAST(len(list_filter(c0, x -> x = 'spark')) +
+        |                len(list_filter(c0, x -> x = 'join')) AS BIGINT)
+        |      ELSE -1 END AS s0,
+        |    CASE WHEN list_contains(c1, 'spark') AND list_contains(c1, 'join')
+        |      THEN CAST(len(list_filter(c1, x -> x = 'spark')) +
+        |                len(list_filter(c1, x -> x = 'join')) AS BIGINT)
+        |      ELSE -1 END AS s1
+        |  FROM halves)
+        |SELECT doc_id, CAST(greatest(s0, s1) AS BIGINT) AS parent_score
+        |FROM scored WHERE greatest(s0, s1) >= 0""".stripMargin,
+    "repetition_ratio" ->
+      """WITH tp AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id,
+        |    term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS s
+        |  FROM tp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS total_grams,
+        |         count(DISTINCT s) AS distinct_grams
+        |  FROM sh0 WHERE s IS NOT NULL GROUP BY doc_id)
+        |SELECT doc_id, total_grams, distinct_grams,
+        |  CAST(round((1.0 - distinct_grams / CAST(total_grams AS DOUBLE)) * 10000)
+        |    AS BIGINT) AS rep_q
+        |FROM agg""".stripMargin,
     "ann_cosine_topk" -> TrainingOracles.annCosineTopK,
     "ann_batch_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),

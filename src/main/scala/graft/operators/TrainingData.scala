@@ -423,6 +423,28 @@ object TrainingData {
         array_min(transform(grams, g => md5(g))).as("fingerprint"))
   }
 
+  /** Within-document repetition ratio (the Gopher/C4-style quality
+    * rule "fraction of duplicate n-grams"): 1 − distinct/total over
+    * word 3-grams, quantized ×10⁴. Fully narrow — both counts are
+    * per-row array reductions over the split token list; a 100 TB run
+    * is a single scan with no shuffle at all.
+    */
+  def repetitionRatio(s: SparkSession, dir: String): DataFrame = {
+    val l = split(col("text"), " ")
+    val idxs = sequence(lit(1), size(l) - 2)
+    val grams = transform(idxs, i =>
+      concat_ws(" ", element_at(l, i), element_at(l, i + 1),
+        element_at(l, i + 2)))
+    docs(s, dir)
+      .where(size(l) >= 3)
+      .select(col("doc_id"),
+        size(grams).cast("long").as("total_grams"),
+        size(array_distinct(grams)).cast("long").as("distinct_grams"))
+      .select(col("doc_id"), col("total_grams"), col("distinct_grams"),
+        round((lit(1.0) - col("distinct_grams") / col("total_grams").cast("double"))
+          * 10000).cast("long").as("rep_q"))
+  }
+
   /** Benchmark decontamination: flag training docs sharing any word
     * 8-gram with a held-out benchmark set (here: doc_id % 97 == 0 docs —
     * deterministic stand-in for an eval suite). The standard n-gram

@@ -502,6 +502,31 @@ object MoreQueries {
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
+  /** ToParentBlockJoin with ScoreMode.Max [8x join/ToParentBlockJoinQuery
+    * .java]: parent score = MAX over its matching children of the child
+    * score (integer tf-sum child scoring keeps the oracle exact; the
+    * BM25-scored variant shares the same shape). Children are the
+    * deterministic half-blocks of [[blockJoinParents]]. Fully narrow:
+    * per-row array arithmetic, no shuffle, no explode.
+    */
+  def blockJoinScored(spark: SparkSession, corpus: DataFrame,
+                      t1: String, t2: String): DataFrame = {
+    val l = split(col("text"), " ")
+    val n = size(l)
+    val half = ((n + 1) / 2).cast("int") // Column `/` is double division
+    val c0 = slice(l, lit(1), half)
+    val c1 = slice(l, half + 1, n - half)
+    def tf(c: Column, t: String): Column =
+      size(filter(c, x => x === t)).cast("long")
+    def childScore(c: Column): Column =
+      when(array_contains(c, t1) && array_contains(c, t2),
+        tf(c, t1) + tf(c, t2)).otherwise(lit(-1L))
+    corpus
+      .select(col("doc_id"),
+        greatest(childScore(c0), childScore(c1)).as("parent_score"))
+      .where(col("parent_score") >= 0)
+  }
+
   /** CommonTermsQuery [8x lucene/queries .../CommonTermsQuery.java]:
     * query terms split by docFreq against `maxTermFrequency * docCount` —
     * low-frequency terms become REQUIRED (the discriminative part),

@@ -72,6 +72,27 @@ class PhoneticSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(reranked == base) // rerank is a permutation of the candidates
   }
 
+  test("sharded top-k merge equals the single-index answer at every shard size") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{floor, row_number}
+    val dir = "/root/testdata/sf0.001"
+    val v = IndexCache.documentsIndex(spark, dir)
+    val scored = graft.search.ExactSearch
+      .scored(spark, v, Seq("spark", "join"), graft.search.DoubleOracle)
+    val global = scored.orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10).select("doc_id").collect().map(_.getLong(0)).toSeq
+    for (shardSize <- Seq(7L, 64L, 1000L)) {
+      val w = Window.partitionBy("shard")
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val merged = scored
+        .withColumn("shard", floor(col("doc_id") / shardSize))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(10)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(merged == global, s"shardSize=$shardSize")
+    }
+  }
+
   test("decontaminate: no benchmark docs in output; hits share an 8-gram") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.operators.TrainingData.decontaminate(spark, dir)
