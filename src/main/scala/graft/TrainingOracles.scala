@@ -135,7 +135,7 @@ object TrainingOracles {
       |ORDER BY sim_q DESC, vec_id ASC LIMIT 10""".stripMargin
 
   /** Benchmark decontamination: 8-gram md5 collision vs the held-out
-    * doc_id % 97 == 0 set (same lead()-window shingle formulation as the
+    * doc_id % 29 == 0 set (same lead()-window shingle formulation as the
     * Jaccard oracle; DISTINCT mirrors the engine's array_distinct).
     */
   val decontaminate: String = {
@@ -149,10 +149,10 @@ object TrainingOracles {
        |  SELECT doc_id, term || ' ' || $leads AS s
        |  FROM tp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
        |sh AS (SELECT DISTINCT doc_id, md5(s) AS h FROM sh0 WHERE s IS NOT NULL),
-       |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0)
+       |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 29 = 0)
        |SELECT s.doc_id, count(DISTINCT s.h) AS n_hits
        |FROM sh s JOIN bench USING (h)
-       |WHERE s.doc_id % 97 <> 0
+       |WHERE s.doc_id % 29 <> 0
        |GROUP BY s.doc_id""".stripMargin
   }
 

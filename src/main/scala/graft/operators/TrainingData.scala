@@ -39,13 +39,21 @@ object TrainingData {
     shinglesDf(docs(s, dir), n)
 
   private[graft] def shinglesDf(d: DataFrame, n: Int = 3): DataFrame = {
-    val l = split(col("text"), " ")
-    val idxs = sequence(lit(1), size(l) - (n - 1)) // 1-based element_at
-    val grams = transform(idxs, i =>
-      concat_ws(" ", (0 until n).map(o => element_at(l, i + o)): _*))
-    d.where(size(l) >= n)
-      .select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
+    // let-binding trick: `transform(array(split(..)), l -> ..)` binds the
+    // split token array ONCE as a lambda variable. Referencing the split
+    // expression directly inside the gram lambda would re-inline (and
+    // re-evaluate) the split per element reference — O(tokens²) per row,
+    // measured 30x slower at sf0.1.
+    d.where(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(gramArray(n)))).as("shingle"))
   }
+
+  /** Let-bound word n-gram array over `text` (see [[shinglesDf]]). */
+  private def gramArray(n: Int): String =
+    s"""transform(array(split(text, ' ')), l ->
+       |  transform(sequence(1, size(l) - ${n - 1}), i ->
+       |    array_join(slice(l, i, $n), ' ')))[0]""".stripMargin
 
   private def jaccardQ(inter: Column, na: Column, nb: Column): Column =
     round(inter * 10000.0 / (na + nb - inter)).cast("long")
@@ -409,19 +417,15 @@ object TrainingData {
   /** Document fingerprint: MinHash-1 winnowing — min md5 over word
     * 4-gram shingles (md5 is byte-stable across engines → SQL oracle).
     */
-  def docFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val l = split(col("text"), " ")
-    val idxs = sequence(lit(1), size(l) - 3)
-    val grams = transform(idxs, i =>
-      concat_ws(" ", element_at(l, i), element_at(l, i + 1),
-        element_at(l, i + 2), element_at(l, i + 3)))
+  def docFingerprint(s: SparkSession, dir: String): DataFrame =
     // fully narrow: min over the in-row md5 array — no explode, no
-    // shuffle (the min-of-hashes is a per-document reduction)
+    // shuffle (the min-of-hashes is a per-document reduction); the
+    // token array is let-bound once (see shinglesDf)
     docs(s, dir)
-      .where(size(l) >= 4)
+      .where(size(split(col("text"), " ")) >= 4)
       .select(col("doc_id"),
-        array_min(transform(grams, g => md5(g))).as("fingerprint"))
-  }
+        array_min(transform(expr(gramArray(4)), g => md5(g)))
+          .as("fingerprint"))
 
   /** Within-document repetition ratio (the Gopher/C4-style quality
     * rule "fraction of duplicate n-grams"): 1 − distinct/total over
@@ -430,13 +434,9 @@ object TrainingData {
     * is a single scan with no shuffle at all.
     */
   def repetitionRatio(s: SparkSession, dir: String): DataFrame = {
-    val l = split(col("text"), " ")
-    val idxs = sequence(lit(1), size(l) - 2)
-    val grams = transform(idxs, i =>
-      concat_ws(" ", element_at(l, i), element_at(l, i + 1),
-        element_at(l, i + 2)))
+    val grams = expr(gramArray(3))
     docs(s, dir)
-      .where(size(l) >= 3)
+      .where(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"),
         size(grams).cast("long").as("total_grams"),
         size(array_distinct(grams)).cast("long").as("distinct_grams"))
@@ -446,7 +446,7 @@ object TrainingData {
   }
 
   /** Benchmark decontamination: flag training docs sharing any word
-    * 8-gram with a held-out benchmark set (here: doc_id % 97 == 0 docs —
+    * 8-gram with a held-out benchmark set (here: doc_id % 29 == 0 docs —
     * deterministic stand-in for an eval suite). The standard n-gram
     * overlap check (GPT-3 appendix C / PaLM-style 8-gram collision):
     * shingle both sides NARROW (per-row transform, no shuffle), hash to
@@ -456,11 +456,12 @@ object TrainingData {
     * one narrow scan + map-side semi-join — no wide shuffle at all.
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir, n = 8)
+    // benchmark-side: filter BEFORE shingling, so the tiny held-out set
+    // is the only thing shingled twice (the predicate reaches the scan)
+    val bench = shinglesDf(docs(s, dir).where(col("doc_id") % 29 === 0), 8)
+      .select(md5(col("shingle")).as("h")).distinct()
+    shinglesDf(docs(s, dir).where(col("doc_id") % 29 =!= 0), 8)
       .select(col("doc_id"), md5(col("shingle")).as("h"))
-    val bench = sh.where(col("doc_id") % 97 === 0)
-      .select("h").distinct()
-    sh.where(col("doc_id") % 97 =!= 0)
       .join(broadcast(bench), Seq("h"), "left_semi")
       .groupBy("doc_id").agg(countDistinct("h").as("n_hits"))
   }
