@@ -521,16 +521,22 @@ object SparkEntry {
     "phonetic_soundex" -> ((s, dir) => {
       // PhoneticFilter(Soundex): codebook stats over the stop-filtered
       // term stream; rules are ONE shared portable SQL expression
-      // evaluated verbatim by Spark and the DuckDB oracle (Phonetic)
+      // evaluated verbatim by Spark and the DuckDB oracle (Phonetic).
+      // The (non-trivial) soundex expression runs on the DISTINCT
+      // vocabulary, never the token stream: occurrences reduce to
+      // per-term counts first (dictionary-sized frame), then the codes
+      // group — the same two-level agg shape that holds at 100 TB,
+      // where the vocabulary is millions while occurrences are trillions
       s.read.parquet(s"$dir/documents.parquet")
         .select(explode(split(col("text"), " ")).as("term"))
         .where(length(col("term")) > 0 &&
           !col("term").isin(graft.analysis.Analyzer.EnglishStopWords.toSeq: _*))
         .where(expr(graft.analysis.Phonetic.alphaOnlySql("term")))
-        .select(col("term"),
-          expr(graft.analysis.Phonetic.soundexSql("term")).as("code"))
+        .groupBy("term").agg(count(lit(1)).as("tf"))
+        .select(expr(graft.analysis.Phonetic.soundexSql("term")).as("code"),
+          col("tf"))
         .groupBy("code")
-        .agg(countDistinct("term").as("n_terms"), count(lit(1)).as("ctf"))
+        .agg(count(lit(1)).as("n_terms"), sum("tf").as("ctf"))
     }),
     "terms_enum" -> ((s, dir) => {
       // TermsComponent (/terms): dictionary enumeration under a prefix,
