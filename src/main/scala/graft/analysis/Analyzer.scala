@@ -41,7 +41,7 @@ object Analyzer {
 
   val MaxTokenLength = 255
 
-  private def isTokenChar(c: Char): Boolean =
+  private[graft] def isTokenChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
 
   /** Tokenize only (no stop filter): lowercase alphanumeric runs with
@@ -74,18 +74,26 @@ object Analyzer {
   def tokenize(text: String, stopWords: Set[String] = EnglishStopWords): Array[Token] =
     tokenizeRaw(text).filterNot(t => stopWords.contains(t.term))
 
-  private def lower(c: Char): Char =
+  private[graft] def lower(c: Char): Char =
     if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+  /** FNV-1a seed/prime shared by the fused-kernel hashers ([[StopHash]],
+    * the doc-local [[TermTable]], and the partition-global arena table of
+    * the index build) — all hash the LOWERCASED token chars, so a hash
+    * computed once per token is reusable across the stop check and the
+    * intern probe.
+    */
+  private[graft] final val FnvSeed = -2128831035
+  private[graft] final val FnvPrime = 16777619
 
   /** Open-addressing document-local inversion table keyed directly by
     * the token's chars: a String is materialized ONCE per DISTINCT term
     * of the doc, never per occurrence (round-1 advisor: the per-token
     * `sb.toString` was the dominant allocation of the hottest loop).
     * Stopwords occupy a slot with a null position buffer so repeated
-    * stop tokens also skip materialization. `trackPositions=false` is
-    * the count-only mode of the docmeta pass.
+    * stop tokens also skip materialization.
     */
-  private final class TermTable(stopWords: Set[String], trackPositions: Boolean) {
+  private final class TermTable(stopWords: Set[String]) {
     private var cap = 64
     private var mask = cap - 1
     private var hashes = new Array[Int](cap)
@@ -127,8 +135,7 @@ object Analyzer {
           val term = new String(a)
           hashes(i) = h; keys(i) = term
           if (!stopWords.contains(term)) {
-            if (trackPositions) { val b = new PosBuf; b.add(pos); bufs(i) = b }
-            else bufs(i) = CountMarker // shared sentinel, never read back
+            val b = new PosBuf; b.add(pos); bufs(i) = b
             dl += 1
           }
           size += 1
@@ -142,7 +149,7 @@ object Analyzer {
         }) {
           val b = bufs(i)
           if (b != null) { // non-stop term seen again
-            if (trackPositions) b.add(pos)
+            b.add(pos)
             dl += 1
           }
           done = true
@@ -202,23 +209,45 @@ object Analyzer {
     * two are property-tested identical.
     */
   def analyze(text: String, stopWords: Set[String] = EnglishStopWords): DocTerms = {
-    val t = new TermTable(stopWords, trackPositions = true)
+    val t = new TermTable(stopWords)
     scan(text, t)
     DocTerms(t.dl, t.result())
   }
 
   /** Count indexed (post-stop-filter) tokens only — the dl the norm byte
-    * encodes. Cheaper than [[analyze]] (no position buffers); used by
-    * the docmeta pass, which needs no term lists.
+    * encodes. Cheaper than [[analyze]]: a pure char scan against a
+    * [[StopHash]], zero allocations per call beyond the probe table.
     */
-  def countTokens(text: String, stopWords: Set[String] = EnglishStopWords): Int = {
-    val t = new TermTable(stopWords, trackPositions = false)
-    scan(text, t)
-    t.dl
-  }
+  def countTokens(text: String, stopWords: Set[String] = EnglishStopWords): Int =
+    countTokensWith(text, new StopHash(stopWords))
 
-  /** Shared marker for count-only table slots (positions never read). */
-  private val CountMarker = new PosBuf
+  /** [[countTokens]] with a prebuilt, reusable [[StopHash]] — the
+    * per-partition docmeta kernel: no String is ever materialized (stop
+    * words are recognized by hash + char compare against the stored stop
+    * set), so the pass allocates nothing per document.
+    */
+  def countTokensWith(text: String, stops: StopHash): Int = {
+    var dl = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && !isTokenChar(text.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && isTokenChar(text.charAt(i))) i += 1
+        var s = start
+        while (s < i) {
+          val e = math.min(s + MaxTokenLength, i)
+          var h = FnvSeed
+          var k = s
+          while (k < e) { h = (h ^ lower(text.charAt(k))) * FnvPrime; k += 1 }
+          if (!stops.contains(text, s, e, h)) dl += 1
+          s = e
+        }
+      }
+    }
+    dl
+  }
 
   private final class PosBuf {
     private var a = new Array[Int](4)
@@ -228,6 +257,56 @@ object Analyzer {
       a(n) = p; n += 1
     }
     def toArray: Array[Int] = java.util.Arrays.copyOf(a, n)
+  }
+}
+
+/** Allocation-free stop-word membership test for the fused build kernels:
+  * the (small) stop set is laid out once in an open-addressing table of
+  * precomputed FNV-1a hashes + the words themselves; a token span is
+  * checked by hash then char-wise compare against the stored word, so NO
+  * String is materialized for non-stop tokens — the overwhelming majority
+  * at web scale. Exactly equivalent to `stopWords.contains(lowercased
+  * token)`: a stored word that is not itself a lowercase token string can
+  * never char-compare equal, matching the Set semantics on the analyzer's
+  * lowercased output.
+  */
+final class StopHash(stopWords: Set[String]) {
+  private val cap = {
+    var c = 8
+    while (c < stopWords.size * 4) c <<= 1
+    c
+  }
+  private val mask = cap - 1
+  private val hashes = new Array[Int](cap)
+  private val words = new Array[String](cap)
+  stopWords.foreach { w =>
+    var h = Analyzer.FnvSeed
+    var k = 0
+    while (k < w.length) { h = (h ^ w.charAt(k)) * Analyzer.FnvPrime; k += 1 }
+    var i = h & mask
+    while (words(i) != null) i = (i + 1) & mask
+    hashes(i) = h; words(i) = w
+  }
+
+  /** Is text[s,e), lowercased on the fly, a stop word? `h` must be the
+    * FNV-1a hash over the lowercased chars (the caller computes it once
+    * per token and reuses it for the intern probe).
+    */
+  def contains(text: String, s: Int, e: Int, h: Int): Boolean = {
+    val len = e - s
+    var i = h & mask
+    while (true) {
+      val w = words(i)
+      if (w == null) return false
+      if (hashes(i) == h && w.length == len) {
+        var j = 0
+        var eq = true
+        while (eq && j < len) { eq = w.charAt(j) == Analyzer.lower(text.charAt(s + j)); j += 1 }
+        if (eq) return true
+      }
+      i = (i + 1) & mask
+    }
+    false
   }
 }
 
