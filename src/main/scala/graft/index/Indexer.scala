@@ -2,7 +2,7 @@ package graft.index
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.analysis.Analyzer
+import graft.analysis.{Analyzer, StopHash}
 import graft.codec.{PostingCodec, SmallFloat}
 
 /** Input row of the indexer: dense global doc_id + analyzable text.
@@ -213,13 +213,16 @@ object Indexer {
   def buildDocMeta(spark: SparkSession, corpus: Dataset[DocInput],
                    segSize: Long, stopWords: Set[String]): Dataset[DocMetaRow] = {
     import spark.implicits._
-    corpus.flatMap { d =>
-      val dl = Analyzer.countTokens(d.text, stopWords)
-      if (dl == 0) Iterator.empty
-      else {
-        val nb = SmallFloat.intToByte4(dl).toInt & 0xff
-        Iterator.single(DocMetaRow(segmentOf(d.doc_id, segSize), d.doc_id,
-          d.url, dl, nb, SmallFloat.byte4ToInt(nb.toByte)))
+    corpus.mapPartitions { docs =>
+      val stops = new StopHash(stopWords) // one probe table per partition
+      docs.flatMap { d =>
+        val dl = Analyzer.countTokensWith(d.text, stops)
+        if (dl == 0) Iterator.empty
+        else {
+          val nb = SmallFloat.intToByte4(dl).toInt & 0xff
+          Iterator.single(DocMetaRow(segmentOf(d.doc_id, segSize), d.doc_id,
+            d.url, dl, nb, SmallFloat.byte4ToInt(nb.toByte)))
+        }
       }
     }
   }

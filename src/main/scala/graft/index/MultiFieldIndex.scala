@@ -2,7 +2,7 @@ package graft.index
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.analysis.Analyzer
+import graft.analysis.{Analyzer, StopHash}
 import graft.codec.SmallFloat
 
 /** One field of one document (the reference's multi-field document model
@@ -59,13 +59,16 @@ object MultiFieldIndex {
       }
     }
     val postings = Indexer.buildPostings(spark, inputs)
-    val meta: Dataset[FieldMetaRow] = fielded.flatMap { d =>
-      val dl = Analyzer.countTokens(d.text, stopWords)
-      if (dl == 0) Iterator.empty
-      else {
-        val nb = SmallFloat.intToByte4(dl).toInt & 0xff
-        Iterator.single(FieldMetaRow(Indexer.segmentOf(d.doc_id, segSize),
-          d.doc_id, d.field, dl, nb, SmallFloat.byte4ToInt(nb.toByte)))
+    val meta: Dataset[FieldMetaRow] = fielded.mapPartitions { docs =>
+      val stops = new StopHash(stopWords) // one probe table per partition
+      docs.flatMap { d =>
+        val dl = Analyzer.countTokensWith(d.text, stops)
+        if (dl == 0) Iterator.empty
+        else {
+          val nb = SmallFloat.intToByte4(dl).toInt & 0xff
+          Iterator.single(FieldMetaRow(Indexer.segmentOf(d.doc_id, segSize),
+            d.doc_id, d.field, dl, nb, SmallFloat.byte4ToInt(nb.toByte)))
+        }
       }
     }
     MultiFieldView(postings, Indexer.buildTerms(postings), meta)
