@@ -96,6 +96,83 @@ object AnnRecall {
     val recall = perQuery.map(_._1).sum / perQuery.size
     val avgScan = perQuery.map(_._2).sum / perQuery.size
     println(f"""{"metric":"ann_recall_at_10","value":$recall%.4f,"n_vectors":$n,"n_queries":${perQuery.size},"sketch_bits":${Vectors.SketchBits},"rerank_fraction":${Vectors.RerankFraction},"avg_scanned_fraction":$avgScan%.4f,"budget_reference":$budget}""")
+
+    // ——— IVF recall: on the driver corpus (near-random vectors — the
+    // sketch path's territory, IVF expected weak) AND on a clustered
+    // corpus (IVF's territory — real embedding corpora cluster). Both
+    // numbers are recorded so the two scale paths' trade-off is
+    // measured, not asserted.
+    def brute10(all: Array[(Long, Array[Float])], qi: Int): Set[Long] =
+      all.indices.filter(_ != qi)
+        .map(j => (all(j)._1, math.round(cos(all(qi)._2, all(j)._2) * 1e6)))
+        .sortBy(t => (-t._2, t._1)).take(10).map(_._1).toSet
+
+    /** Driver replication of [[Vectors.annIvfTopKOn]] over the engine's
+      * own centroids/sizes. Returns (avg recall@10, avg scanned frac).
+      */
+    def ivfEval(all: Array[(Long, Array[Float])], idx: Vectors.IvfView,
+                nQ: Int): (Double, Double) = {
+      val cells = all.map { case (_, v) => Vectors.nearestCell(idx.cents, v) }
+      val res = (0 until math.min(nQ, all.length)).map { qi =>
+        val order = Vectors.probeOrder(idx.cents, all(qi)._2)
+        val budget = math.max(10L,
+          math.ceil((idx.n - 1) * Vectors.RerankFraction).toLong)
+        var cum = 0L
+        val probed = order.takeWhile { c =>
+          val more = cum < budget; cum += idx.cellSizes(c); more
+        }.toSet
+        val candIdx = all.indices.filter(j => j != qi && probed(cells(j)))
+        val top = candIdx
+          .map(j => (all(j)._1, math.round(cos(all(qi)._2, all(j)._2) * 1e6)))
+          .sortBy(t => (-t._2, t._1)).take(10).map(_._1).toSet
+        (brute10(all, qi).intersect(top).size / 10.0,
+          candIdx.size.toDouble / (all.length - 1))
+      }
+      (res.map(_._1).sum / res.size, res.map(_._2).sum / res.size)
+    }
+
+    val ivfIdx = Vectors.ivfIndexOf(spark, dir)
+    // cross-check: distributed path == driver replication
+    for (q <- Seq(0L, 7L, 42L)) {
+      val engine = Vectors.annIvfTopKOn(spark, ivfIdx, q, 10)
+        .collect().map(_.getLong(0)).toSeq
+      val qi = vecs.indexWhere(_._1 == q)
+      val cells = vecs.map { case (_, v) => Vectors.nearestCell(ivfIdx.cents, v) }
+      val order = Vectors.probeOrder(ivfIdx.cents, vecs(qi)._2)
+      val budget = math.max(10L,
+        math.ceil((ivfIdx.n - 1) * Vectors.RerankFraction).toLong)
+      var cum = 0L
+      val probed = order.takeWhile { c =>
+        val more = cum < budget; cum += ivfIdx.cellSizes(c); more
+      }.toSet
+      val repl = vecs.indices.filter(j => j != qi && probed(cells(j)))
+        .map(j => (vecs(j)._1, math.round(cos(vecs(qi)._2, vecs(j)._2) * 1e6)))
+        .sortBy(t => (-t._2, t._1)).take(10).map(_._1).toSeq
+      require(engine == repl,
+        s"IVF engine/replication divergence for query $q: $engine vs $repl")
+    }
+    val (ivfRandR, ivfRandS) = ivfEval(vecs, ivfIdx, nQueries)
+
+    // deterministic clustered corpus: 40 centers, unit vectors near them
+    val dim = vecs.head._2.length
+    def h64(a: Long, b: Long): Double = {
+      var z = (a << 32 | (b & 0xffffffffL)) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^= (z >>> 31)
+      (java.lang.Long.remainderUnsigned(z, 1000000L).toDouble / 500000.0) - 1.0
+    }
+    val nClusters = 40
+    val clustered: Array[(Long, Array[Float])] = Array.tabulate(n) { i =>
+      val c = i % nClusters
+      val v = Array.tabulate(dim)(d =>
+        (h64(1000L + c, d) + 0.25 * h64(2000000L + i, d)).toFloat)
+      (i.toLong, v)
+    }
+    val cdf = clustered.toSeq.toDF("vec_id", "embedding")
+    val ivfClustered = Vectors.ivfIndexOfDf(spark, s"clustered-$n-$dim", cdf)
+    val (ivfClusR, ivfClusS) = ivfEval(clustered, ivfClustered, nQueries)
+    println(f"""{"metric":"ann_ivf_recall_at_10","random":$ivfRandR%.4f,"random_scanned":$ivfRandS%.4f,"clustered":$ivfClusR%.4f,"clustered_scanned":$ivfClusS%.4f,"cells":${ivfIdx.cents.length},"lloyd_iters":${Vectors.IvfIters},"n_vectors":$n,"n_queries":$nQueries}""")
     spark.stop()
   }
 }

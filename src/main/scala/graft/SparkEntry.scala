@@ -735,6 +735,9 @@ object SparkEntry {
     "ann_cosine_topk" -> ((s, dir) => graft.operators.Vectors.annBruteTopK(s, dir)),
     "ann_batch_topk" -> ((s, dir) => graft.operators.Vectors.annBatchTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => graft.operators.Vectors.annLshTopK(s, dir)),
+    // IVF coarse-quantizer ANN (rows-only: approximate by design; recall
+    // evidence vs brute force in graft.AnnRecall / BASELINE.md)
+    "ann_ivf_topk" -> ((s, dir) => graft.operators.Vectors.annIvfTopK(s, dir)),
     "binary_meta" -> (graft.operators.Multimodal.binaryMeta _),
     "multimodal_decode" -> (graft.operators.Multimodal.mediaFeatures _),
   )

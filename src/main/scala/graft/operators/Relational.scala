@@ -337,6 +337,7 @@ object Relational {
     var frontier = Seq((from, from)).toDF("node", "path")
     var visited = Seq(from).toDF("v_node").persist()
     var prevFrontier: Option[DataFrame] = None
+    var lastNext: Option[DataFrame] = None
     var found: Option[DataFrame] = None
     var depth = 0
     while (found.isEmpty && depth < maxDepth) {
@@ -350,9 +351,15 @@ object Relational {
         .join(visited, col("node") === col("v_node"), "left_anti")
         .persist()
       val hits = next.where(col("node") === to)
-      if (hits.limit(1).count() > 0) found = Some(hits.select("path").distinct())
-      else if (next.limit(1).count() == 0) depth = maxDepth // exhausted
-      else {
+      if (hits.limit(1).count() > 0) {
+        // materialize the (tiny) answer eagerly so every cached level can
+        // be dropped below — repeated calls leave no cache residue
+        found = Some(hits.select("path").distinct().localCheckpoint(true))
+        lastNext = Some(next)
+      } else if (next.limit(1).count() == 0) {
+        depth = maxDepth // exhausted
+        lastNext = Some(next)
+      } else {
         val newVisited = visited
           .union(next.select(col("node").as("v_node")).distinct()).distinct()
           .persist()
@@ -365,6 +372,10 @@ object Relational {
         depth += 1
       }
     }
+    // drop every still-cached level (answer already checkpointed);
+    // unpersist is a no-op on frames that were never persisted
+    visited.unpersist(); frontier.unpersist()
+    prevFrontier.foreach(_.unpersist()); lastNext.foreach(_.unpersist())
     found.getOrElse(Seq.empty[String].toDF("path"))
   }
 

@@ -194,4 +194,211 @@ object Vectors {
       .orderBy(col("sim_q").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  // ————— IVF (inverted-file / coarse-quantizer) ANN — the clustered-
+  // corpus scale path. The corpus is partitioned into kCells Voronoi
+  // cells of a spherical k-means; a query scores the (tiny) centroid
+  // table, probes the nearest cells until the scan budget is covered,
+  // and exact-reranks only the probed cells. At 100 TB the assignment
+  // table is written bucketed by `cell`, so a probe reads only
+  // nprobe/kCells of the data (partition pruning) — the complementary
+  // design point to the SRP sketch: IVF wins when the corpus has
+  // cluster structure (real embedding corpora), the Hamming-radius
+  // sketch wins on unstructured vectors (measured in `graft.AnnRecall`;
+  // both numbers in BASELINE.md).
+
+  /** Lloyd iterations — FIXED (determinism and bounded cost). */
+  val IvfIters = 5
+
+  /** Fixed-point scale for centroid accumulation: component sums are
+    * quantized to integers so the fold is exactly associative — the
+    * centroids (and therefore every cell assignment and query answer)
+    * are a pure function of the data, never of partitioning or
+    * summation order (the repo-wide docID-purity invariant; float
+    * partial sums would drift in ulps across parallelism levels and
+    * could flip borderline assignments).
+    */
+  private val IvfQScale = 1L << 20
+
+  private def unitD(v: Array[Double]): Array[Double] = {
+    var n2 = 0.0
+    var i = 0
+    while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+    val inv = if (n2 == 0.0) 0.0 else 1.0 / math.sqrt(n2)
+    val out = new Array[Double](v.length)
+    i = 0
+    while (i < v.length) { out(i) = v(i) * inv; i += 1 }
+    out
+  }
+
+  /** Nearest centroid by dot product (centroids are unit-normalized, so
+    * this ranks by cosine); ties break to the LOWER cell index.
+    */
+  private[graft] def nearestCell(cents: Array[Array[Double]], v: Array[Float]): Int = {
+    var best = 0
+    var bestD = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var d = 0.0
+      var i = 0
+      while (i < cv.length) { d += cv(i) * v(i); i += 1 }
+      if (d > bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Spherical k-means over a (vec_id, embedding) dataset — distributed
+    * assignment (one narrow pass per iteration; per-partition partial
+    * sums, ≤ kCells rows shipped per partition), deterministic by
+    * construction: hash-ordered init, integer-quantized sums, fixed
+    * iteration count. Returns unit-normalized centroids.
+    */
+  private[graft] def kmeansCentroids(s: SparkSession,
+                                     ds: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                                     kCells: Int,
+                                     iters: Int = IvfIters): Array[Array[Double]] = {
+    import s.implicits._
+    // deterministic spread init: the kCells vectors first in md5(vec_id)
+    // order — a hash shuffle of the ids, independent of layout; the
+    // global TakeOrdered ships only kCells rows
+    var cents: Array[Array[Double]] = ds.toDF("vec_id", "embedding")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(kCells)
+      .select("embedding").as[Array[Float]].collect()
+      .map(v => unitD(v.map(_.toDouble)))
+    var it = 0
+    while (it < iters) {
+      val bc = s.sparkContext.broadcast(cents)
+      // per-partition partial (cell, quantized component sums, count):
+      // integer sums make the cross-partition merge order-independent
+      val partials = ds.mapPartitions { rows =>
+        val c = bc.value
+        val k = c.length
+        var sums: Array[Array[Long]] = null
+        val cnt = new Array[Long](k)
+        rows.foreach { case (_, v) =>
+          if (sums == null) sums = Array.fill(k)(new Array[Long](v.length))
+          val cell = nearestCell(c, v)
+          val sv = sums(cell)
+          var i = 0
+          while (i < v.length) { sv(i) += math.round(v(i).toDouble * IvfQScale); i += 1 }
+          cnt(cell) += 1L
+        }
+        if (sums == null) Iterator.empty
+        else (0 until k).iterator.filter(cnt(_) > 0).map(i => (i, sums(i), cnt(i)))
+      }.collect() // ≤ kCells × nPartitions tiny rows
+      val k = cents.length
+      val merged = Array.fill(k)(null: Array[Long])
+      val cnts = new Array[Long](k)
+      partials.foreach { case (cell, sv, n) =>
+        if (merged(cell) == null) merged(cell) = new Array[Long](sv.length)
+        val m = merged(cell)
+        var i = 0
+        while (i < sv.length) { m(i) += sv(i); i += 1 }
+        cnts(cell) += n
+      }
+      cents = Array.tabulate(k) { cell =>
+        if (cnts(cell) == 0) cents(cell) // empty cell keeps its centroid
+        else unitD(merged(cell).map(_.toDouble / (IvfQScale * cnts(cell))))
+      }
+      bc.destroy()
+      it += 1
+    }
+    cents
+  }
+
+  /** An IVF index: the cell-assigned corpus (at scale: written bucketed
+    * by `cell`), the unit centroids, and per-cell sizes (both tiny,
+    * driver/broadcast-resident — the probe planner's only inputs).
+    */
+  final case class IvfView(assign: DataFrame, cents: Array[Array[Double]],
+                           cellSizes: Array[Long], n: Long)
+
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfView]()
+
+  /** Cells ≈ √n, the standard IVF balance point (probe cost ≈ cell
+    * cost); bounded for tiny test corpora.
+    */
+  private def cellsFor(n: Long): Int =
+    math.max(4, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  private[graft] def ivfIndexOf(s: SparkSession, dir: String): IvfView =
+    ivfIndexOfDf(s, dir, emb(s, dir).select(col("vec_id"), col("embedding")))
+
+  /** Build (or fetch the session-cached) IVF index of a (vec_id,
+    * embedding) frame — one k-means + one assignment pass, reused by
+    * every query like the durable sketch table.
+    */
+  private[graft] def ivfIndexOfDf(s: SparkSession, key: String,
+                                  df: DataFrame): IvfView =
+    ivfCache.computeIfAbsent(key, { _ =>
+      import s.implicits._
+      val ds = df.as[(Long, Array[Float])]
+      val n = ds.count()
+      val cents = kmeansCentroids(s, ds, cellsFor(n))
+      val bc = s.sparkContext.broadcast(cents)
+      val assign = ds.map { case (id, v) => (id, nearestCell(bc.value, v), v) }
+        .toDF("vec_id", "cell", "embedding")
+        .persist()
+      val sizes = new Array[Long](cents.length)
+      assign.groupBy("cell").count().collect()
+        .foreach(r => sizes(r.getInt(0)) = r.getLong(1))
+      IvfView(assign, cents, sizes, n)
+    })
+
+  /** Approximate cosine top-k via IVF probe: rank cells by centroid
+    * similarity, probe the nearest cells until their cumulative size
+    * covers the [[RerankFraction]] budget, exact-rerank only those
+    * cells. The probe plan is computed on the driver from the tiny
+    * centroid/size tables; the data-side plan is a narrow `cell IN
+    * (probed)` filter — bucket pruning at scale — plus the same
+    * codegen'd cosine kernel as the brute-force baseline.
+    */
+  def annIvfTopK(s: SparkSession, dir: String, queryId: Long = 0L,
+                 k: Int = 10): DataFrame = {
+    import s.implicits._
+    val idx = ivfIndexOf(s, dir)
+    annIvfTopKOn(s, idx, queryId, k)
+  }
+
+  private[graft] def annIvfTopKOn(s: SparkSession, idx: IvfView,
+                                  queryId: Long, k: Int): DataFrame = {
+    import s.implicits._
+    val qv = idx.assign.where(col("vec_id") === queryId)
+      .select("embedding").as[Array[Float]].head()
+    val order = probeOrder(idx.cents, qv)
+    val budget = math.max(k.toLong,
+      math.ceil((idx.n - 1) * RerankFraction).toLong)
+    var cum = 0L
+    val probed = order.takeWhile { c =>
+      val more = cum < budget
+      cum += idx.cellSizes(c)
+      more
+    }
+    val qc = typedlit(qv.toSeq)
+    idx.assign
+      .where(col("cell").isin(probed.map(Integer.valueOf): _*)
+        && col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        round(dotD(col("embedding"), qc)
+          / (normD(col("embedding")) * normD(qc)) * 1e6)
+          .cast("long").as("sim_q"))
+      .orderBy(col("sim_q").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Cells in decreasing centroid-cosine order (ties: lower cell id). */
+  private[graft] def probeOrder(cents: Array[Array[Double]],
+                                qv: Array[Float]): Seq[Int] = {
+    val qd = unitD(qv.map(_.toDouble))
+    cents.indices.sortBy { c =>
+      val cv = cents(c)
+      var d = 0.0
+      var i = 0
+      while (i < cv.length) { d += cv(i) * qd(i); i += 1 }
+      (-d, c)
+    }
+  }
 }

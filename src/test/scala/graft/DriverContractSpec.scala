@@ -32,7 +32,7 @@ class DriverContractSpec extends AnyFunSuite {
 
   test("entries without oracles are exactly the documented hash/approx/stub set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("ann_lsh_topk", "dedup_simhash", "facet_hll",
+    assert(rowsOnly == Set("ann_lsh_topk", "ann_ivf_topk", "dedup_simhash", "facet_hll",
       "multimodal_decode"), s"unexpected rows-only entries: $rowsOnly")
   }
 }

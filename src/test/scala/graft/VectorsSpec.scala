@@ -45,6 +45,56 @@ class VectorsSpec extends AnyFunSuite {
     assert(lsh.intersect(brute).size >= 8, s"recall too low: $lsh vs $brute")
   }
 
+  test("IVF k-means centroids are scheduling-independent (integer sums)") {
+    import spark.implicits._
+    val ds = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+    // identical input under different partitionings must produce
+    // byte-identical centroids — the exactly-associative quantized sums
+    val c1 = Vectors.kmeansCentroids(spark, ds.repartition(3), 8)
+    val c2 = Vectors.kmeansCentroids(spark, ds.repartition(17), 8)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+  }
+
+  test("IVF probe recall is high on a clustered corpus at the 10% budget") {
+    import spark.implicits._
+    val dim = 32
+    def h(a: Long, b: Long): Double = {
+      var z = (a << 32 | (b & 0xffffffffL)) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^= (z >>> 31)
+      (java.lang.Long.remainderUnsigned(z, 1000000L).toDouble / 500000.0) - 1.0
+    }
+    val all: Array[(Long, Array[Float])] = Array.tabulate(600) { i =>
+      val c = i % 12
+      (i.toLong, Array.tabulate(dim)(d =>
+        (h(100L + c, d) + 0.25 * h(5000L + i, d)).toFloat))
+    }
+    val idx = Vectors.ivfIndexOfDf(spark, "spec-clustered",
+      all.toSeq.toDF("vec_id", "embedding"))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val recalls = Seq(0L, 5L, 11L, 100L, 307L).map { q =>
+      val qi = q.toInt
+      val brute = all.indices.filter(_ != qi)
+        .map(j => (all(j)._1, math.round(cos(all(qi)._2, all(j)._2) * 1e6)))
+        .sortBy(t => (-t._2, t._1)).take(10).map(_._1).toSet
+      val ivf = topIds(Vectors.annIvfTopKOn(spark, idx, q, 10)).toSet
+      ivf.intersect(brute).size / 10.0
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.9, s"clustered IVF recall too low: $recalls")
+  }
+
   test("sketch is deterministic and hamming is a plausible angle proxy") {
     val v = Array.tabulate(64)(i => (i % 7 - 3).toFloat / 3f)
     assert(Vectors.sketchOf(v).toSeq == Vectors.sketchOf(v.clone()).toSeq)
