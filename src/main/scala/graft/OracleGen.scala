@@ -195,6 +195,42 @@ object OracleGen {
        |LIMIT $k""".stripMargin
   }
 
+  /** Scored MultiPhraseQuery top-k: slot positions are the UNION of the
+    * slot's alternatives' positions; weight sums the idfs of every
+    * alternative of every slot (MultiPhraseWeight semantics).
+    */
+  def multiPhraseScoredSql(slot0: Seq[String], slot1: Seq[String],
+                           k: Int): String = {
+    val all = (slot0 ++ slot1).distinct
+    val scoreExpr =
+      "widf.w * ph.ptf / (ph.ptf + 1.2 * (1 - 0.75 + 0.75 * norm.ldl / (st.sttf / CAST(st.n AS DOUBLE))))"
+    s"""WITH $tokCte, $dlCtes, pdf AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+       |  WHERE term IN (${termList(all)}) GROUP BY term
+       |), widf AS (
+       |  SELECT sum(ln(1 + (st.n - pdf.df + 0.5) / (pdf.df + 0.5))) AS w
+       |  FROM pdf CROSS JOIN st
+       |), lists AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), tokpos AS (
+       |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+       |  FROM lists
+       |), a AS (SELECT DISTINCT doc_id, pos FROM tokpos
+       |         WHERE term IN (${termList(slot0)})),
+       |   b AS (SELECT DISTINCT doc_id, pos FROM tokpos
+       |         WHERE term IN (${termList(slot1)})),
+       |   ph AS (
+       |  SELECT a.doc_id, count(*) AS ptf
+       |  FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |  GROUP BY a.doc_id
+       |)
+       |SELECT ph.doc_id,
+       |  CAST(round($scoreExpr * 10000) AS BIGINT) AS score_q
+       |FROM ph JOIN norm ON ph.doc_id = norm.doc_id CROSS JOIN widf CROSS JOIN st
+       |ORDER BY $scoreExpr DESC, ph.doc_id ASC
+       |LIMIT $k""".stripMargin
+  }
+
   /** Scored ordered span-near top-k: span_tf (ordered anchors within
     * the gap budget) through the same phrase-weight BM25 shape.
     */

@@ -129,6 +129,13 @@ object SparkEntry {
       quantize(MoreQueries.phraseScoredTopK(s, v, Seq("hash", "join"),
         0, 10, DoubleOracle), 10)
     }),
+    "multi_phrase_topk" -> ((s, dir) => {
+      // MultiPhraseQuery: "hash (join|merge)" — slot 2 is a union of
+      // alternatives; weight sums every alternative's idf
+      val v = IndexCache.documentsIndex(s, dir)
+      quantize(MoreQueries.multiPhraseScoredTopK(s, v,
+        Seq(Seq("hash"), Seq("join", "merge")), 10, DoubleOracle), 10)
+    }),
     "span_near_query" -> ((s, dir) => {
       MoreQueries.spanNearOrdered(s, IndexCache.documentsIndex(s, dir),
         Seq("hash", "join"), slop = 3)
@@ -732,6 +739,7 @@ object SparkEntry {
     "doc_fingerprint" -> (graft.operators.TrainingData.docFingerprint _),
     "decontaminate" -> (graft.operators.TrainingData.decontaminate _),
     "url_normalize" -> (graft.operators.TrainingData.urlNormalize _),
+    "pii_scrub" -> (graft.operators.TrainingData.piiScrub _),
     "ann_cosine_topk" -> ((s, dir) => graft.operators.Vectors.annBruteTopK(s, dir)),
     "ann_batch_topk" -> ((s, dir) => graft.operators.Vectors.annBatchTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => graft.operators.Vectors.annLshTopK(s, dir)),
@@ -763,6 +771,8 @@ object SparkEntry {
     "phrase_query" -> OracleGen.phraseSql("hash", "join"),
     "phrase_slop" -> OracleGen.phraseSlopSql("hash", "join", 2),
     "phrase_scored_topk" -> OracleGen.phraseScoredSql("hash", "join", 10),
+    "multi_phrase_topk" ->
+      OracleGen.multiPhraseScoredSql(Seq("hash"), Seq("join", "merge"), 10),
     "span_near_query" ->
       """WITH lists AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
@@ -1063,6 +1073,7 @@ object SparkEntry {
     "doc_fingerprint" -> TrainingOracles.docFingerprint,
     "decontaminate" -> TrainingOracles.decontaminate,
     "url_normalize" -> TrainingOracles.urlNormalize,
+    "pii_scrub" -> TrainingOracles.piiScrub,
     "common_terms_topk" -> OracleGen.commonTermsSql(Seq("dup", "spark", "merge"), 0.1, 10),
     "ltr_rerank" -> OracleGen.ltrRerankSql(Seq("spark", "join"), "vector", 50, 10, 0.6, 0.3, 0.5),
     "phonetic_soundex" -> OracleGen.phoneticSoundexSql,

@@ -168,6 +168,29 @@ object TrainingOracles {
       |    AS norm_url
       |FROM documents""".stripMargin
 
+  /** PII scrub: the oracle runs the SAME regexes (Java/RE2-compatible
+    * subset) over the same deterministically augmented text.
+    */
+  val piiScrub: String =
+    """WITH raw AS (
+      |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |    || '@mail.example.org from 10.' || CAST(doc_id % 200 AS VARCHAR)
+      |    || '.0.7 call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+      |    || '-0199' AS raw
+      |  FROM documents
+      |), scrub AS (
+      |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(raw,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+      |  FROM raw
+      |)
+      |SELECT doc_id, md5(scrubbed) AS scrub_md5,
+      |  CAST(len(string_split(scrubbed, '<EMAIL>')) - 1 AS BIGINT) AS n_email,
+      |  CAST(len(string_split(scrubbed, '<IP>')) - 1 AS BIGINT) AS n_ip,
+      |  CAST(len(string_split(scrubbed, '<PHONE>')) - 1 AS BIGINT) AS n_phone
+      |FROM scrub""".stripMargin
+
   val binaryMeta: String =
     """SELECT doc_id,
       |  CAST(length('<html><head><title>doc ' || CAST(doc_id AS VARCHAR)

@@ -139,34 +139,32 @@ object IndexWriter {
                  b: Int, segSize: Long, stopWords: Set[String],
                  lo: Long, hi: Long, indexPositions: Boolean = true): Unit = {
     if (IndexStore.readManifest(dir, b).nonEmpty) return
-    // Two narrow analysis passes (postings, docmeta) — measured CHEAPER
-    // than caching the analyzed Dataset: Spark's columnar cache
-    // serialization of the nested per-doc term arrays costs ~3× the
-    // re-analysis itself (probed at 1M docs: 18s cached vs 5s
-    // re-analyzed, 32 cores). At corpus scale two streaming passes over
-    // the batch slice are the DWPT-style design anyway. The postings
-    // pass is FUSED (analysis + doc inversion + chunk combine in one
-    // mapPartitions) — no intermediate object stream.
+    // ONE analysis pass over the batch text (rounds 1-2 ran two — a
+    // postings pass and a docmeta count pass; at 100 TB the second full
+    // corpus read is the single largest avoidable I/O term): the fused
+    // kernel emits per-doc metadata as META block rows riding the SAME
+    // posting shuffle, and the docmeta table is decoded from the compact
+    // WRITTEN blocks (like terms already is) — no text re-scan. Caching
+    // the analyzed Dataset instead was measured 3× worse (columnar cache
+    // serialization of the nested term arrays, probed at 1M docs).
     val postings = Indexer.buildPostingsFused(spark, slice, segSize, stopWords,
-      indexPositions)
+      indexPositions, emitDocMeta = true)
     val bd = IndexStore.batchDir(dir, b)
-    // sequential writes: overlapping the two jobs was measured to double
-    // in-flight task state and push the high-parallelism level into GC
-    // thrash at large batch sizes — latency hiding isn't worth it here
     postings.write.mode("overwrite").parquet(s"$bd/postings")
-    // doc count observed DURING the docmeta write — no separate count
+    import spark.implicits._
+    val written = spark.read.parquet(s"$bd/postings").as[PostingBlockRow]
+    // doc count observed DURING the docmeta decode — no separate count
     // action (driver-side fixed costs are the Amdahl term of the
     // two-cluster-size ratio at small batch sizes)
     val obs = new org.apache.spark.sql.Observation()
-    Indexer.buildDocMeta(spark, slice, segSize, stopWords).toDF()
+    Indexer.metaRowsFromBlocks(spark, written).toDF()
       .observe(obs, count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$bd/docmeta")
     val nDocs = obs.get("n").asInstanceOf[Long]
     // terms from one scan of the written postings (consistency by
-    // construction with what's on disk)
-    import spark.implicits._
-    val written = spark.read.parquet(s"$bd/postings").as[PostingBlockRow]
-    Indexer.buildTerms(written).write.mode("overwrite").parquet(s"$bd/terms")
+    // construction with what's on disk); META rows excluded
+    Indexer.buildTerms(written.filter(col("field") =!= Indexer.MetaField))
+      .write.mode("overwrite").parquet(s"$bd/terms")
     // manifest metrics from the (small) terms table + file sizes — no
     // second scan of the heavy postings payloads
     val tstats = spark.read.parquet(s"$bd/terms")
@@ -236,7 +234,13 @@ object IndexReader {
                          snap: Snapshot): IndexView = {
     import spark.implicits._
     val dirs = snap.batches.map(IndexStore.batchDir(dir, _))
-    val postings = spark.read.parquet(dirs.map(_ + "/postings"): _*).as[PostingBlockRow]
+    // the single-pass fused build stores docmeta as META block rows
+    // INSIDE the postings parquet; exclude them here (a pushed
+    // min/max-prunable field predicate) so every search-path consumer
+    // sees real postings only
+    val postings = spark.read.parquet(dirs.map(_ + "/postings"): _*)
+      .where(org.apache.spark.sql.functions.col("field") =!= Indexer.MetaField)
+      .as[PostingBlockRow]
     val terms    = spark.read.parquet(dirs.map(_ + "/terms"): _*)
     val docmeta  = spark.read.parquet(dirs.map(_ + "/docmeta"): _*).as[DocMetaRow]
     IndexView(postings, terms, docmeta)

@@ -474,6 +474,38 @@ object TrainingData {
     * with REAL url machinery — `parse_url` HOST/PATH/QUERY extraction —
     * all narrow per-row expressions (codegen'd, no shuffle, no UDF).
     */
+  /** PII scrubbing (web-corpus redaction step — C4/Gopher-style
+    * pipelines strip emails/IPs/phone numbers before training): three
+    * `regexp_replace` passes, fully narrow per-row work that whole-stage
+    * codegen fuses with the scan at any scale. The synthetic corpus
+    * carries no real PII, so the entry plants one deterministic
+    * email/IP/phone per doc and redacts them — the patterns are the real
+    * machinery, chosen meta-character-compatible between Java regex and
+    * RE2 so the DuckDB oracle runs the SAME expressions.
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.org from 10."),
+      (col("doc_id") % 200).cast("string"),
+      lit(".0.7 call 555-"),
+      (col("doc_id") % 900 + 100).cast("string"), lit("-0199"))
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    docs(s, dir)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(col("raw"),
+          lit(emailRe), lit("<EMAIL>")), lit(ipRe), lit("<IP>")),
+          lit(phoneRe), lit("<PHONE>")).as("scrubbed"))
+      .select(col("doc_id"),
+        md5(col("scrubbed")).as("scrub_md5"),
+        (size(split(col("scrubbed"), "<EMAIL>")) - 1).cast("long").as("n_email"),
+        (size(split(col("scrubbed"), "<IP>")) - 1).cast("long").as("n_ip"),
+        (size(split(col("scrubbed"), "<PHONE>")) - 1).cast("long").as("n_phone"))
+  }
+
   def urlNormalize(s: SparkSession, dir: String): DataFrame = {
     val raw = concat(
       lit("HTTP://Example"), (col("doc_id") % 50).cast("string"),

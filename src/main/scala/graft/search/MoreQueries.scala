@@ -204,6 +204,56 @@ object MoreQueries {
     phraseScored(spark, view, terms, slop, QueryScorers(view, terms, mode))
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
 
+  /** MultiPhraseQuery [8x search/MultiPhraseQuery.java]: each slot
+    * carries a SET of alternative terms; the slot's position list is the
+    * union of its alternatives' positions (UnionPostingsEnum), and a doc
+    * matches at anchor p when every slot i has some alternative at
+    * p + i. phrase_tf counts the matching anchors — "spark (join|merge)"
+    * finds either continuation in one positional query.
+    */
+  def multiPhraseMatch(spark: SparkSession, view: IndexView,
+                       slots: Seq[Seq[String]]): DataFrame = {
+    import spark.implicits._
+    require(slots.size >= 2 && slots.forall(_.nonEmpty),
+      "multi-phrase needs >= 2 non-empty slots")
+    val uniq = slots.flatten.distinct
+    val perDoc = view.postings
+      .filter($"term".isin(uniq: _*))
+      .flatMap { b =>
+        val d = PostingCodec.decode(b.docs, b.freqs, b.norms)
+        val ps = PostingCodec.decodePositions(b.positions, d.freqs)
+        Iterator.tabulate(d.docIds.length)(i => (d.docIds(i), b.term, ps(i)))
+      }
+      .groupByKey(_._1)
+      .mapGroups { (docId, it) =>
+        val posByTerm = it.map(t => t._2 -> t._3).toMap
+        // per-slot union of the alternatives' (sorted, disjoint —
+        // one token per position) position lists
+        val slotPos: IndexedSeq[Array[Int]] = slots.map(alts =>
+          alts.flatMap(posByTerm.get(_).toSeq).flatten.distinct.sorted.toArray
+        ).toIndexedSeq
+        val tf =
+          if (slotPos.exists(_.isEmpty)) 0
+          else slotPos.head.count(p =>
+            slots.indices.forall(i => existsInRange(slotPos(i), p + i, p + i)))
+        (docId, tf)
+      }
+    perDoc.filter(_._2 > 0).toDF("doc_id", "phrase_tf")
+  }
+
+  /** Scored MultiPhraseQuery top-k: phrase_tf through BM25 with weight =
+    * the sum of the idfs of ALL alternatives of ALL slots
+    * (MultiPhraseWeight gathers one TermStatistics per term).
+    */
+  def multiPhraseScoredTopK(spark: SparkSession, view: IndexView,
+                            slots: Seq[Seq[String]], k: Int,
+                            mode: ScoreMode = DoubleOracle): DataFrame = {
+    val allTerms = slots.flatten
+    freqScored(spark, view, multiPhraseMatch(spark, view, slots),
+      "phrase_tf", allTerms, QueryScorers(view, allTerms, mode))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+
   /** DisjunctionMax top-k: per-clause BM25 scores combined as
     * max + tieBreaker*(sum-max). Clauses here are single terms.
     */

@@ -31,6 +31,19 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(topDocs(loaded, Seq("w0001", "w0042")) == topDocs(direct, Seq("w0001", "w0042")))
   }
 
+  test("single-pass docmeta (META blocks) == direct count-pass docmeta") {
+    val dir = tmpDir()
+    IndexWriter.build(spark, corpus(800), dir, segSize = 128L, nBatches = 3)
+    val loaded = IndexReader.load(spark, dir)
+    val direct = Indexer.buildDocMeta(spark, corpus(800), 128L,
+      graft.analysis.Analyzer.EnglishStopWords)
+    assert(loaded.docmeta.collect().toSet == direct.collect().toSet)
+    // and no META sentinel leaks into the loaded postings/terms
+    import org.apache.spark.sql.functions.col
+    assert(loaded.postings.filter(col("field") === Indexer.MetaField).count() == 0)
+    assert(loaded.terms.filter(col("field") === Indexer.MetaField).count() == 0)
+  }
+
   test("manifests carry lineage + metrics per batch") {
     val dir = tmpDir()
     IndexWriter.build(spark, corpus(600), dir, segSize = 128L, nBatches = 2)

@@ -115,6 +115,26 @@ class SearchSpec extends AnyFunSuite {
     assert(signature(v3) == signature(v7))
   }
 
+  test("fused TermsHash kernel == two-phase analyze/invert path, byte-identical") {
+    val corpus = CorpusSynth.corpusWithIds(spark, 500, seed = 11L)
+    val input = Indexer.asDocInput(spark, corpus)
+    def sig(ds: org.apache.spark.sql.Dataset[graft.index.PostingBlockRow]) =
+      ds.collect()
+        .map(b => (b.segment_id, b.term, b.block_id, b.first_doc_id,
+          b.last_doc_id, b.docs.toList, b.freqs.toList, b.norms.toList,
+          b.positions.toList))
+        .sortBy(t => (t._1, t._2, t._3)).toList
+    val stops = graft.analysis.Analyzer.EnglishStopWords
+    val twoPhase = Indexer.buildPostings(spark,
+      Indexer.invert(spark, input, 128L, stops))
+    val fused = Indexer.buildPostingsFused(spark, input, 128L, stops)
+    assert(sig(fused) == sig(twoPhase))
+    // a 4 KB budget forces many mid-batch TermsHash flushes — still identical
+    val fusedTiny = Indexer.buildPostingsFused(spark, input, 128L, stops,
+      combineBudgetBytes = 4096L)
+    assert(sig(fusedTiny) == sig(twoPhase))
+  }
+
   test("combine RAM budget: tiny flush budget yields identical blocks") {
     val corpus = CorpusSynth.corpusWithIds(spark, 500, seed = 11L)
     def sig(budget: Long) = {
