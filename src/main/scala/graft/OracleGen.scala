@@ -195,6 +195,16 @@ object OracleGen {
        |LIMIT $k""".stripMargin
   }
 
+  /** Binary entropy from two exact integer counts, in the SAME float64
+    * expression shape as the engine's Catalyst column (0·ln0 = 0 via
+    * CASE, division inside the guarded branch only).
+    */
+  def entropy2Sql(a: String, b: String): String = {
+    val s = s"CAST(($a) + ($b) AS DOUBLE)"
+    s"(-(CASE WHEN ($a) > 0 THEN (CAST(($a) AS DOUBLE)/$s)*ln(CAST(($a) AS DOUBLE)/$s) ELSE 0 END + " +
+      s"CASE WHEN ($b) > 0 THEN (CAST(($b) AS DOUBLE)/$s)*ln(CAST(($b) AS DOUBLE)/$s) ELSE 0 END))"
+  }
+
   /** Scored MultiPhraseQuery top-k: slot positions are the UNION of the
     * slot's alternatives' positions; weight sums the idfs of every
     * alternative of every slot (MultiPhraseWeight semantics).

@@ -572,6 +572,8 @@ object SparkEntry {
     "func_geodist" -> (graft.operators.Functions.geoDist _),
     "func_math" -> (graft.operators.Functions.mathFuncs _),
     // — Solr stream/graph extensions —
+    "features_igain" -> ((s, dir) =>
+      graft.operators.Relational.featuresSelection(s, dir)),
     "significant_terms" -> ((s, dir) =>
       graft.operators.Relational.significantTerms(s, dir)),
     "gather_nodes" -> (graft.operators.Relational.gatherNodes _),
@@ -994,6 +996,24 @@ object SparkEntry {
           |FROM fg JOIN bg USING (term) CROSS JOIN nn CROSS JOIN ff
           |WHERE fg_df >= 5
           |ORDER BY lift_q DESC, term ASC LIMIT 20""".stripMargin),
+    "features_igain" ->
+      (s"""WITH t AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+          |), dt AS (
+          |  SELECT DISTINCT doc_id, term FROM t
+          |  WHERE length(term) > 0 AND term NOT IN (${OracleGen.stopList})
+          |), lbl AS (SELECT doc_id, doc_id % 2 AS y FROM documents),
+          |tot AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS np FROM lbl),
+          |cnt AS (
+          |  SELECT term, count(*) AS nt, CAST(sum(y) AS BIGINT) AS ntp
+          |  FROM dt JOIN lbl USING (doc_id) GROUP BY term
+          |)
+          |SELECT term, CAST(round((${OracleGen.entropy2Sql("np", "n - np")} - (
+          |  (CAST(nt AS DOUBLE)/CAST(n AS DOUBLE)) * ${OracleGen.entropy2Sql("ntp", "nt - ntp")} +
+          |  (CAST(n - nt AS DOUBLE)/CAST(n AS DOUBLE)) * ${OracleGen.entropy2Sql("np - ntp", "(n - np) - (nt - ntp)")}
+          |)) * 1000000) AS BIGINT) AS ig_q
+          |FROM cnt CROSS JOIN tot
+          |ORDER BY ig_q DESC, term ASC LIMIT 20""".stripMargin),
     "gather_nodes" ->
       """SELECT DISTINCT l_partkey AS node FROM lineitem
         |WHERE l_orderkey IN (

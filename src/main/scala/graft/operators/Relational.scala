@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -299,6 +299,48 @@ object Relational {
           .cast("long").as("lift_q"))
       .orderBy(col("lift_q").desc, col("term").asc)
       .limit(k)
+  }
+
+  /** FeaturesSelectionStream analog [Solr solrj io/stream/
+    * FeaturesSelectionStream.java, backed by IGainTermsQParserPlugin]:
+    * per-term information gain of a binary outcome over the training
+    * docs — IG(t) = H(C) − [P(t)·H(C|t) + P(¬t)·H(C|¬t)]. All inputs
+    * are EXACT integer counts (per-class term df from one
+    * distinct+aggregate pass — the same per-shard count+merge shape as
+    * [[significantTerms]]); the gain is float64 from those integers and
+    * the ranking uses the QUANTIZED gain so an ulp can never flip an
+    * order the oracle disagrees with. Top-m features.
+    */
+  def featuresSelection(s: SparkSession, dir: String, m: Int = 20): DataFrame = {
+    val stop = graft.analysis.Analyzer.EnglishStopWords.toSeq.sorted
+    val docTerm = tbl(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) > 0 && !col("term").isin(stop: _*))
+      .distinct()
+    val lbl = tbl(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 2).as("y"))
+    val tot = lbl.agg(count(lit(1)).as("n"), sum("y").as("np")).head()
+    val n = tot.getLong(0)
+    val nPos = tot.getLong(1)
+    def h(a: Column, b: Column): Column = {
+      val sSum = (a + b).cast("double")
+      -(when(a > 0, (a.cast("double") / sSum) * log(a.cast("double") / sSum))
+          .otherwise(lit(0.0)) +
+        when(b > 0, (b.cast("double") / sSum) * log(b.cast("double") / sSum))
+          .otherwise(lit(0.0)))
+    }
+    val counts = docTerm.join(lbl, Seq("doc_id"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("nt"), sum("y").as("nt_pos"))
+    val nt = col("nt")
+    val ntp = col("nt_pos")
+    val ig = h(lit(nPos), lit(n - nPos)) -
+      ((nt.cast("double") / lit(n.toDouble)) * h(ntp, nt - ntp) +
+        ((lit(n) - nt).cast("double") / lit(n.toDouble)) *
+          h(lit(nPos) - ntp, lit(n - nPos) - (nt - ntp)))
+    counts.select(col("term"), round(ig * 1e6).cast("long").as("ig_q"))
+      .orderBy(col("ig_q").desc, col("term").asc)
+      .limit(m)
   }
 
   /** GatherNodes stream analog [Solr solrj io.graph GatherNodesStream]:
