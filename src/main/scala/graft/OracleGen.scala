@@ -195,6 +195,53 @@ object OracleGen {
        |LIMIT $k""".stripMargin
   }
 
+  /** Unrolled batch logistic regression (TextLogitStream oracle): the
+    * SAME per-iteration arithmetic as the engine — per-doc gradient
+    * contributions quantized to 2^24 integers, weight updates in float64
+    * from the exact integer sums — as a chain of CTEs (w0 → g1 → w1 → …),
+    * one gradient/weight pair per iteration.
+    */
+  def textLogitSql(features: Seq[String], iters: Int, lr: Double,
+                   q: Long = 1L << 24): String = {
+    val nf = features.size
+    val fsel = features.zipWithIndex.map { case (f, j) =>
+      s"max(CASE WHEN term = '$f' THEN 1 ELSE 0 END) AS x$j" }.mkString(", ")
+    val flist = termList(features)
+    val xcoal = features.indices.map(j =>
+      s"COALESCE(x$j, 0) AS x$j").mkString(", ")
+    val zeroW = (0 to nf).map(k => s"CAST(0.0 AS DOUBLE) AS c$k").mkString(", ")
+    def gradCte(t: Int): String = {
+      val z = "w.c0 + " + features.indices.map(j =>
+        s"w.c${j + 1}*CAST(x$j AS DOUBLE)").mkString(" + ")
+      val gsums = s"sum(eq) AS g0, " + features.indices.map(j =>
+        s"sum(CASE WHEN x$j = 1 THEN eq ELSE 0 END) AS g${j + 1}").mkString(", ")
+      s"""g$t AS (
+         |  SELECT $gsums FROM (
+         |    SELECT f.*, CAST(round((1.0/(1.0 + exp(-($z))) - CAST(y AS DOUBLE)) * $q) AS BIGINT) AS eq
+         |    FROM feat f CROSS JOIN w${t - 1} w) qq
+         |)""".stripMargin
+    }
+    def wCte(t: Int): String = {
+      val cols = (0 to nf).map(k =>
+        s"w.c$k - $lr*(CAST(g.g$k AS DOUBLE)/$q.0)/t.n AS c$k").mkString(", ")
+      s"w$t AS (SELECT $cols FROM w${t - 1} w CROSS JOIN g$t g CROSS JOIN tot t)"
+    }
+    val chain = (1 to iters).map(t => gradCte(t) + ",\n" + wCte(t)).mkString(",\n")
+    val out = (s"SELECT 'intercept' AS feature, CAST(round(c0*1000000) AS BIGINT) AS weight_q FROM w$iters" +:
+      features.zipWithIndex.map { case (f, j) =>
+        s"SELECT '$f', CAST(round(c${j + 1}*1000000) AS BIGINT) FROM w$iters" })
+      .mkString("\nUNION ALL ")
+    s"""WITH $tokCte, dt AS (SELECT DISTINCT doc_id, term FROM tokf),
+       |xs AS (SELECT doc_id, $fsel FROM dt WHERE term IN ($flist) GROUP BY doc_id),
+       |feat AS (
+       |  SELECT d.doc_id, d.doc_id % 2 AS y, $xcoal
+       |  FROM documents d LEFT JOIN xs ON d.doc_id = xs.doc_id
+       |), tot AS (SELECT count(*) AS n FROM feat),
+       |w0 AS (SELECT $zeroW),
+       |$chain
+       |$out""".stripMargin
+  }
+
   /** Binary entropy from two exact integer counts, in the SAME float64
     * expression shape as the engine's Catalyst column (0·ln0 = 0 via
     * CASE, division inside the guarded branch only).

@@ -572,6 +572,8 @@ object SparkEntry {
     "func_geodist" -> (graft.operators.Functions.geoDist _),
     "func_math" -> (graft.operators.Functions.mathFuncs _),
     // — Solr stream/graph extensions —
+    "text_logit" -> ((s, dir) =>
+      graft.operators.Relational.textLogit(s, dir)),
     "features_igain" -> ((s, dir) =>
       graft.operators.Relational.featuresSelection(s, dir)),
     "significant_terms" -> ((s, dir) =>
@@ -742,6 +744,7 @@ object SparkEntry {
     "decontaminate" -> (graft.operators.TrainingData.decontaminate _),
     "url_normalize" -> (graft.operators.TrainingData.urlNormalize _),
     "pii_scrub" -> (graft.operators.TrainingData.piiScrub _),
+    "dedup_clusters" -> (graft.operators.TrainingData.dedupClusters _),
     "ann_cosine_topk" -> ((s, dir) => graft.operators.Vectors.annBruteTopK(s, dir)),
     "ann_batch_topk" -> ((s, dir) => graft.operators.Vectors.annBatchTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => graft.operators.Vectors.annLshTopK(s, dir)),
@@ -996,6 +999,8 @@ object SparkEntry {
           |FROM fg JOIN bg USING (term) CROSS JOIN nn CROSS JOIN ff
           |WHERE fg_df >= 5
           |ORDER BY lift_q DESC, term ASC LIMIT 20""".stripMargin),
+    "text_logit" -> OracleGen.textLogitSql(
+      graft.operators.Relational.LogitFeatures, 3, 0.5),
     "features_igain" ->
       (s"""WITH t AS (
           |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -1094,6 +1099,7 @@ object SparkEntry {
     "decontaminate" -> TrainingOracles.decontaminate,
     "url_normalize" -> TrainingOracles.urlNormalize,
     "pii_scrub" -> TrainingOracles.piiScrub,
+    "dedup_clusters" -> TrainingOracles.dedupClusters,
     "common_terms_topk" -> OracleGen.commonTermsSql(Seq("dup", "spark", "merge"), 0.1, 10),
     "ltr_rerank" -> OracleGen.ltrRerankSql(Seq("spark", "join"), "vector", 50, 10, 0.6, 0.3, 0.5),
     "phonetic_soundex" -> OracleGen.phoneticSoundexSql,

@@ -168,6 +168,22 @@ object TrainingOracles {
       |    AS norm_url
       |FROM documents""".stripMargin
 
+  /** Dedup clustering: connected components of the exact near-dup pair
+    * graph via a recursive reachability CTE; cluster_id = min reachable
+    * doc_id (the engine's min-label-propagation fixpoint).
+    */
+  val dedupClusters: String =
+    s"""WITH RECURSIVE p AS (
+      |  $ngramJaccardPairs
+      |), e AS (
+      |  SELECT i AS a, j AS b FROM p UNION SELECT j AS a, i AS b FROM p
+      |), reach(src, dst) AS (
+      |  SELECT a AS src, a AS dst FROM (SELECT DISTINCT a FROM e) t
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+      |)
+      |SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin
+
   /** PII scrub: the oracle runs the SAME regexes (Java/RE2-compatible
     * subset) over the same deterministically augmented text.
     */

@@ -343,6 +343,67 @@ object Relational {
       .limit(m)
   }
 
+  /** Feature terms of the [[textLogit]] model (shared with the oracle). */
+  val LogitFeatures: Seq[String] =
+    Seq("spark", "join", "merge", "hash", "sort", "query", "filter", "vector")
+
+  /** Gradient quantization scale: per-doc gradient contributions are
+    * rounded to 1/2^24 so the cross-partition sum is EXACTLY associative
+    * — the trained weights are a pure function of the data (never of
+    * partitioning), and the DuckDB oracle replays the identical
+    * arithmetic.
+    */
+  private val LogitQ: Double = (1 << 24).toDouble
+
+  /** TextLogitStream analog [Solr solrj io/stream/TextLogitStream.java]:
+    * distributed batch logistic regression over term-presence features.
+    * Each iteration is ONE aggregate pass (the gradient — 9 integer
+    * sums), the driver updates the tiny weight vector, iteration count
+    * fixed. At scale this is the canonical iterate-over-the-corpus ML
+    * shape: narrow feature scan + partial-aggregated gradient, nothing
+    * proportional to the corpus ever reaches the driver.
+    */
+  def textLogit(s: SparkSession, dir: String,
+                features: Seq[String] = LogitFeatures,
+                iters: Int = 3, lr: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val stop = graft.analysis.Analyzer.EnglishStopWords.toSeq.sorted
+    val docTerm = tbl(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) > 0 && !col("term").isin(stop: _*))
+      .distinct()
+    val fcols = features.zipWithIndex.map { case (f, j) =>
+      max(when(col("term") === f, 1).otherwise(0)).as(s"x$j") }
+    val xs = docTerm.where(col("term").isin(features: _*))
+      .groupBy("doc_id").agg(fcols.head, fcols.tail: _*)
+    val feat = tbl(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 2).as("y"))
+      .join(xs, Seq("doc_id"), "left_outer")
+      .na.fill(0)
+      .persist()
+    val n = feat.count()
+    val w = Array.fill(features.size + 1)(0.0) // w(0) = intercept
+    var t = 0
+    while (t < iters) {
+      val z = features.indices.foldLeft(lit(w(0)): Column) { (acc, j) =>
+        acc + lit(w(j + 1)) * col(s"x$j").cast("double") }
+      val eq = round((lit(1.0) / (lit(1.0) + exp(-z)) -
+        col("y").cast("double")) * LogitQ).cast("long")
+      val aggs = sum(eq).as("g0") +: features.indices.map(j =>
+        sum(when(col(s"x$j") === 1, eq).otherwise(lit(0L))).as(s"g${j + 1}"))
+      val row = feat.agg(aggs.head, aggs.tail: _*).head()
+      var k = 0
+      while (k < w.length) {
+        w(k) = w(k) - lr * (row.getLong(k).toDouble / LogitQ) / n
+        k += 1
+      }
+      t += 1
+    }
+    feat.unpersist()
+    ("intercept" +: features).zip(w.map(x => math.round(x * 1e6))).toSeq
+      .toDF("feature", "weight_q")
+  }
+
   /** GatherNodes stream analog [Solr solrj io.graph GatherNodesStream]:
     * breadth-first node gathering across relations — 2 hops here:
     * seed customers → their orders → the parts on those orders.

@@ -474,6 +474,49 @@ object TrainingData {
     * with REAL url machinery — `parse_url` HOST/PATH/QUERY extraction —
     * all narrow per-row expressions (codegen'd, no shuffle, no UDF).
     */
+  /** Dedup clustering — connected components over the verified near-dup
+    * pair set (the step AFTER pair-finding in every dedup pipeline: keep
+    * one doc per CLUSTER, not per pair — A~B, B~C must retire both B and
+    * C even though A~C was never emitted). Iterative min-label
+    * propagation: each round is one join + min-aggregate; labels only
+    * decrease, so the (tiny, scalar) label-sum is a monotone convergence
+    * check. Real dup clusters have tiny diameter, so rounds ≈ O(log
+    * cluster size); caches rotate per round like the BFS operators. The
+    * hot-bucket STAR cap in the LSH pair stage preserves connectivity
+    * (every member keeps an edge to the hub), so cluster membership is
+    * unaffected by the skew guard. Deterministic: cluster_id = min
+    * doc_id reachable, a pure function of the edge set.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(s, dir).select(col("i"), col("j"))
+    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .unionAll(pairs.select(col("j").as("a"), col("i").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .persist()
+    var prevSum = labels.agg(sum("label")).head().getLong(0)
+    var converged = false
+    var round = 0
+    while (!converged && round < 20) {
+      val nbr = edges.join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .select(col("a").as("node"), col("label"))
+      val next = labels.unionAll(nbr)
+        .groupBy("node").agg(min("label").as("label"))
+        .persist()
+      val sumNow = next.agg(sum("label")).head().getLong(0) // materializes
+      labels.unpersist()
+      labels = next
+      converged = sumNow == prevSum
+      prevSum = sumNow
+      round += 1
+    }
+    val out = labels.select(col("node").as("doc_id"),
+      col("label").as("cluster_id")).localCheckpoint(true)
+    labels.unpersist(); edges.unpersist()
+    out
+  }
+
   /** PII scrubbing (web-corpus redaction step — C4/Gopher-style
     * pipelines strip emails/IPs/phone numbers before training): three
     * `regexp_replace` passes, fully narrow per-row work that whole-stage
