@@ -132,20 +132,21 @@ object AnnRecall {
     }
 
     val ivfIdx = Vectors.ivfIndexOf(spark, dir)
-    // cross-check: distributed path == driver replication
+    // cross-check: distributed path == driver replication (assignment
+    // array and budget are query-independent — computed once)
+    val ccCells = vecs.map { case (_, v) => Vectors.nearestCell(ivfIdx.cents, v) }
+    val ccBudget = math.max(10L,
+      math.ceil((ivfIdx.n - 1) * Vectors.RerankFraction).toLong)
     for (q <- Seq(0L, 7L, 42L)) {
       val engine = Vectors.annIvfTopKOn(spark, ivfIdx, q, 10)
         .collect().map(_.getLong(0)).toSeq
       val qi = vecs.indexWhere(_._1 == q)
-      val cells = vecs.map { case (_, v) => Vectors.nearestCell(ivfIdx.cents, v) }
       val order = Vectors.probeOrder(ivfIdx.cents, vecs(qi)._2)
-      val budget = math.max(10L,
-        math.ceil((ivfIdx.n - 1) * Vectors.RerankFraction).toLong)
       var cum = 0L
       val probed = order.takeWhile { c =>
-        val more = cum < budget; cum += ivfIdx.cellSizes(c); more
+        val more = cum < ccBudget; cum += ivfIdx.cellSizes(c); more
       }.toSet
-      val repl = vecs.indices.filter(j => j != qi && probed(cells(j)))
+      val repl = vecs.indices.filter(j => j != qi && probed(ccCells(j)))
         .map(j => (vecs(j)._1, math.round(cos(vecs(qi)._2, vecs(j)._2) * 1e6)))
         .sortBy(t => (-t._2, t._1)).take(10).map(_._1).toSeq
       require(engine == repl,
@@ -155,13 +156,7 @@ object AnnRecall {
 
     // deterministic clustered corpus: 40 centers, unit vectors near them
     val dim = vecs.head._2.length
-    def h64(a: Long, b: Long): Double = {
-      var z = (a << 32 | (b & 0xffffffffL)) + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^= (z >>> 31)
-      (java.lang.Long.remainderUnsigned(z, 1000000L).toDouble / 500000.0) - 1.0
-    }
+    def h64(a: Long, b: Long): Double = Vectors.hashUnit(a, b)
     val nClusters = 40
     val clustered: Array[(Long, Array[Float])] = Array.tabulate(n) { i =>
       val c = i % nClusters

@@ -275,13 +275,23 @@ object Relational {
     * per-shard counting + global merge is exactly the aggregate shape
     * below at scale.
     */
-  def significantTerms(s: SparkSession, dir: String, fgTerm: String = "spark",
-                       minDf: Long = 5L, k: Int = 20): DataFrame = {
+  /** Distinct (doc_id, term) presence pairs of the documents table after
+    * the shared SQL-rule tokenization (whitespace split, empty + stopword
+    * filter) — the frame every training-set op (significantTerms /
+    * featuresSelection / textLogit) starts from; one definition so the
+    * three ops and their oracles can never drift apart.
+    */
+  private def docTermsDistinct(s: SparkSession, dir: String): DataFrame = {
     val stop = graft.analysis.Analyzer.EnglishStopWords.toSeq.sorted
-    val toks = tbl(s, dir, "documents")
+    tbl(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .where(length(col("term")) > 0 && !col("term").isin(stop: _*))
-    val docTerm = toks.distinct()
+      .distinct()
+  }
+
+  def significantTerms(s: SparkSession, dir: String, fgTerm: String = "spark",
+                       minDf: Long = 5L, k: Int = 20): DataFrame = {
+    val docTerm = docTermsDistinct(s, dir)
     val fgDocs = docTerm.where(col("term") === fgTerm).select("doc_id")
     val nAll = docTerm.select("doc_id").distinct().count()
     val nFg = fgDocs.count()
@@ -312,11 +322,7 @@ object Relational {
     * order the oracle disagrees with. Top-m features.
     */
   def featuresSelection(s: SparkSession, dir: String, m: Int = 20): DataFrame = {
-    val stop = graft.analysis.Analyzer.EnglishStopWords.toSeq.sorted
-    val docTerm = tbl(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .where(length(col("term")) > 0 && !col("term").isin(stop: _*))
-      .distinct()
+    val docTerm = docTermsDistinct(s, dir)
     val lbl = tbl(s, dir, "documents")
       .select(col("doc_id"), (col("doc_id") % 2).as("y"))
     val tot = lbl.agg(count(lit(1)).as("n"), sum("y").as("np")).head()
@@ -367,11 +373,7 @@ object Relational {
                 features: Seq[String] = LogitFeatures,
                 iters: Int = 3, lr: Double = 0.5): DataFrame = {
     import s.implicits._
-    val stop = graft.analysis.Analyzer.EnglishStopWords.toSeq.sorted
-    val docTerm = tbl(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .where(length(col("term")) > 0 && !col("term").isin(stop: _*))
-      .distinct()
+    val docTerm = docTermsDistinct(s, dir)
     val fcols = features.zipWithIndex.map { case (f, j) =>
       max(when(col("term") === f, 1).otherwise(0)).as(s"x$j") }
     val xs = docTerm.where(col("term").isin(features: _*))
@@ -400,7 +402,12 @@ object Relational {
       t += 1
     }
     feat.unpersist()
-    ("intercept" +: features).zip(w.map(x => math.round(x * 1e6))).toSeq
+    // half-away-from-zero, matching DuckDB round() (Java math.round is
+    // half-toward-+inf and would differ on negative exact-.5 ties)
+    def q6(x: Double): Long =
+      if (x >= 0) math.floor(x * 1e6 + 0.5).toLong
+      else -math.floor(-x * 1e6 + 0.5).toLong
+    ("intercept" +: features).zip(w.map(q6)).toSeq
       .toDF("feature", "weight_q")
   }
 

@@ -495,22 +495,31 @@ object TrainingData {
     var labels = edges.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .persist()
-    var prevSum = labels.agg(sum("label")).head().getLong(0)
-    var converged = false
+    var prevSum = labels.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+    var converged = prevSum == 0L // no pairs -> no rounds needed
     var round = 0
     while (!converged && round < 20) {
       val nbr = edges.join(labels.withColumnRenamed("node", "b"), Seq("b"))
         .select(col("a").as("node"), col("label"))
-      val next = labels.unionAll(nbr)
+      val prop = labels.unionAll(nbr)
         .groupBy("node").agg(min("label").as("label"))
         .persist()
+      // pointer-jump label <- label(label): every label value is itself a
+      // node key, and the jump halves the remaining component diameter
+      // each round, so 20 rounds cover any diameter (2^20), not just 20
+      val lbl2 = prop.select(col("label").as("jump"), col("node").as("label"))
+      val next = prop.join(lbl2, Seq("label"))
+        .select(col("node"), col("jump").as("label"))
+        .persist()
       val sumNow = next.agg(sum("label")).head().getLong(0) // materializes
+      prop.unpersist()
       labels.unpersist()
       labels = next
       converged = sumNow == prevSum
       prevSum = sumNow
       round += 1
     }
+    require(converged, s"dedupClusters: not converged after $round rounds")
     val out = labels.select(col("node").as("doc_id"),
       col("label").as("cluster_id")).localCheckpoint(true)
     labels.unpersist(); edges.unpersist()

@@ -86,15 +86,22 @@ object Vectors {
   /** Fraction of the corpus exact-re-ranked per query (the scan budget). */
   val RerankFraction = 0.10
 
-  /** Deterministic pseudo-random hyperplane component (bit, dim). */
-  private def plane(bit: Int, dim: Int): Double = {
-    var z = (bit.toLong << 32 | dim.toLong) + 0x9e3779b97f4a7c15L
+  /** Deterministic splitmix64 of the packed (a, b) key, mapped uniformly
+    * into [-1, 1) — the single pseudo-random-unit source shared by the
+    * LSH hyperplanes, the recall-evidence corpus generators (AnnRecall),
+    * and the spec's clustered corpus, so they can never drift apart.
+    */
+  private[graft] def hashUnit(a: Long, b: Long): Double = {
+    var z = (a << 32 | (b & 0xffffffffL)) + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^= (z >>> 31)
-    // uniform in [-1, 1)
     (java.lang.Long.remainderUnsigned(z, 1000000L).toDouble / 500000.0) - 1.0
   }
+
+  /** Deterministic pseudo-random hyperplane component (bit, dim). */
+  private def plane(bit: Int, dim: Int): Double =
+    hashUnit(bit.toLong, dim.toLong)
 
   /** Sign-random-projection sketch of a vector (narrow, per-row). */
   private[graft] def sketchOf(v: Array[Float]): Array[Long] = {
@@ -332,8 +339,10 @@ object Vectors {
     * every query like the durable sketch table.
     */
   private[graft] def ivfIndexOfDf(s: SparkSession, key: String,
-                                  df: DataFrame): IvfView =
-    ivfCache.computeIfAbsent(key, { _ =>
+                                  df: DataFrame): IvfView = {
+    var builtNow = false
+    val view = ivfCache.computeIfAbsent(key, { _ =>
+      builtNow = true
       import s.implicits._
       val ds = df.as[(Long, Array[Float])]
       val n = ds.count()
@@ -347,6 +356,14 @@ object Vectors {
         .foreach(r => sizes(r.getInt(0)) = r.getLong(1))
       IvfView(assign, cents, sizes, n)
     })
+    // the cache key is caller-supplied: on a cache hit, fail loudly if
+    // the key is reused for a DIFFERENT frame instead of silently
+    // answering from the wrong one
+    if (!builtNow) require(view.n == df.count(),
+      s"ivf cache key '$key' reused for a different frame " +
+        s"(cached n=${view.n})")
+    view
+  }
 
   /** Approximate cosine top-k via IVF probe: rank cells by centroid
     * similarity, probe the nearest cells until their cumulative size

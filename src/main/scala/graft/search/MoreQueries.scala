@@ -248,7 +248,9 @@ object MoreQueries {
   def multiPhraseScoredTopK(spark: SparkSession, view: IndexView,
                             slots: Seq[Seq[String]], k: Int,
                             mode: ScoreMode = DoubleOracle): DataFrame = {
-    val allTerms = slots.flatten
+    // distinct: one TermStatistics per term even when an alternative
+    // appears in several slots (matches the oracle's GROUP BY term)
+    val allTerms = slots.flatten.distinct
     freqScored(spark, view, multiPhraseMatch(spark, view, slots),
       "phrase_tf", allTerms, QueryScorers(view, allTerms, mode))
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)

@@ -59,13 +59,7 @@ class VectorsSpec extends AnyFunSuite {
   test("IVF probe recall is high on a clustered corpus at the 10% budget") {
     import spark.implicits._
     val dim = 32
-    def h(a: Long, b: Long): Double = {
-      var z = (a << 32 | (b & 0xffffffffL)) + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^= (z >>> 31)
-      (java.lang.Long.remainderUnsigned(z, 1000000L).toDouble / 500000.0) - 1.0
-    }
+    def h(a: Long, b: Long): Double = Vectors.hashUnit(a, b)
     val all: Array[(Long, Array[Float])] = Array.tabulate(600) { i =>
       val c = i % 12
       (i.toLong, Array.tabulate(dim)(d =>
