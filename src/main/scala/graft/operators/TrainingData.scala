@@ -487,8 +487,19 @@ object TrainingData {
     * unaffected by the skew guard. Deterministic: cluster_id = min
     * doc_id reachable, a pure function of the edge set.
     */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupMinhashLsh(s, dir).select(col("i"), col("j"))
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(dedupMinhashLsh(s, dir).select(col("i"), col("j")))
+
+  /** Connected components of an undirected pair set `(i, j)`: one row
+    * per node, `cluster_id` = min reachable node id. Min-label
+    * propagation with a per-round pointer jump (`label <- label(label)`)
+    * — both steps are label-non-increasing, so the scalar label-sum is a
+    * monotone convergence check and sum-equality IS the joint fixpoint,
+    * which is exactly "every node labeled with its component minimum".
+    * The jump halves the remaining diameter each round, so the bounded
+    * round count covers any diameter (2^20), not just 20 hops.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("i").as("a"), col("j").as("b"))
       .unionAll(pairs.select(col("j").as("a"), col("i").as("b")))
       .persist()
@@ -508,10 +519,14 @@ object TrainingData {
       // node key, and the jump halves the remaining component diameter
       // each round, so 20 rounds cover any diameter (2^20), not just 20
       val lbl2 = prop.select(col("label").as("jump"), col("node").as("label"))
+      // eager localCheckpoint, not persist: the self-join references the
+      // round's plan TWICE, so without truncation the logical plan (and
+      // optimizer/codegen work) doubles every round — exponential in
+      // rounds. Checkpointing makes each round a leaf: linear growth.
       val next = prop.join(lbl2, Seq("label"))
         .select(col("node"), col("jump").as("label"))
-        .persist()
-      val sumNow = next.agg(sum("label")).head().getLong(0) // materializes
+        .localCheckpoint(true)
+      val sumNow = next.agg(sum("label")).head().getLong(0)
       prop.unpersist()
       labels.unpersist()
       labels = next
@@ -519,7 +534,7 @@ object TrainingData {
       prevSum = sumNow
       round += 1
     }
-    require(converged, s"dedupClusters: not converged after $round rounds")
+    require(converged, s"connectedComponents: not converged after $round rounds")
     val out = labels.select(col("node").as("doc_id"),
       col("label").as("cluster_id")).localCheckpoint(true)
     labels.unpersist(); edges.unpersist()

@@ -179,4 +179,55 @@ class TrainingDataSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(f == f2)
   }
+
+  /** Driver-side union-find ground truth for component labels. */
+  private def bruteComponents(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(n => n -> find(n)).toMap
+  }
+
+  private def engineComponents(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    TrainingData.connectedComponents(pairs.toDF("i", "j"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connectedComponents: long chain (diameter > round cap) via pointer jump") {
+    // path 100-101-...-140: diameter 40 > the 20-round cap — only the
+    // pointer jump makes this converge
+    val chain = (100L until 140L).map(i => (i, i + 1))
+    val got = engineComponents(chain)
+    assert(got.keySet == (100L to 140L).toSet)
+    assert(got.values.toSet == Set(100L))
+  }
+
+  test("connectedComponents equals union-find on deterministic random graphs") {
+    for (seed <- Seq(1L, 2L, 3L)) {
+      // deterministic pseudo-random sparse graph: 60 nodes, 45 edges
+      def h(x: Long): Long = {
+        var z = x + seed * 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      val pairs = (0 until 45).map { e =>
+        val a = java.lang.Long.remainderUnsigned(h(2L * e), 60L)
+        val b = java.lang.Long.remainderUnsigned(h(2L * e + 1), 60L)
+        (a, if (a == b) (b + 1) % 60L else b)
+      }
+      assert(engineComponents(pairs) == bruteComponents(pairs), s"seed=$seed")
+    }
+  }
+
+  test("connectedComponents of an empty pair set is empty") {
+    assert(engineComponents(Seq.empty).isEmpty)
+  }
 }
