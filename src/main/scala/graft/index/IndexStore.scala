@@ -96,10 +96,13 @@ object IndexStore {
   def currentSnapshot(dir: String): Option[Snapshot] = {
     val d = Paths.get(dir, "snapshots")
     if (!Files.exists(d)) return None
-    val vs = Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .toSeq.sorted
+    val listing = Files.list(d) // close: each unclosed list() leaks an fd
+    val vs =
+      try listing.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .toSeq.sorted
+      finally listing.close()
     vs.lastOption.map { n =>
       mapper.readValue(Files.readAllBytes(d.resolve(n)), classOf[Snapshot])
     }
@@ -138,7 +141,18 @@ object IndexWriter {
                  slice: org.apache.spark.sql.Dataset[DocInput], dir: String,
                  b: Int, segSize: Long, stopWords: Set[String],
                  lo: Long, hi: Long, indexPositions: Boolean = true): Unit = {
-    if (IndexStore.readManifest(dir, b).nonEmpty) return
+    IndexStore.readManifest(dir, b) match {
+      case Some(m) =>
+        // resume validation: a committed batch is only skippable if it
+        // covers the SAME doc range — a rerun with a different batch
+        // split would otherwise silently publish an incomplete index
+        require(m.firstDocId == lo && m.lastDocIdExclusive == hi,
+          s"batch $b manifest covers docs [${m.firstDocId}, " +
+            s"${m.lastDocIdExclusive}) but this build expects [$lo, $hi) " +
+            "— resume must use the original batch split")
+        return
+      case None => ()
+    }
     // ONE analysis pass over the batch text (rounds 1-2 ran two — a
     // postings pass and a docmeta count pass; at 100 TB the second full
     // corpus read is the single largest avoidable I/O term): the fused

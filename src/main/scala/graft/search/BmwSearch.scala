@@ -25,6 +25,17 @@ import graft.index.{IndexView, PostingBlockRow}
  */
 object BmwSearch {
 
+  /** Upward relative fudge on every summed upper bound before it is
+    * compared with the heap threshold: per-doc scores accumulate in
+    * float32 (or in a different term order), so accumulation rounding
+    * can push a real score a few ulps ABOVE the double-summed bound —
+    * Lucene guards the same hazard with MaxScoreSumPropagator's
+    * upward-rounded sumUpperBound [8x lucene/core .../search/
+    * MaxScoreSumPropagator.java]. 1e-6 relative covers ~50 clauses of
+    * float32 error (2^-24 each) and only loosens skipping negligibly.
+    */
+  private val BoundFudge = 1.0 + 1e-6
+
   /** Per-term cursor over that term's block rows within one segment. */
   private final class TermCursor(val term: String,
                                  blocks: Array[PostingBlockRow],
@@ -136,7 +147,7 @@ object BmwSearch {
       var i = 0
       while (i < sorted.length && pi < 0) {
         acc += sorted(i).termMaxScore
-        if (acc > heap.threshold) pi = i
+        if (acc * BoundFudge > heap.threshold) pi = i
         i += 1
       }
       if (pi < 0) return // no pivot can beat threshold — done with segment
@@ -150,7 +161,7 @@ object BmwSearch {
       var blockBound = 0d
       var j = 0
       while (j <= pi) { blockBound += sorted(j).blockMaxScore(pivotDoc); j += 1 }
-      if (blockBound <= heap.threshold) {
+      if (blockBound * BoundFudge <= heap.threshold) {
         // no doc up to the nearest block boundary can win: skip past it,
         // capped at the next cursor's docID (beyond that the pivot set —
         // and hence the bound — would grow; classic BMW safety cap)
@@ -220,7 +231,7 @@ object BmwSearch {
       var bound = 0d
       var i = 0
       while (i < order.length) { bound += order(i).blockMaxScore(candidate); i += 1 }
-      if (bound <= heap.threshold) {
+      if (bound * BoundFudge <= heap.threshold) {
         // no doc up to the nearest block boundary can win — block skip
         var boundary = Long.MaxValue
         i = 0

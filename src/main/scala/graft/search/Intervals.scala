@@ -60,6 +60,21 @@ object Interval {
     case ContainedBy(s, b, _) => termsOf(s) ++ termsOf(b)
   }
 
+  /** Necessary term groups of an expression: a matching doc must contain
+    * >= 1 term of EVERY group (an Or collapses to one group — any child
+    * can satisfy it; every other node requires all its children). Drives
+    * the docs-only prefilter in [[MoreQueries.positionalPostings]].
+    */
+  private def requiredGroups(e: Expr): Seq[Seq[String]] = e match {
+    case Term(t)        => Seq(Seq(t))
+    case Or(cs)         => Seq(cs.flatMap(termsOf).distinct)
+    case Ordered(cs, _) => cs.flatMap(requiredGroups)
+    case Unordered(cs)  => cs.flatMap(requiredGroups)
+    case MaxWidth(c, _) => requiredGroups(c)
+    case Containing(b, s, _)  => requiredGroups(b) ++ requiredGroups(s)
+    case ContainedBy(s, b, _) => requiredGroups(s) ++ requiredGroups(b)
+  }
+
   /** (start, end, coveredLen) — coveredLen is the total length of the
     * leaf intervals inside (for the gap metric).
     */
@@ -172,13 +187,8 @@ object Interval {
     import spark.implicits._
     val terms = termsOf(expr).distinct
     val bcExpr = spark.sparkContext.broadcast(expr)
-    val perDoc = view.postings
-      .filter($"term".isin(terms: _*))
-      .flatMap { b =>
-        val d = PostingCodec.decode(b.docs, b.freqs, b.norms)
-        val ps = PostingCodec.decodePositions(b.positions, d.freqs)
-        Iterator.tabulate(d.docIds.length)(i => (d.docIds(i), b.term, ps(i)))
-      }
+    val perDoc = MoreQueries.positionalPostings(spark, view, terms,
+        requiredGroups(expr))
       .groupByKey(_._1)
       .mapGroups { (docId, it) =>
         val posByTerm = it.map(t => t._2 -> t._3).toMap

@@ -25,6 +25,56 @@ object MoreQueries {
 
   val MaxClauseCount = 1024 // the reference's BooleanQuery.maxClauseCount default
 
+  /** Two-phase positional postings (the ExactPhraseMatcher shape: docs
+    * first, positions only for intersecting docs — shared by the phrase
+    * / multi-phrase / span / interval matchers):
+    *
+    *  - phase 1 decodes the docID streams ONLY (no freqs, no positions)
+    *    and keeps docs that contain >= 1 term of EVERY required group —
+    *    each group is a necessary condition for a match, so any group
+    *    subset is a sound prefilter (groups beyond the 62-bit mask are
+    *    dropped, never wrong);
+    *  - phase 2 decodes position payloads and shuffles them ONLY for the
+    *    surviving docs. At scale the position payload is the largest
+    *    I/O term of a positional query (a high-df term's positions dwarf
+    *    its docID stream), so the shuffle shrinks from "all docs of the
+    *    commonest term" to "docs where all terms co-occur".
+    *
+    * Returns (doc_id, term, positions) rows for the surviving docs.
+    */
+  private[search] def positionalPostings(
+      spark: SparkSession, view: IndexView, uniq: Seq[String],
+      requiredGroups: Seq[Seq[String]])
+      : org.apache.spark.sql.Dataset[(Long, String, Array[Int])] = {
+    import spark.implicits._
+    val groups = requiredGroups.take(62)
+    val maskOf: Map[String, Long] = uniq.map { t =>
+      t -> groups.zipWithIndex.foldLeft(0L) { case (m, (g, i)) =>
+        if (g.contains(t)) m | (1L << i) else m }
+    }.toMap
+    val full = (1L << groups.size) - 1
+    val bcMask = spark.sparkContext.broadcast(maskOf)
+    val survivors = view.postings
+      .filter($"term".isin(uniq: _*))
+      .flatMap { b =>
+        val m = bcMask.value(b.term)
+        graft.codec.VByte.decodeDeltas(b.docs).iterator.map(id => (id, m))
+      }
+      .toDF("doc_id", "mask")
+      .groupBy("doc_id").agg(expr("bit_or(mask)").as("m"))
+      .where(col("m") === full).select("doc_id")
+    view.postings
+      .filter($"term".isin(uniq: _*))
+      .flatMap { b =>
+        val d = PostingCodec.decode(b.docs, b.freqs, b.norms)
+        val ps = PostingCodec.decodePositions(b.positions, d.freqs)
+        Iterator.tabulate(d.docIds.length)(i => (d.docIds(i), b.term, ps(i)))
+      }
+      .toDF("doc_id", "term", "pos")
+      .join(survivors, Seq("doc_id"))
+      .as[(Long, String, Array[Int])]
+  }
+
   /** Expand a term-dictionary predicate to concrete terms (sorted). */
   def expandTerms(view: IndexView, pred: Column): Seq[String] = {
     val ts = view.terms.select("term").distinct().filter(pred)
@@ -108,13 +158,7 @@ object MoreQueries {
     // offset of each phrase slot; duplicate terms keep every slot
     val slots = terms.zipWithIndex // (term, offset)
     val uniq = terms.distinct
-    val perDoc = view.postings
-      .filter($"term".isin(uniq: _*))
-      .flatMap { b =>
-        val d = PostingCodec.decode(b.docs, b.freqs, b.norms)
-        val ps = PostingCodec.decodePositions(b.positions, d.freqs)
-        Iterator.tabulate(d.docIds.length)(i => (d.docIds(i), b.term, ps(i)))
-      }
+    val perDoc = positionalPostings(spark, view, uniq, uniq.map(Seq(_)))
       .groupByKey(_._1)
       .mapGroups { (docId, it) =>
         val posByTerm = it.map(t => t._2 -> t._3).toMap
@@ -217,13 +261,7 @@ object MoreQueries {
     require(slots.size >= 2 && slots.forall(_.nonEmpty),
       "multi-phrase needs >= 2 non-empty slots")
     val uniq = slots.flatten.distinct
-    val perDoc = view.postings
-      .filter($"term".isin(uniq: _*))
-      .flatMap { b =>
-        val d = PostingCodec.decode(b.docs, b.freqs, b.norms)
-        val ps = PostingCodec.decodePositions(b.positions, d.freqs)
-        Iterator.tabulate(d.docIds.length)(i => (d.docIds(i), b.term, ps(i)))
-      }
+    val perDoc = positionalPostings(spark, view, uniq, slots)
       .groupByKey(_._1)
       .mapGroups { (docId, it) =>
         val posByTerm = it.map(t => t._2 -> t._3).toMap
@@ -334,13 +372,7 @@ object MoreQueries {
     import spark.implicits._
     require(terms.size >= 2, "span needs >= 2 terms")
     val uniq = terms.distinct
-    val perDoc = view.postings
-      .filter($"term".isin(uniq: _*))
-      .flatMap { b =>
-        val d = PostingCodec.decode(b.docs, b.freqs, b.norms)
-        val ps = PostingCodec.decodePositions(b.positions, d.freqs)
-        Iterator.tabulate(d.docIds.length)(i => (d.docIds(i), b.term, ps(i)))
-      }
+    val perDoc = positionalPostings(spark, view, uniq, uniq.map(Seq(_)))
       .groupByKey(_._1)
       .mapGroups { (docId, it) =>
         val posByTerm = it.map(t => t._2 -> t._3).toMap
@@ -384,13 +416,7 @@ object MoreQueries {
     require(terms.distinct.size == terms.size,
       "unordered span requires distinct terms")
     val k = terms.size
-    val perDoc = view.postings
-      .filter($"term".isin(terms: _*))
-      .flatMap { b =>
-        val d = PostingCodec.decode(b.docs, b.freqs, b.norms)
-        val ps = PostingCodec.decodePositions(b.positions, d.freqs)
-        Iterator.tabulate(d.docIds.length)(i => (d.docIds(i), b.term, ps(i)))
-      }
+    val perDoc = positionalPostings(spark, view, terms, terms.map(Seq(_)))
       .groupByKey(_._1)
       .mapGroups { (docId, it) =>
         val posByTerm = it.map(t => t._2 -> t._3).toMap
@@ -597,6 +623,11 @@ object MoreQueries {
     val cutoff = maxTermFrequency * scorers.stats.docCount
     val low = scorers.terms.filter(_.df <= cutoff).map(_.term).toSeq
     val base = ExactSearch.scoredWith(spark, view, terms, scorers)
+    // a term absent from the index has df = 0 <= cutoff, i.e. it is a
+    // REQUIRED clause that can never match — the query returns nothing
+    // (matches the AND kernel's behavior), not hits on the other terms
+    val present = scorers.terms.map(_.term).toSet
+    if (!terms.forall(present)) return base.limit(0)
     val required =
       if (low.isEmpty) base.select("doc_id") // all-common: pure disjunction
       else ExactSearch.decodedPostings(spark, view, low)

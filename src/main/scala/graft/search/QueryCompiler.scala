@@ -198,7 +198,7 @@ object QueryCompiler {
                           scorers: QueryScorers, should: Seq[Query],
                           must: Seq[Query], mustNot: Seq[Query],
                           filter: Seq[Query], msm: Int): DataFrame = {
-    val viewKey = System.identityHashCode(view).toString
+    val viewKey = FilterCache.viewKey(view)
     def docSet(q: Query): DataFrame =
       compileDocSet(spark, view, scorers, q)
     // FILTER doc sets route through the filterCache (query-independent,

@@ -35,7 +35,9 @@ object Suggest {
     * maxGram-1 rows per dictionary term.
     */
   def edgeNgramDict(s: SparkSession, view: IndexView, maxGram: Int,
-                    k: Int): DataFrame =
+                    k: Int): DataFrame = {
+    // sequence(2, 1) would generate DESCENDING [2, 1] and emit 1-grams
+    require(maxGram >= 2, s"edgeNgramDict needs maxGram >= 2, got $maxGram")
     view.terms
       .groupBy("term").agg(sum("ctf").as("ctf"))
       .where(length(col("term")) >= 2)
@@ -45,6 +47,7 @@ object Suggest {
       .agg(sum("ctf").as("weight"))
       .orderBy(col("weight").desc, col("gram").asc)
       .limit(k)
+  }
 
   /** Did-you-mean: candidate corrections within `maxEdits` of the
     * (presumably unindexed) input, ranked by (edit distance asc,
