@@ -26,8 +26,8 @@ object IndexCache {
   /** Bump when the segment-table format changes. */
   val FormatVersion = "v1"
 
-  def documentsIndex(spark: SparkSession, sfDir: String): IndexView =
-    cache.computeIfAbsent(s"$sfDir/documents.parquet", { _ =>
+  def documentsIndex(spark: SparkSession, sfDir: String): IndexView = {
+    val got = cache.computeIfAbsent(s"$sfDir/documents.parquet", { _ =>
       val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("doc_id").cast("string").as("url"), col("text"))
       val sfName = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -38,4 +38,12 @@ object IndexCache {
         IndexWriter.build(spark, input, dir, TestSegmentSize, nBatches = 2)
       IndexReader.load(spark, dir)
     })
+    // a cached view bound to a stopped session would throw on use —
+    // evict and reload against the live session (the on-disk index is
+    // still valid; only the DataFrame handles died)
+    if (got.postings.sparkSession.sparkContext.isStopped) {
+      cache.remove(s"$sfDir/documents.parquet", got)
+      documentsIndex(spark, sfDir)
+    } else got
+  }
 }

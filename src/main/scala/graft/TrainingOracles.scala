@@ -209,7 +209,7 @@ object TrainingOracles {
 
   val binaryMeta: String =
     """SELECT doc_id,
-      |  CAST(length('<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+      |  CAST(strlen('<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
       |    || '</title></head><body><p>' || text || '</p></body></html>') AS BIGINT)
       |    AS n_bytes,
       |  md5('<html><head><title>doc ' || CAST(doc_id AS VARCHAR)

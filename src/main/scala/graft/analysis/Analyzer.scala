@@ -121,9 +121,9 @@ object Analyzer {
     /** One token occurrence: text[s, e) (lowercased on the fly). */
     def offer(text: String, s: Int, e: Int, pos: Int): Unit = {
       val len = e - s
-      var h = -2128831035 // FNV-1a over lowercased chars
+      var h = FnvSeed // FNV-1a over lowercased chars (shared constants)
       var k = s
-      while (k < e) { h = (h ^ lower(text.charAt(k))) * 16777619; k += 1 }
+      while (k < e) { h = (h ^ lower(text.charAt(k))) * FnvPrime; k += 1 }
       var i = h & mask
       var done = false
       while (!done) {
@@ -320,8 +320,12 @@ final class StopHash(stopWords: Set[String]) {
  * on the subset we emit: tags dropped, basic entities decoded.
  */
 object HtmlCodec {
+  // &amp; must decode LAST: escape turns a literal "&lt;" in the text
+  // into "&amp;lt;", and folding &amp;->& first would re-expose "&lt;"
+  // to the later replace — double-unescaping, breaking the byte-identical
+  // render/extract round trip the input_hint requires
   private val entities = List(
-    "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
 
   def escape(s: String): String = {
     val sb = new StringBuilder(s.length + 16)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -59,12 +59,21 @@ object Functions {
   /** Mean earth radius used by the reference's DistanceUtils (km). */
   val EarthRadiusKm = 6371.0087714
 
+  /** Key-derived synthetic (lat, lon) — ONE definition shared by
+    * geodist, geofilt, and the heatmap facet (plus their DuckDB oracle
+    * SQL, which restates the same arithmetic): changing the derivation
+    * in one consumer but not the others would silently desynchronize
+    * the geo entries from each other and their oracles.
+    */
+  private[operators] def synthLatLon: (Column, Column) = (
+    (col("c_custkey") % 180 - 90).cast("double") + lit(0.5),
+    ((col("c_custkey") * 7) % 360 - 180).cast("double") + lit(0.5))
+
   /** geodist to (0, 0) over key-derived coordinates, Haversine, 10 m
     * units.
     */
   def geoDist(s: SparkSession, dir: String): DataFrame = {
-    val lat = (col("c_custkey") % 180 - 90).cast("double") + lit(0.5)
-    val lon = ((col("c_custkey") * 7) % 360 - 180).cast("double") + lit(0.5)
+    val (lat, lon) = synthLatLon
     val a = pow(sin(radians(lat) / 2), 2) +
       cos(radians(lat)) * pow(sin(radians(lon) / 2), 2)
     val distKm = lit(2 * EarthRadiusKm) * asin(sqrt(a))
@@ -85,7 +94,7 @@ object Functions {
   def geoFilter(s: SparkSession, dir: String, dKm: Double = 3000.0): DataFrame = {
     val latBandDeg = math.ceil(dKm / 111.0) // 1° latitude ≥ ~111 km
     geoDist(s, dir)
-      .where((col("c_custkey") % 180 - 90 + 0.5).between(-latBandDeg, latBandDeg))
+      .where(synthLatLon._1.between(-latBandDeg, latBandDeg))
       .where(col("dist_10m") <= (dKm * 100).toLong)
   }
 }

@@ -81,7 +81,10 @@ object Multimodal {
       lit("<html><head><title>doc "), col("doc_id"), lit("</title></head>"),
       lit("<body><p>"), col("text"), lit("</p></body></html>"))
     s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), length(html).cast("long").as("n_bytes"),
+      // octet_length, not length: n_bytes must be the UTF-8 BYTE count
+      // (= extractFeatures' bytes.length), not the character count —
+      // they differ the moment the corpus gains a non-ASCII char
+      .select(col("doc_id"), octet_length(html).cast("long").as("n_bytes"),
         md5(html).as("content_md5"))
   }
 }

@@ -291,7 +291,9 @@ object Relational {
 
   def significantTerms(s: SparkSession, dir: String, fgTerm: String = "spark",
                        minDf: Long = 5L, k: Int = 20): DataFrame = {
-    val docTerm = docTermsDistinct(s, dir)
+    // persist the tokenization shuffle: it feeds nAll, nFg AND both join
+    // sides below — unpersisted it would re-run ~4 times per call
+    val docTerm = docTermsDistinct(s, dir).persist()
     val fgDocs = docTerm.where(col("term") === fgTerm).select("doc_id")
     val nAll = docTerm.select("doc_id").distinct().count()
     val nFg = fgDocs.count()
@@ -302,13 +304,16 @@ object Relational {
       .join(fgDocs.withColumn("is_fg", lit(1)), Seq("doc_id"), "left_outer")
       .groupBy("term")
       .agg(count(lit(1)).as("bg_df"), count(col("is_fg")).as("fg_df"))
-    merged
+    val out = merged
       .where(col("fg_df") >= minDf)
       .select(col("term"),
         floor(lit(10000.0) * col("fg_df") * nAll / (col("bg_df") * nFg))
           .cast("long").as("lift_q"))
       .orderBy(col("lift_q").desc, col("term").asc)
       .limit(k)
+      .localCheckpoint(true) // materialize the tiny result, then free
+    docTerm.unpersist()
+    out
   }
 
   /** FeaturesSelectionStream analog [Solr solrj io/stream/
@@ -540,8 +545,7 @@ object Relational {
     * beyond real spatial density, which AQE splits).
     */
   def facetHeatmap(s: SparkSession, dir: String): DataFrame = {
-    val lat = (col("c_custkey") % 180 - 90).cast("double") + lit(0.5)
-    val lon = ((col("c_custkey") * 7) % 360 - 180).cast("double") + lit(0.5)
+    val (lat, lon) = Functions.synthLatLon
     tbl(s, dir, "customer")
       .select(floor(lat / 30).cast("long").as("cell_lat"),
         floor(lon / 30).cast("long").as("cell_lon"))

@@ -166,7 +166,11 @@ object TrainingData {
     val bands = corpus.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (docId, text) =>
-        val toks = text.split(' ')
+        // limit -1: keep trailing empty tokens, matching the SQL
+        // split(text, ' ') the verify/oracle path (shinglesDf) uses —
+        // Scala's default split would drop them and silently build
+        // signatures over a DIFFERENT shingle set than the one verified
+        val toks = text.split(" ", -1)
         if (toks.length < 3) Iterator.empty
         else {
           val grams = scala.collection.mutable.HashSet.empty[String]
@@ -363,10 +367,17 @@ object TrainingData {
         zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0L), (a, x) => a + x))
       .withColumn("na2", aggregate(col("va"), lit(0L), (a, x) => a + x * x))
       .withColumn("nb2", aggregate(col("vb"), lit(0L), (a, x) => a + x * x))
+      // the cross products run in DECIMAL(38,0): dot²·10⁴ and na2·nb2·τ²
+      // exceed Long for ~100k-token docs (na2 ≈ dl²/64 per doc) and would
+      // silently wrap; decimal is exact here and only touches candidate
+      // pairs (the DuckDB oracle's HUGEINT is the same widening)
+      .withColumn("dotd", col("dot").cast("decimal(38,0)"))
+      .withColumn("na2d", col("na2").cast("decimal(38,0)"))
+      .withColumn("nb2d", col("nb2").cast("decimal(38,0)"))
       .where(col("dot") > 0 &&
-        col("dot") * col("dot") * lit(10000L) >= col("na2") * col("nb2") * lit(tau2Num))
+        col("dotd") * col("dotd") * lit(10000L) >= col("na2d") * col("nb2d") * lit(tau2Num))
       .select(col("i"), col("j"),
-        expr("(10000 * dot * dot) div (na2 * nb2)").as("cos2_q"))
+        expr("CAST((10000 * dotd * dotd) div (na2d * nb2d) AS BIGINT)").as("cos2_q"))
   }
 
   // ——— Text analysis ———

@@ -103,14 +103,26 @@ object Vectors {
   private def plane(bit: Int, dim: Int): Double =
     hashUnit(bit.toLong, dim.toLong)
 
+  // One precomputed SketchBits×dim hyperplane table per embedding dim
+  // (per JVM): sketchOf would otherwise re-derive every component by
+  // splitmix hashing (~10 ALU ops per multiply-add) for EVERY vector —
+  // the dominant pass of the sketch build.
+  private val planeTables =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+  private def planesFor(dim: Int): Array[Array[Double]] =
+    planeTables.computeIfAbsent(dim,
+      d => Array.tabulate(SketchBits, d)((bit, i) => plane(bit, i)))
+
   /** Sign-random-projection sketch of a vector (narrow, per-row). */
   private[graft] def sketchOf(v: Array[Float]): Array[Long] = {
+    val ps = planesFor(v.length)
     val words = new Array[Long](SketchWords)
     var bit = 0
     while (bit < SketchBits) {
+      val p = ps(bit)
       var d = 0.0
       var i = 0
-      while (i < v.length) { d += v(i) * plane(bit, i); i += 1 }
+      while (i < v.length) { d += v(i) * p(i); i += 1 }
       if (d >= 0) words(bit >> 6) |= (1L << (bit & 63))
       bit += 1
     }
@@ -133,8 +145,8 @@ object Vectors {
   private val sketchCache =
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Long)]()
 
-  private[graft] def sketchedCorpus(s: SparkSession, dir: String): (DataFrame, Long) =
-    sketchCache.computeIfAbsent(dir, { _ =>
+  private[graft] def sketchedCorpus(s: SparkSession, dir: String): (DataFrame, Long) = {
+    val got = sketchCache.computeIfAbsent(dir, { _ =>
       import s.implicits._
       val sk = emb(s, dir).select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])]
@@ -143,6 +155,13 @@ object Vectors {
         .persist()
       (sk, sk.count()) // materialize once; count reused by callers
     })
+    // a cached frame bound to a stopped session would throw on use —
+    // evict and rebuild against the live session instead
+    if (got._1.sparkSession.sparkContext.isStopped) {
+      sketchCache.remove(dir, got)
+      sketchedCorpus(s, dir)
+    } else got
+  }
 
   /** Approximate cosine top-k — two-stage SRP-LSH sketch + re-rank (the
     * 100 TB path):
@@ -332,14 +351,19 @@ object Vectors {
     math.max(4, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
 
   private[graft] def ivfIndexOf(s: SparkSession, dir: String): IvfView =
-    ivfIndexOfDf(s, dir, emb(s, dir).select(col("vec_id"), col("embedding")))
+    // the frame is a pure function of dir here, so the key cannot be
+    // reused for a different frame — skip the per-hit row-count check
+    // (a full Spark job per query on the hot path)
+    ivfIndexOfDf(s, dir, emb(s, dir).select(col("vec_id"), col("embedding")),
+      validateHit = false)
 
   /** Build (or fetch the session-cached) IVF index of a (vec_id,
     * embedding) frame — one k-means + one assignment pass, reused by
     * every query like the durable sketch table.
     */
   private[graft] def ivfIndexOfDf(s: SparkSession, key: String,
-                                  df: DataFrame): IvfView = {
+                                  df: DataFrame,
+                                  validateHit: Boolean = true): IvfView = {
     var builtNow = false
     val view = ivfCache.computeIfAbsent(key, { _ =>
       builtNow = true
@@ -356,10 +380,16 @@ object Vectors {
         .foreach(r => sizes(r.getInt(0)) = r.getLong(1))
       IvfView(assign, cents, sizes, n)
     })
+    // a cached view bound to a stopped session would throw on use —
+    // evict and rebuild against the live session instead
+    if (!builtNow && view.assign.sparkSession.sparkContext.isStopped) {
+      ivfCache.remove(key, view)
+      return ivfIndexOfDf(s, key, df, validateHit)
+    }
     // the cache key is caller-supplied: on a cache hit, fail loudly if
     // the key is reused for a DIFFERENT frame instead of silently
     // answering from the wrong one
-    if (!builtNow) require(view.n == df.count(),
+    if (!builtNow && validateHit) require(view.n == df.count(),
       s"ivf cache key '$key' reused for a different frame " +
         s"(cached n=${view.n})")
     view

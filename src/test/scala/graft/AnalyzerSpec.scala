@@ -68,7 +68,10 @@ class AnalyzerSpec extends AnyFunSuite {
 
   test("html render/extract roundtrip is byte-identical (per-row invariant)") {
     val texts = Seq("plain words here", "with <angle> & \"quotes\" and 'apos'",
-      "a  b   c", "")
+      "a  b   c", "",
+      // entity-LIKE literals: escape("&lt;") = "&amp;lt;" must come back
+      // as "&lt;", not double-unescape to "<" (requires &amp; decoded LAST)
+      "literal &lt; and &amp; and &quot; stay literal", "&amp;amp;", "&#39;x&#39;")
     texts.foreach { t =>
       assert(HtmlCodec.extractText(HtmlCodec.render("t", t)) == t)
     }
