@@ -371,6 +371,35 @@ object OracleGen {
        |FROM a JOIN b ON b.doc_id = a.doc_id AND abs((b.pos - 1) - a.pos) <= $slop
        |GROUP BY a.doc_id""".stripMargin
 
+  /** Shared-budget sloppy phrase, any arity (distinct terms): anchors of
+    * slot 0 for which SOME per-slot occurrence selection has all
+    * offset-adjusted positions within one window of width `slop`
+    * (greatest − least of the adjusted positions <= slop) — the
+    * reference SloppyPhraseMatcher's total edit-distance budget shared
+    * across slots, not an independent ±slop window per slot.
+    */
+  def phraseSlopSharedSql(terms: Seq[String], slop: Int): String = {
+    val names = terms.indices.map(i => s"t$i")
+    val ctes = terms.zip(names).map { case (w, n) =>
+      s"$n AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w')"
+    }.mkString(",\n   ")
+    val joins = names.tail.map(n => s"JOIN $n ON $n.doc_id = t0.doc_id")
+      .mkString(" ")
+    val adj = names.zipWithIndex.map { case (n, i) =>
+      if (i == 0) s"$n.pos" else s"$n.pos - $i"
+    }
+    s"""WITH lists AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), tokpos AS (
+       |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+       |  FROM lists
+       |), $ctes
+       |SELECT t0.doc_id, count(DISTINCT t0.pos) AS phrase_tf
+       |FROM t0 $joins
+       |WHERE greatest(${adj.mkString(", ")}) - least(${adj.mkString(", ")}) <= $slop
+       |GROUP BY t0.doc_id""".stripMargin
+  }
+
   /** Unordered 2-term span-near: anchors of w1 with a w2 occurrence in
     * EITHER direction within width-minus-length slop
     * (|pos2 - pos1| - 1 <= slop).

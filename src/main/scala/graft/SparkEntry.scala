@@ -123,6 +123,12 @@ object SparkEntry {
       MoreQueries.phraseMatch(s, IndexCache.documentsIndex(s, dir),
         Seq("hash", "join"), slop = 2)
     }),
+    "phrase_slop3" -> ((s, dir) => {
+      // 3-slot sloppy phrase: the SHARED total-moves budget (max−min of
+      // adjusted positions <= slop), not per-slot independent windows
+      MoreQueries.phraseMatch(s, IndexCache.documentsIndex(s, dir),
+        Seq("hash", "join", "scan"), slop = 3)
+    }),
     "phrase_scored_topk" -> ((s, dir) => {
       // PhraseWeight analog: phrase_tf through BM25 with summed slot idfs
       val v = IndexCache.documentsIndex(s, dir)
@@ -775,6 +781,8 @@ object SparkEntry {
     "index_build_fresh" -> OracleGen.tokenizeCountsSql,
     "phrase_query" -> OracleGen.phraseSql("hash", "join"),
     "phrase_slop" -> OracleGen.phraseSlopSql("hash", "join", 2),
+    "phrase_slop3" ->
+      OracleGen.phraseSlopSharedSql(Seq("hash", "join", "scan"), 3),
     "phrase_scored_topk" -> OracleGen.phraseScoredSql("hash", "join", 10),
     "multi_phrase_topk" ->
       OracleGen.multiPhraseScoredSql(Seq("hash"), Seq("join", "merge"), 10),

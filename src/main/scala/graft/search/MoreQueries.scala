@@ -137,24 +137,21 @@ object MoreQueries {
   /** Phrase match: (doc_id, phrase_tf) for docs where the terms occur at
     * their phrase offsets (stop-filter position gaps preserved, so
     * phrases across removed stopwords do NOT match — reference
-    * semantics). `slop > 0` is the sloppy variant [8x search/
-    * SloppyPhraseMatcher.java], anchor-relative re-derivation: a first-
-    * slot occurrence at position p matches when every other slot i has
-    * an occurrence q with |(q - offset_i) - p| <= slop; phrase_tf counts
-    * the matching anchor positions. For two-term phrases this is exactly
-    * the reference's edit-distance slop (reversed adjacent order ⇒
-    * distance 2), and slop = 0 degenerates to exact adjacency.
+    * semantics). `slop > 0` is the sloppy variant with the reference's
+    * SHARED total-moves budget [8x search/SloppyPhraseMatcher.java]: an
+    * anchor (first-slot occurrence) matches when one occurrence per slot
+    * can be chosen whose offset-adjusted positions all fit in a single
+    * window of width `slop` containing the anchor — i.e. max(adjusted) −
+    * min(adjusted) <= slop, with same-term slots bound to pairwise-
+    * distinct occurrences (the reference's repeats rule). phrase_tf
+    * counts the matching anchors. slop = 0 degenerates to exact
+    * adjacency; for 2 distinct terms the budget equals the anchor-
+    * relative edit distance (reversed adjacent order ⇒ distance 2).
     */
   def phraseMatch(spark: SparkSession, view: IndexView,
                   terms: Seq[String], slop: Int = 0): DataFrame = {
     import spark.implicits._
     require(terms.size >= 2, "phrase needs >= 2 terms")
-    // the anchor-relative metric equals the reference's shared-budget
-    // edit-distance slop ONLY for 2-term phrases (review finding): 3+
-    // slots would each get an independent ±slop window instead of one
-    // shared total-moves budget, admitting docs the reference rejects
-    require(slop == 0 || terms.size == 2,
-      "sloppy phrases support exactly 2 terms (3+-term slop would need the shared-budget matcher)")
     // offset of each phrase slot; duplicate terms keep every slot
     val slots = terms.zipWithIndex // (term, offset)
     val uniq = terms.distinct
@@ -164,18 +161,78 @@ object MoreQueries {
         val posByTerm = it.map(t => t._2 -> t._3).toMap
         val tf =
           if (!uniq.forall(posByTerm.contains)) 0
-          else {
+          else if (slop == 0) {
             val sets = slots.map { case (t, off) => (posByTerm(t), off) }
-            val first = sets.head._1
-            first.count { p =>
+            sets.head._1.count { p =>
               sets.forall { case (ps, off) =>
-                existsInRange(ps, p + off - slop, p + off + slop)
+                java.util.Arrays.binarySearch(ps, p + off) >= 0
               }
             }
+          } else {
+            sloppyAnchorTf(
+              slots.map { case (t, off) => (t, posByTerm(t), off) }, slop)
           }
         (docId, tf)
       }
     perDoc.filter(_._2 > 0).toDF("doc_id", "phrase_tf")
+  }
+
+  /** Exact shared-budget sloppy matcher for one doc. `slots` are
+    * (term, ascending positions, phrase offset) with the anchor slot
+    * first (offset 0). An anchor p0 counts iff some window [L, L+slop]
+    * (L ∈ [p0−slop, p0]) admits, for every term group, an assignment of
+    * its slots to DISTINCT occurrences with adjusted position (pos −
+    * offset) inside the window, the anchor slot pinned to p0. Per group
+    * the slot windows are translates ([L+off, L+slop+off]), so greedy
+    * smallest-available-position in ascending-offset order is an optimal
+    * distinct-representatives matching. Cost per anchor: (slop+1) window
+    * starts × a linear pointer sweep per group.
+    */
+  private[graft] def sloppyAnchorTf(
+      slots: Seq[(String, Array[Int], Int)], slop: Int): Int = {
+    require(slots.head._3 == 0, "anchor slot must have offset 0")
+    val anchorTerm = slots.head._1
+    val groups = slots.groupBy(_._1).map { case (t, g) =>
+      (t, g.head._2, g.map(_._3).sorted.toArray)
+    }.toArray
+
+    def groupOk(ps: Array[Int], offs: Array[Int], lo0: Int, slop: Int,
+                pinned: Int): Boolean = {
+      var i = 0 // monotone pointer: slot windows shift right with offset
+      var k = 0
+      while (k < offs.length) {
+        val off = offs(k)
+        if (pinned != Int.MinValue && off == 0) {
+          // anchor slot consumes the pinned occurrence
+        } else {
+          val lo = lo0 + off
+          val hi = lo + slop
+          while (i < ps.length && (ps(i) < lo || ps(i) == pinned)) i += 1
+          if (i >= ps.length || ps(i) > hi) return false
+          i += 1
+        }
+        k += 1
+      }
+      true
+    }
+
+    def feasible(L: Int, p0: Int): Boolean = {
+      var g = 0
+      while (g < groups.length) {
+        val (t, ps, offs) = groups(g)
+        val pinned = if (t == anchorTerm) p0 else Int.MinValue
+        if (!groupOk(ps, offs, L, slop, pinned)) return false
+        g += 1
+      }
+      true
+    }
+
+    slots.head._2.count { p0 =>
+      var L = p0 - slop
+      var ok = false
+      while (!ok && L <= p0) { ok = feasible(L, p0); L += 1 }
+      ok
+    }
   }
 
   /** BM25-scored phrase [8x search/PhraseQuery.java → PhraseWeight/

@@ -99,6 +99,75 @@ class MoreQueriesSpec extends AnyFunSuite {
     assert(ids(2) == Set(0L, 1L))
   }
 
+  test("3-term sloppy phrase: budget is SHARED across slots, not per-slot") {
+    import spark.implicits._
+    // adjusted positions: alpha 1, beta -1, gamma 3 -> spread 4. Per-slot
+    // independent +-2 windows would match; the shared budget needs 4.
+    val tiny = Seq((0L, "u", "beta alpha x x x gamma")).toDF("doc_id", "url", "text")
+    val v = Indexer.buildTables(spark, Indexer.asDocInput(spark, tiny), 16L)
+    def ids(slop: Int) = MoreQueries
+      .phraseMatch(spark, v, Seq("alpha", "beta", "gamma"), slop)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids(2) == Set.empty[Long])
+    assert(ids(3) == Set.empty[Long])
+    assert(ids(4) == Set(0L))
+  }
+
+  test("sloppy phrase with a repeated term needs DISTINCT occurrences") {
+    import spark.implicits._
+    val tiny = Seq((0L, "u", "alpha beta"), (1L, "u", "alpha x alpha"))
+      .toDF("doc_id", "url", "text")
+    val v = Indexer.buildTables(spark, Indexer.asDocInput(spark, tiny), 16L)
+    val got = MoreQueries.phraseMatch(spark, v, Seq("alpha", "alpha"), 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // doc 0 has ONE alpha: the second slot may not reuse the anchor
+    // occurrence; doc 1 matches only at anchor 0 (anchor 2's partner
+    // would be at adjusted -1, spread 3 > 1)
+    assert(got == Map(1L -> 1))
+  }
+
+  test("sloppyAnchorTf equals brute-force distinct-selection min-spread") {
+    val rnd = new scala.util.Random(42)
+    def brute(slots: Seq[(String, Array[Int], Int)], slop: Int): Int = {
+      val anchor = slots.head
+      anchor._2.count { p0 =>
+        def rec(rest: List[(String, Array[Int], Int)],
+                used: Map[String, Set[Int]], lo: Int, hi: Int): Boolean =
+          rest match {
+            case Nil => hi - lo <= slop
+            case (t, ps, off) :: tail =>
+              ps.exists { p =>
+                !used.getOrElse(t, Set.empty[Int]).contains(p) && {
+                  val adj = p - off
+                  val nlo = math.min(lo, adj); val nhi = math.max(hi, adj)
+                  nhi - nlo <= slop &&
+                    rec(tail, used + (t -> (used.getOrElse(t, Set.empty[Int]) + p)),
+                      nlo, nhi)
+                }
+              }
+          }
+        rec(slots.tail.toList, Map(anchor._1 -> Set(p0)), p0, p0)
+      }
+    }
+    for (iter <- 1 to 300) {
+      val nTerms = 1 + rnd.nextInt(3) // vocabulary "a".."c"
+      val vocab = (0 until nTerms).map(i => ('a' + i).toChar.toString)
+      val posOf = vocab.map { t =>
+        t -> Array.fill(1 + rnd.nextInt(4))(rnd.nextInt(12)).distinct.sorted
+      }.toMap
+      val k = 2 + rnd.nextInt(3)
+      val termSeq = Seq.fill(k)(vocab(rnd.nextInt(nTerms)))
+      val slots = termSeq.zipWithIndex.map { case (t, off) => (t, posOf(t), off) }
+      val slop = rnd.nextInt(5)
+      if (slop > 0) {
+        val got = MoreQueries.sloppyAnchorTf(slots, slop)
+        val want = brute(slots, slop)
+        assert(got == want, s"iter=$iter slots=${slots.map { case (t, ps, o) =>
+          (t, ps.toSeq, o) }} slop=$slop got=$got want=$want")
+      }
+    }
+  }
+
   test("phrase across a removed stopword does NOT match (gap preserved)") {
     import spark.implicits._
     val tiny = Seq((0L, "u", "alpha the beta"), (1L, "u", "alpha beta"))
