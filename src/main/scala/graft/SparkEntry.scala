@@ -751,6 +751,9 @@ object SparkEntry {
     "url_normalize" -> (graft.operators.TrainingData.urlNormalize _),
     "pii_scrub" -> (graft.operators.TrainingData.piiScrub _),
     "dedup_clusters" -> (graft.operators.TrainingData.dedupClusters _),
+    "sample_stratified" -> (graft.operators.TrainingData.sampleStratified _),
+    "pack_sequences" -> ((s, dir) => graft.operators.TrainingData.packSequences(s, dir)),
+    "dup_ngram_prune" -> ((s, dir) => graft.operators.TrainingData.dupNgramPrune(s, dir)),
     "ann_cosine_topk" -> ((s, dir) => graft.operators.Vectors.annBruteTopK(s, dir)),
     "ann_batch_topk" -> ((s, dir) => graft.operators.Vectors.annBatchTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => graft.operators.Vectors.annLshTopK(s, dir)),
@@ -1108,6 +1111,9 @@ object SparkEntry {
     "url_normalize" -> TrainingOracles.urlNormalize,
     "pii_scrub" -> TrainingOracles.piiScrub,
     "dedup_clusters" -> TrainingOracles.dedupClusters,
+    "sample_stratified" -> TrainingOracles.sampleStratified,
+    "pack_sequences" -> TrainingOracles.packSequences(512L),
+    "dup_ngram_prune" -> TrainingOracles.dupNgramPrune,
     "common_terms_topk" -> OracleGen.commonTermsSql(Seq("dup", "spark", "merge"), 0.1, 10),
     "ltr_rerank" -> OracleGen.ltrRerankSql(Seq("spark", "join"), "vector", 50, 10, 0.6, 0.3, 0.5),
     "phonetic_soundex" -> OracleGen.phoneticSoundexSql,

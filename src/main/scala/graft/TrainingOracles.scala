@@ -21,6 +21,57 @@ object TrainingOracles {
       |  min(doc_id) AS keeper
       |FROM documents GROUP BY md5(text)""".stripMargin
 
+  /** Stratified hash sampling: same md5-prefix draw and per-lang
+    * thresholds as the Spark side (hex md5 is byte-stable, 2-hex-digit
+    * prefix compare = 1/256-granular uniform threshold).
+    */
+  val sampleStratified: String =
+    """WITH kept AS (
+      |  SELECT doc_id, lang FROM documents
+      |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 2) <
+      |    CASE lang WHEN 'en' THEN '80' WHEN 'zh' THEN '20' ELSE '40' END)
+      |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM kept GROUP BY lang""".stripMargin
+
+  /** Token-budget sequence packing: exclusive prefix sum over doc_id
+    * order, integer-divided by the budget (the oracle may use the
+    * single-node window; the Spark side computes the same prefix sum
+    * with per-partition offsets).
+    */
+  def packSequences(budget: Long): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, tok,
+       |    coalesce(sum(tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+       |  FROM t)
+       |SELECT CAST(excl // $budget AS BIGINT) AS seq_id, count(*) AS n_docs,
+       |  CAST(sum(tok) AS BIGINT) AS tok_sum,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1""".stripMargin
+
+  /** Duplicate word-5-gram counts per doc (same lead()-window shingle
+    * formulation as [[ngramJaccardPairs]], extended to 5 slots).
+    */
+  val dupNgramPrune: String =
+    """WITH tp AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT doc_id,
+      |    term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+      |      || ' ' || lead(term, 3) OVER w || ' ' || lead(term, 4) OVER w AS s
+      |  FROM tp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE s IS NOT NULL),
+      |sdf AS (SELECT s, count(DISTINCT doc_id) AS sdf FROM sh GROUP BY s)
+      |SELECT sh.doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN sdf.sdf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      |FROM sh JOIN sdf ON sh.s = sdf.s
+      |GROUP BY sh.doc_id""".stripMargin
+
   /** Exact 3-gram-shingle Jaccard pairs at threshold 0.8 (×10⁴ = 8000).
     * Also the oracle of the MinHash+LSH path: at J ≥ 0.8 with 16×2
     * bands the LSH miss probability is ≈ 7e-8 per pair.

@@ -584,6 +584,87 @@ object TrainingData {
         (size(split(col("scrubbed"), "<PHONE>")) - 1).cast("long").as("n_phone"))
   }
 
+  /** Stratified hash sampling (training-mix downsampling): keep a doc
+    * when the hex md5 of its (doc_id, lang) key is lexicographically
+    * below the stratum's threshold prefix — a deterministic uniform
+    * draw, so the SAME rows survive at any parallelism and on re-runs
+    * (resumable sampling). Thresholds are 2-hex-digit prefixes (1/256
+    * granularity): en 50%, zh 12.5%, other langs 25%. Fully narrow map +
+    * tiny agg; the id_sum checksum pins the exact surviving row set.
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat(col("doc_id").cast("string"), lit(":"), col("lang")))
+    val thr = when(col("lang") === "en", lit("80"))
+      .when(col("lang") === "zh", lit("20"))
+      .otherwise(lit("40"))
+    docs(s, dir)
+      .where(substring(key, 1, 2) < thr)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+  }
+
+  /** Sequence packing (training-batch assembly): docs in doc_id order
+    * are packed into fixed token-budget bins, bin = exclusive-prefix-sum
+    * of token counts integer-divided by the budget. The prefix sum is
+    * computed WITHOUT a global single-partition window:
+    * repartitionByRange(doc_id) + per-partition local sums, with the
+    * per-partition totals (one scalar each — the GlobalStats pattern)
+    * collected and turned into broadcast exclusive offsets. Bin
+    * assignment is a pure function of the data ordering, independent of
+    * partition boundaries and parallelism.
+    */
+  def packSequences(s: SparkSession, dir: String, budget: Long = 512L,
+                    parts: Int = 8): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val toks = docs(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)]
+    val local = toks.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var run = 0L
+      it.map { case (id, t) => val e = run; run += t; (pid, id, t, e) }
+    }.toDF("pid", "doc_id", "tok", "local_excl")
+      .persist()
+    // per-partition totals: one row per partition, a tiny driver-side
+    // collect by design (same contract as broadcast collection stats)
+    val totals = local.groupBy("pid").agg(sum("tok").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L)((acc, p) =>
+      acc + totals.getOrElse(p, 0L)).toArray
+    val off = element_at(typedLit(offsets.toSeq), col("pid") + 1)
+    val out = local
+      .select(col("doc_id"), col("tok"),
+        (off + col("local_excl")).as("excl"))
+      .select(col("doc_id"), col("tok"),
+        expr(s"excl div $budget").as("seq_id"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("tok_sum"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+    out.count() // materialize before unpersisting the staged frame
+    local.unpersist()
+    out
+  }
+
+  /** Duplicate-n-gram pruning (C4/CCNet-style repeated-substring
+    * removal signal): per doc, the distinct word 5-gram count and how
+    * many of those 5-grams occur in MORE THAN ONE doc corpus-wide. One
+    * hash-shuffle on the shingle for the df agg, then a shingle-keyed
+    * join back — the standard two-pass shape; shingles are computed
+    * narrow per row ([[shinglesDf]]).
+    */
+  def dupNgramPrune(s: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val sh = shingles(s, dir, n)
+    val df = sh.groupBy("shingle")
+      .agg(countDistinct("doc_id").as("sdf"))
+    sh.join(df, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("sdf") > 1, 1L).otherwise(0L)).as("n_dup"))
+  }
+
   def urlNormalize(s: SparkSession, dir: String): DataFrame = {
     val raw = concat(
       lit("HTTP://Example"), (col("doc_id") % 50).cast("string"),

@@ -230,4 +230,66 @@ class TrainingDataSpec extends AnyFunSuite {
   test("connectedComponents of an empty pair set is empty") {
     assert(engineComponents(Seq.empty).isEmpty)
   }
+
+  test("pack_sequences: bin assignment is parallelism-independent and equals brute force") {
+    val sf = "/root/testdata/sf0.001"
+    def collectBins(parts: Int) =
+      TrainingData.packSequences(spark, sf, budget = 512L, parts = parts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val p1 = collectBins(1)
+    val p8 = collectBins(8)
+    assert(p1 == p8) // same bins at every parallelism
+    // brute force on the driver
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+      .sortBy(_._1)
+    var run = 0L
+    val want = docs.map { case (id, tok) =>
+      val bin = run / 512L; run += tok; (bin, id, tok)
+    }.groupBy(_._1).map { case (bin, rows) =>
+      (bin, rows.length.toLong, rows.map(_._3).sum,
+        rows.map(_._2).min, rows.map(_._2).max)
+    }.toSeq.sortBy(_._1)
+    assert(p8 == want)
+  }
+
+  test("sample_stratified: deterministic md5-threshold draw matches brute force") {
+    val sf = "/root/testdata/sf0.001"
+    val got = TrainingData.sampleStratified(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def hex2(s: String): String = {
+      val b = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      f"${b(0) & 0xff}%02x"
+    }
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = rows.filter { case (id, lang) =>
+      val thr = lang match { case "en" => "80"; case "zh" => "20"; case _ => "40" }
+      hex2(s"$id:$lang") < thr
+    }.groupBy(_._2).map { case (lang, rs) =>
+      (lang, rs.length.toLong, rs.map(_._1).sum)
+    }.toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("dup_ngram_prune equals brute-force sliding 5-grams") {
+    val sf = "/root/testdata/sf0.001"
+    val got = TrainingData.dupNgramPrune(spark, sf)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq
+        .sliding(5).filter(_.size == 5).map(_.mkString(" ")).toSet)
+    val sdf = docs.flatMap(_._2.map(_ -> 1)).groupBy(_._1)
+      .map { case (s, xs) => s -> xs.length }
+    val want = docs.map { case (id, grams) =>
+      id -> (grams.size.toLong, grams.count(g => sdf(g) > 1).toLong)
+    }.filter(_._2._1 > 0).toMap
+    assert(got == want)
+  }
 }
