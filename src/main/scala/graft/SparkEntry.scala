@@ -410,6 +410,17 @@ object SparkEntry {
         I.Ordered(Seq(I.Term("hash"),
           I.Or(Seq(I.Term("join"), I.Term("merge")))), maxGaps = 2))
     }),
+    "interval_not_containing" -> ((s, dir) => {
+      // negated interval filter: the same minimal ordered intervals,
+      // minus those containing a 'scan' position — docs with NO 'scan'
+      // at all must still match (the negated side is not required)
+      import graft.search.{Interval => I}
+      I.matches(s, IndexCache.documentsIndex(s, dir),
+        I.Containing(
+          I.Ordered(Seq(I.Term("hash"),
+            I.Or(Seq(I.Term("join"), I.Term("merge")))), maxGaps = 2),
+          I.Term("scan"), negate = true))
+    }),
     "prefix_query" -> ((s, dir) => {
       val v = IndexCache.documentsIndex(s, dir)
       MoreQueries.matchingDocs(s, v, MoreQueries.prefixTerms(v, "sl"))
@@ -752,6 +763,7 @@ object SparkEntry {
     "pii_scrub" -> (graft.operators.TrainingData.piiScrub _),
     "dedup_clusters" -> (graft.operators.TrainingData.dedupClusters _),
     "sample_stratified" -> (graft.operators.TrainingData.sampleStratified _),
+    "lm_surprisal" -> (graft.operators.TrainingData.lmSurprisal _),
     "pack_sequences" -> ((s, dir) => graft.operators.TrainingData.packSequences(s, dir)),
     "dup_ngram_prune" -> ((s, dir) => graft.operators.TrainingData.dupNgramPrune(s, dir)),
     "ann_cosine_topk" -> ((s, dir) => graft.operators.Vectors.annBruteTopK(s, dir)),
@@ -970,6 +982,29 @@ object SparkEntry {
         |)
         |SELECT doc_id, CAST(count(*) AS INT) AS n_intervals FROM minimal
         |WHERE q - p - 1 <= 2 GROUP BY doc_id""".stripMargin,
+    "interval_not_containing" ->
+      """WITH lists AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), tokpos AS (
+        |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+        |  FROM lists
+        |), a AS (SELECT doc_id, pos FROM tokpos WHERE term = 'hash'),
+        |   b AS (SELECT doc_id, pos FROM tokpos WHERE term IN ('join', 'merge')),
+        |   c AS (SELECT doc_id, pos FROM tokpos WHERE term = 'scan'),
+        |   pairs AS (
+        |  SELECT b.doc_id, b.pos AS q, max(a.pos) AS p
+        |  FROM b JOIN a ON a.doc_id = b.doc_id AND a.pos < b.pos
+        |  GROUP BY b.doc_id, b.pos
+        |), minimal AS (
+        |  SELECT doc_id, p, q FROM pairs
+        |  WHERE q = (SELECT min(b2.pos) FROM b b2
+        |             WHERE b2.doc_id = pairs.doc_id AND b2.pos > pairs.p)
+        |)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_intervals FROM minimal
+        |WHERE q - p - 1 <= 2 AND NOT EXISTS (
+        |  SELECT 1 FROM c WHERE c.doc_id = minimal.doc_id
+        |  AND c.pos BETWEEN minimal.p AND minimal.q)
+        |GROUP BY doc_id""".stripMargin,
     "fuzzy_query" -> OracleGen.docsWithTermWhereSql("levenshtein(term, 'merg') <= 1"),
     "term_range_query" -> OracleGen.docsWithTermWhereSql("term >= 'query' AND term < 'sort'"),
     "term_in_set_query" -> OracleGen.docsWithTermWhereSql("term IN ('spark', 'dup', 'batch')"),
@@ -1112,6 +1147,7 @@ object SparkEntry {
     "pii_scrub" -> TrainingOracles.piiScrub,
     "dedup_clusters" -> TrainingOracles.dedupClusters,
     "sample_stratified" -> TrainingOracles.sampleStratified,
+    "lm_surprisal" -> TrainingOracles.lmSurprisal,
     "pack_sequences" -> TrainingOracles.packSequences(512L),
     "dup_ngram_prune" -> TrainingOracles.dupNgramPrune,
     "common_terms_topk" -> OracleGen.commonTermsSql(Seq("dup", "spark", "merge"), 0.1, 10),

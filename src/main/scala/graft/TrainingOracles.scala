@@ -72,6 +72,24 @@ object TrainingOracles {
       |FROM sh JOIN sdf ON sh.s = sdf.s
       |GROUP BY sh.doc_id""".stripMargin
 
+  /** Unigram-LM surprisal: ln(ctf) quantized ONCE per distinct term
+    * (one deterministic double op in each engine), then integer sums —
+    * no cross-engine float-summation-order hazard.
+    */
+  val lmSurprisal: String =
+    """WITH tk0 AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tk AS (SELECT doc_id, term FROM tk0 WHERE length(term) > 0),
+      |tf AS (
+      |  SELECT term, CAST(round(ln(count(*)) * 10000) AS BIGINT) AS q_ln
+      |  FROM tk GROUP BY term),
+      |tot AS (
+      |  SELECT CAST(round(ln(count(*)) * 10000) AS BIGINT) AS q_ln_n FROM tk)
+      |SELECT doc_id, count(*) AS n_tok,
+      |  CAST(count(*) * q_ln_n - sum(q_ln) AS BIGINT) AS surprisal_scaled
+      |FROM tk JOIN tf USING (term) CROSS JOIN tot
+      |GROUP BY doc_id, q_ln_n""".stripMargin
+
   /** Exact 3-gram-shingle Jaccard pairs at threshold 0.8 (×10⁴ = 8000).
     * Also the oracle of the MinHash+LSH path: at J ≥ 0.8 with 16×2
     * bands the LSH miss probability is ≈ 7e-8 per pair.

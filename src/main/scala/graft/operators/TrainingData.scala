@@ -665,6 +665,34 @@ object TrainingData {
         sum(when(col("sdf") > 1, 1L).otherwise(0L)).as("n_dup"))
   }
 
+  /** Unigram-LM surprisal (perplexity-proxy quality signal, the
+    * Wikipedia-LM filter shape): per doc, mean −log p(token) under the
+    * corpus unigram distribution, scaled ×10⁴ and kept INTEGER-exact
+    * across engines by quantizing ln(ctf) once per DISTINCT term before
+    * the per-doc integer sum (a float sum over ~doc-length doubles
+    * could flip a rounding boundary between engines; an integer sum
+    * cannot). Two passes: a term-count agg (map-side partial combine;
+    * hot stopword terms are exactly the AQE-skew / salting case the
+    * index build already handles), then a token→term join + integer
+    * agg. surprisal_scaled = n_tok·q(ln N) − Σ q(ln ctf), q = round(·
+    * ×10⁴).
+    */
+  def lmSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = toks.groupBy("term")
+      .agg(count(lit(1)).as("ctf"))
+      .select(col("term"), round(log(col("ctf")) * 10000).cast("long").as("q_ln"))
+    // total token count: one broadcast scalar (GlobalStats pattern)
+    val total = toks.count()
+    val qLnTotal = math.round(math.log(total.toDouble) * 10000)
+    toks.join(tf, Seq("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        (count(lit(1)) * lit(qLnTotal) - sum(col("q_ln"))).as("surprisal_scaled"))
+  }
+
   def urlNormalize(s: SparkSession, dir: String): DataFrame = {
     val raw = concat(
       lit("HTTP://Example"), (col("doc_id") % 50).cast("string"),

@@ -20,6 +20,12 @@ import graft.index.IndexView
  *                               count (Intervals.maxgaps analog)
  *  - [[Interval.Unordered]]   — children in any order (min-window sweep)
  *  - [[Interval.MaxWidth]]    — width filter (Intervals.maxwidth)
+ *  - [[Interval.Containing]] / [[Interval.ContainedBy]] — containment
+ *                               filters, each with a negated form
+ *  - [[Interval.Before]] / [[Interval.After]] — relative-position
+ *                               filters (Intervals.before/after)
+ *  - [[Interval.Overlapping]] — overlap filter + negation
+ *                               (Intervals.overlapping/nonOverlapping)
  *
  * Evaluation is per document over decoded position lists (the same
  * two-phase shape as phrase/span matching: docs first, positions only
@@ -48,6 +54,19 @@ object Interval {
     */
   final case class ContainedBy(small: Expr, big: Expr,
                                negate: Boolean = false) extends Expr
+  /** Intervals of `a` that end before the start of some interval of `b`
+    * (Intervals.before).
+    */
+  final case class Before(a: Expr, b: Expr) extends Expr
+  /** Intervals of `a` that start after the end of some interval of `b`
+    * (Intervals.after).
+    */
+  final case class After(a: Expr, b: Expr) extends Expr
+  /** Intervals of `a` overlapping some interval of `b`
+    * (Intervals.overlapping) / the negation (nonOverlapping).
+    */
+  final case class Overlapping(a: Expr, b: Expr,
+                               negate: Boolean = false) extends Expr
 
   /** All terms referenced by an expression. */
   def termsOf(e: Expr): Seq[String] = e match {
@@ -58,6 +77,9 @@ object Interval {
     case MaxWidth(c, _) => termsOf(c)
     case Containing(b, s, _)  => termsOf(b) ++ termsOf(s)
     case ContainedBy(s, b, _) => termsOf(s) ++ termsOf(b)
+    case Before(a, b)         => termsOf(a) ++ termsOf(b)
+    case After(a, b)          => termsOf(a) ++ termsOf(b)
+    case Overlapping(a, b, _) => termsOf(a) ++ termsOf(b)
   }
 
   /** Necessary term groups of an expression: a matching doc must contain
@@ -71,8 +93,17 @@ object Interval {
     case Ordered(cs, _) => cs.flatMap(requiredGroups)
     case Unordered(cs)  => cs.flatMap(requiredGroups)
     case MaxWidth(c, _) => requiredGroups(c)
-    case Containing(b, s, _)  => requiredGroups(b) ++ requiredGroups(s)
-    case ContainedBy(s, b, _) => requiredGroups(s) ++ requiredGroups(b)
+    // a NEGATED filter side is not required: docs lacking its terms
+    // entirely satisfy the negation (requiring them would silently drop
+    // exactly the docs most likely to match)
+    case Containing(b, s, neg)  =>
+      if (neg) requiredGroups(b) else requiredGroups(b) ++ requiredGroups(s)
+    case ContainedBy(s, b, neg) =>
+      if (neg) requiredGroups(s) else requiredGroups(s) ++ requiredGroups(b)
+    case Before(a, b)      => requiredGroups(a) ++ requiredGroups(b)
+    case After(a, b)       => requiredGroups(a) ++ requiredGroups(b)
+    case Overlapping(a, b, neg) =>
+      if (neg) requiredGroups(a) else requiredGroups(a) ++ requiredGroups(b)
   }
 
   /** (start, end, coveredLen) — coveredLen is the total length of the
@@ -113,6 +144,17 @@ object Interval {
       val bigs = eval(b, posByTerm)
       eval(s, posByTerm).filter { sm =>
         bigs.exists(big => big._1 <= sm._1 && sm._2 <= big._2) != neg
+      }
+    case Before(a, b) =>
+      val refs = eval(b, posByTerm)
+      eval(a, posByTerm).filter(iv => refs.exists(r => iv._2 < r._1))
+    case After(a, b) =>
+      val refs = eval(b, posByTerm)
+      eval(a, posByTerm).filter(iv => refs.exists(r => r._2 < iv._1))
+    case Overlapping(a, b, neg) =>
+      val refs = eval(b, posByTerm)
+      eval(a, posByTerm).filter { iv =>
+        refs.exists(r => r._1 <= iv._2 && iv._1 <= r._2) != neg
       }
     case Ordered(cs, maxGaps) =>
       val lists = cs.map(c => eval(c, posByTerm))

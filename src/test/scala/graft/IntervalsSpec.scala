@@ -71,6 +71,45 @@ class IntervalsSpec extends AnyFunSuite {
     assert(ev(I.ContainedBy(I.Term("a"), ab, negate = true), pos) == Nil)
   }
 
+  test("before / after / overlapping combinators") {
+    val pos = Map("a" -> Array(1, 10), "b" -> Array(2, 14), "c" -> Array(12))
+    // a-intervals before some c@12: a@1 and a@10 both end before 12
+    assert(ev(I.Before(I.Term("a"), I.Term("c")), pos) == List((1, 1), (10, 10)))
+    assert(ev(I.Before(I.Term("b"), I.Term("c")), pos) == List((2, 2)))
+    // after: b@14 starts after c@12 ends
+    assert(ev(I.After(I.Term("b"), I.Term("c")), pos) == List((14, 14)))
+    assert(ev(I.After(I.Term("a"), I.Term("c")), pos) == Nil)
+    // overlapping: unordered (a,b) windows (1,2),(2,10),(10,14); c@12
+    // overlaps only (10,14)
+    val ab = I.Unordered(Seq(I.Term("a"), I.Term("b")))
+    assert(ev(I.Overlapping(ab, I.Term("c")), pos) == List((10, 14)))
+    assert(ev(I.Overlapping(ab, I.Term("c"), negate = true), pos) ==
+      List((1, 2), (2, 10)))
+  }
+
+  test("negated filter side is NOT required: docs lacking it still match") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, "u", "alpha beta gamma"),   // contains gamma -> excluded
+      (1L, "u", "alpha beta delta"),   // no gamma at all -> must match
+      (2L, "u", "alpha delta beta")    // gamma-free, non-adjacent
+    ).toDF("doc_id", "url", "text")
+    val v = Indexer.buildTables(spark, Indexer.asDocInput(spark, tiny), 16L)
+    val got = I.matches(spark, v,
+      I.Containing(I.PhraseOf(Seq(I.Term("alpha"), I.Term("beta"))),
+        I.Term("gamma"), negate = true))
+      .collect().map(_.getLong(0)).toSet
+    // doc 0's (alpha,beta)@(0,1) does NOT contain gamma@2 -> matches;
+    // doc 1 has no gamma and must not be dropped by the doc prefilter
+    assert(got == Set(0L, 1L))
+    val overlap = I.matches(spark, v,
+      I.Overlapping(I.PhraseOf(Seq(I.Term("alpha"), I.Term("beta"))),
+        I.Term("gamma"), negate = true))
+      .collect().map(_.getLong(0)).toSet
+    assert(overlap == Set(0L, 1L))
+  }
+
   test("property: ordered/unordered minimal sets equal brute force on random positions") {
     val rnd = new scala.util.Random(7)
     // brute-force reference: enumerate ALL tuples, build their spans,

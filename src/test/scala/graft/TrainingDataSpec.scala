@@ -277,6 +277,26 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("lm_surprisal equals brute-force quantized unigram surprisal") {
+    val sf = "/root/testdata/sf0.001"
+    val got = TrainingData.lmSurprisal(spark, sf)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+    val ctf = docs.flatMap(_._2).groupBy(identity).map { case (t, xs) => t -> xs.length }
+    val qLn = ctf.map { case (t, c) => t -> math.round(math.log(c.toDouble) * 10000) }
+    val total = docs.map(_._2.size).sum
+    val qN = math.round(math.log(total.toDouble) * 10000)
+    val want = docs.map { case (id, ts) =>
+      id -> (ts.size.toLong, ts.size * qN - ts.map(qLn).sum)
+    }.toMap
+    assert(got == want)
+    // sanity: rarer-token docs have strictly higher mean surprisal than
+    // an all-stopword-frequency doc would — every value positive
+    assert(got.values.forall(_._2 > 0))
+  }
+
   test("dup_ngram_prune equals brute-force sliding 5-grams") {
     val sf = "/root/testdata/sf0.001"
     val got = TrainingData.dupNgramPrune(spark, sf)
