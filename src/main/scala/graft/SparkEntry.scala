@@ -410,6 +410,13 @@ object SparkEntry {
         I.Ordered(Seq(I.Term("hash"),
           I.Or(Seq(I.Term("join"), I.Term("merge")))), maxGaps = 2))
     }),
+    "interval_at_least" -> ((s, dir) => {
+      // minimum-should-match intervals: minimal windows covering at
+      // least 2 of {hash, join, scan}
+      import graft.search.{Interval => I}
+      I.matches(s, IndexCache.documentsIndex(s, dir),
+        I.AtLeast(2, Seq(I.Term("hash"), I.Term("join"), I.Term("scan"))))
+    }),
     "interval_not_containing" -> ((s, dir) => {
       // negated interval filter: the same minimal ordered intervals,
       // minus those containing a 'scan' position — docs with NO 'scan'
@@ -982,6 +989,34 @@ object SparkEntry {
         |)
         |SELECT doc_id, CAST(count(*) AS INT) AS n_intervals FROM minimal
         |WHERE q - p - 1 <= 2 GROUP BY doc_id""".stripMargin,
+    // minimal 2-of-3 windows = pair windows with proper containments
+    // dropped (UNION dedups; the NOT EXISTS keeps only minimal ones)
+    "interval_at_least" ->
+      """WITH lists AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), tokpos AS (
+        |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+        |  FROM lists
+        |), x AS (SELECT doc_id, pos FROM tokpos WHERE term = 'hash'),
+        |   y AS (SELECT doc_id, pos FROM tokpos WHERE term = 'join'),
+        |   z AS (SELECT doc_id, pos FROM tokpos WHERE term = 'scan'),
+        |   cands AS (
+        |  SELECT x.doc_id, least(x.pos, y.pos) AS st, greatest(x.pos, y.pos) AS en
+        |  FROM x JOIN y ON y.doc_id = x.doc_id
+        |  UNION
+        |  SELECT x.doc_id, least(x.pos, z.pos), greatest(x.pos, z.pos)
+        |  FROM x JOIN z ON z.doc_id = x.doc_id
+        |  UNION
+        |  SELECT y.doc_id, least(y.pos, z.pos), greatest(y.pos, z.pos)
+        |  FROM y JOIN z ON z.doc_id = y.doc_id
+        |), mini AS (
+        |  SELECT doc_id, st, en FROM cands m
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM cands o WHERE o.doc_id = m.doc_id
+        |    AND o.st >= m.st AND o.en <= m.en AND (o.st > m.st OR o.en < m.en))
+        |)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_intervals FROM mini
+        |GROUP BY doc_id""".stripMargin,
     "interval_not_containing" ->
       """WITH lists AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents

@@ -26,6 +26,8 @@ import graft.index.IndexView
  *                               filters (Intervals.before/after)
  *  - [[Interval.Overlapping]] — overlap filter + negation
  *                               (Intervals.overlapping/nonOverlapping)
+ *  - [[Interval.AtLeast]]     — minimal windows covering n of k
+ *                               children (Intervals.atLeast)
  *
  * Evaluation is per document over decoded position lists (the same
  * two-phase shape as phrase/span matching: docs first, positions only
@@ -67,6 +69,18 @@ object Interval {
     */
   final case class Overlapping(a: Expr, b: Expr,
                                negate: Boolean = false) extends Expr
+  /** Minimal intervals covering at least `n` of the children
+    * (Intervals.atLeast — MinimumShouldMatchIntervalsSource).
+    * Evaluated as the minimalized union over all n-subsets' unordered
+    * windows: any minimal >= n window is an unordered window of some
+    * n-subset, so the union contains every candidate and minimalization
+    * keeps exactly the minimal ones. Child count is bounded like the
+    * reference's clause limit (here: combinations must stay small).
+    */
+  final case class AtLeast(n: Int, children: Seq[Expr]) extends Expr {
+    require(n >= 1 && n <= children.size, "need 1 <= n <= #children")
+    require(children.size <= 8, "atLeast children capped at 8")
+  }
 
   /** All terms referenced by an expression. */
   def termsOf(e: Expr): Seq[String] = e match {
@@ -80,6 +94,7 @@ object Interval {
     case Before(a, b)         => termsOf(a) ++ termsOf(b)
     case After(a, b)          => termsOf(a) ++ termsOf(b)
     case Overlapping(a, b, _) => termsOf(a) ++ termsOf(b)
+    case AtLeast(_, cs)       => cs.flatMap(termsOf)
   }
 
   /** Necessary term groups of an expression: a matching doc must contain
@@ -104,6 +119,11 @@ object Interval {
     case After(a, b)       => requiredGroups(a) ++ requiredGroups(b)
     case Overlapping(a, b, neg) =>
       if (neg) requiredGroups(a) else requiredGroups(a) ++ requiredGroups(b)
+    // n of k: only "some child term present" is necessary (n == k would
+    // allow all groups, but the Or-style union is always safe)
+    case AtLeast(n, cs) =>
+      if (n == cs.size) cs.flatMap(requiredGroups)
+      else Seq(cs.flatMap(termsOf).distinct)
   }
 
   /** (start, end, coveredLen) — coveredLen is the total length of the
@@ -183,6 +203,10 @@ object Interval {
         minimalize(out).filter(iv =>
           maxGaps < 0 || (iv._2 - iv._1 + 1) - iv._3 <= maxGaps)
       }
+    case AtLeast(n, cs) =>
+      minimalize(cs.combinations(n).toArray.flatMap { sub =>
+        eval(Unordered(sub), posByTerm)
+      })
     case Unordered(cs) =>
       val lists = cs.map(c => eval(c, posByTerm)).toArray
       if (lists.exists(_.isEmpty)) Array.empty[Iv]

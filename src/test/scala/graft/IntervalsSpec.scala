@@ -110,6 +110,42 @@ class IntervalsSpec extends AnyFunSuite {
     assert(overlap == Set(0L, 1L))
   }
 
+  test("atLeast(n of k): minimal windows equal brute-force subset enumeration") {
+    val rnd = new scala.util.Random(11)
+    def bruteAtLeast(n: Int, lists: Seq[Array[Int]]): List[(Int, Int)] = {
+      val wins = lists.indices.combinations(n).flatMap { sub =>
+        val ls = sub.map(lists)
+        if (ls.exists(_.isEmpty)) Iterator.empty
+        else {
+          // all tuples: one position per chosen child
+          def tuples(rest: List[Array[Int]]): Iterator[List[Int]] = rest match {
+            case Nil => Iterator(Nil)
+            case h :: t => h.iterator.flatMap(p => tuples(t).map(p :: _))
+          }
+          tuples(ls.toList).map(ps => (ps.min, ps.max))
+        }
+      }.toSeq.distinct
+      wins.filter(w => !wins.exists(o =>
+        o != w && w._1 <= o._1 && o._2 <= w._2)).sorted.toList
+    }
+    for (iter <- 1 to 100) {
+      val k = 2 + rnd.nextInt(3)
+      val n = 1 + rnd.nextInt(k)
+      val lists = Seq.fill(k)(
+        Array.fill(rnd.nextInt(4))(rnd.nextInt(15)).distinct.sorted)
+      val vocab = lists.indices.map(i => s"t$i")
+      val pos = vocab.zip(lists).toMap
+      val got = ev(I.AtLeast(n, vocab.map(I.Term(_))), pos)
+      val want = bruteAtLeast(n, lists)
+      assert(got == want, s"iter=$iter n=$n lists=${lists.map(_.toSeq)}")
+    }
+    // 2-of-3 sanity: the pair windows (1,5), (1,6), (5,6); (1,6)
+    // properly contains (5,6) and is dropped, the others are minimal
+    val pos = Map("a" -> Array(1), "b" -> Array(5), "c" -> Array(6))
+    assert(ev(I.AtLeast(2, Seq(I.Term("a"), I.Term("b"), I.Term("c"))), pos) ==
+      List((1, 5), (5, 6)))
+  }
+
   test("property: ordered/unordered minimal sets equal brute force on random positions") {
     val rnd = new scala.util.Random(7)
     // brute-force reference: enumerate ALL tuples, build their spans,
