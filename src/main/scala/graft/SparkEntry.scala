@@ -170,6 +170,12 @@ object SparkEntry {
       MoreQueries.blockJoinParents(s,
         s.read.parquet(s"$dir/documents.parquet"), "spark", "join")
     }),
+    "block_join_child" -> ((s, dir) => {
+      // {!child}: every child (positional half) of parents matching the
+      // parent query — the inverse direction of block_join_parent
+      MoreQueries.blockJoinChildren(s,
+        s.read.parquet(s"$dir/documents.parquet"), "spark")
+    }),
     "block_join_scored" -> ((s, dir) => {
       // ToParentBlockJoin ScoreMode.Max: parent takes its best-matching
       // child's score (integer child tf-sum keeps the oracle exact)
@@ -841,6 +847,19 @@ object SparkEntry {
         |FROM halves
         |WHERE list_contains(c0, 'spark') AND list_contains(c0, 'join')
         |   OR list_contains(c1, 'spark') AND list_contains(c1, 'join')""".stripMargin,
+    "block_join_child" ->
+      """WITH lists AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), halves AS (
+        |  SELECT doc_id, l, l[1:(len(l)+1)//2] AS c0,
+        |         l[(len(l)+1)//2+1:len(l)] AS c1
+        |  FROM lists
+        |)
+        |SELECT doc_id, 0 AS child_ord, CAST(len(c0) AS INT) AS n_tokens
+        |FROM halves WHERE list_contains(l, 'spark')
+        |UNION ALL
+        |SELECT doc_id, 1 AS child_ord, CAST(len(c1) AS INT) AS n_tokens
+        |FROM halves WHERE list_contains(l, 'spark')""".stripMargin,
     "term_vectors" ->
       s"""WITH ${OracleGen.tokCte}
          |SELECT doc_id, term, count(*) AS tf FROM tokf

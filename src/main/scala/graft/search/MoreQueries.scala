@@ -662,6 +662,27 @@ object MoreQueries {
       .where(col("parent_score") >= 0)
   }
 
+  /** ToChildBlockJoinQuery [8x search/join/ToChildBlockJoinQuery.java]:
+    * all CHILD docs of parents matching the parent query — the inverse
+    * direction of [[blockJoinParents]], same deterministic half-block
+    * structure. Parent filter + per-row explode of the two halves:
+    * narrow, no shuffle.
+    */
+  def blockJoinChildren(spark: SparkSession, corpus: DataFrame,
+                        parentTerm: String): DataFrame = {
+    val l = split(col("text"), " ")
+    val n = size(l)
+    val half = ((n + 1) / 2).cast("int") // Column `/` is double division
+    corpus
+      .where(array_contains(l, parentTerm))
+      .select(col("doc_id"),
+        explode(array(
+          struct(lit(0).as("child_ord"), size(slice(l, lit(1), half)).as("n_tokens")),
+          struct(lit(1).as("child_ord"), size(slice(l, half + 1, n - half)).as("n_tokens"))
+        )).as("ch"))
+      .select(col("doc_id"), col("ch.child_ord"), col("ch.n_tokens"))
+  }
+
   /** CommonTermsQuery [8x lucene/queries .../CommonTermsQuery.java]:
     * query terms split by docFreq against `maxTermFrequency * docCount` —
     * low-frequency terms become REQUIRED (the discriminative part),

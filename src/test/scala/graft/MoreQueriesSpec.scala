@@ -168,6 +168,23 @@ class MoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("block join: child direction returns both halves of matching parents") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, "alpha beta gamma delta"), // halves: [alpha beta] [gamma delta]
+      (1L, "beta gamma delta"),       // halves: [beta gamma] [delta]
+      (2L, "alpha beta")              // matches parent query too
+    ).toDF("doc_id", "text")
+    val got = MoreQueries.blockJoinChildren(spark, tiny, "alpha")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == Set((0L, 0, 2), (0L, 1, 2), (2L, 0, 1), (2L, 1, 1)))
+    // parent direction on the same blocks: conjunction within ONE half —
+    // doc2 splits into [alpha] [beta], so neither half has both terms
+    val par = MoreQueries.blockJoinParents(spark, tiny, "alpha", "beta")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(par == Set((0L, 1L)))
+  }
+
   test("phrase across a removed stopword does NOT match (gap preserved)") {
     import spark.implicits._
     val tiny = Seq((0L, "u", "alpha the beta"), (1L, "u", "alpha beta"))
