@@ -379,6 +379,10 @@ object OracleGen {
     * across slots, not an independent ±slop window per slot.
     */
   def phraseSlopSharedSql(terms: Seq[String], slop: Int): String = {
+    // the SQL has no distinct-occurrence constraint, so repeated terms
+    // would diverge from the matcher's repeats rule — fail fast
+    require(terms.distinct.size == terms.size,
+      "phraseSlopSharedSql supports distinct terms only")
     val names = terms.indices.map(i => s"t$i")
     val ctes = terms.zip(names).map { case (w, n) =>
       s"$n AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w')"

@@ -622,12 +622,16 @@ object TrainingData {
       .repartitionByRange(parts, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .as[(Long, Long)]
+    // eager localCheckpoint: ONE execution of the range shuffle pins the
+    // pid/local_excl assignment that the broadcast offsets are derived
+    // from — downstream actions (the totals collect AND the caller's
+    // write) read the checkpoint instead of re-running the DAG
     val local = toks.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var run = 0L
       it.map { case (id, t) => val e = run; run += t; (pid, id, t, e) }
     }.toDF("pid", "doc_id", "tok", "local_excl")
-      .persist()
+      .localCheckpoint(true)
     // per-partition totals: one row per partition, a tiny driver-side
     // collect by design (same contract as broadcast collection stats)
     val totals = local.groupBy("pid").agg(sum("tok").as("t"))
@@ -635,7 +639,7 @@ object TrainingData {
     val offsets = (0 until parts).scanLeft(0L)((acc, p) =>
       acc + totals.getOrElse(p, 0L)).toArray
     val off = element_at(typedLit(offsets.toSeq), col("pid") + 1)
-    val out = local
+    local
       .select(col("doc_id"), col("tok"),
         (off + col("local_excl")).as("excl"))
       .select(col("doc_id"), col("tok"),
@@ -643,9 +647,6 @@ object TrainingData {
       .groupBy("seq_id")
       .agg(count(lit(1)).as("n_docs"), sum("tok").as("tok_sum"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-    out.count() // materialize before unpersisting the staged frame
-    local.unpersist()
-    out
   }
 
   /** Duplicate-n-gram pruning (C4/CCNet-style repeated-substring
@@ -681,11 +682,15 @@ object TrainingData {
     val toks = docs(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .where(length(col("term")) > 0)
-    val tf = toks.groupBy("term")
-      .agg(count(lit(1)).as("ctf"))
+    // vocabulary-sized frame, checkpointed so the total-count scalar and
+    // the join probe it without re-scanning the corpus
+    val tf0 = toks.groupBy("term").agg(count(lit(1)).as("ctf"))
+      .localCheckpoint(true)
+    val tf = tf0
       .select(col("term"), round(log(col("ctf")) * 10000).cast("long").as("q_ln"))
-    // total token count: one broadcast scalar (GlobalStats pattern)
-    val total = toks.count()
+    // total token count = sum(ctf): one broadcast scalar (GlobalStats
+    // pattern), read from the checkpoint
+    val total = tf0.agg(sum("ctf")).head().getLong(0)
     val qLnTotal = math.round(math.log(total.toDouble) * 10000)
     toks.join(tf, Seq("term"))
       .groupBy("doc_id")

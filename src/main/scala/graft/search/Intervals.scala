@@ -204,35 +204,43 @@ object Interval {
           maxGaps < 0 || (iv._2 - iv._1 + 1) - iv._3 <= maxGaps)
       }
     case AtLeast(n, cs) =>
-      minimalize(cs.combinations(n).toArray.flatMap { sub =>
-        eval(Unordered(sub), posByTerm)
+      // evaluate every child ONCE, sweep each n-subset over the cached
+      // interval lists (a child appears in C(k-1, n-1) subsets)
+      val evald = cs.map(c => eval(c, posByTerm)).toArray
+      minimalize(evald.indices.combinations(n).toArray.flatMap { sub =>
+        unorderedSweep(sub.map(evald).toArray)
       })
     case Unordered(cs) =>
-      val lists = cs.map(c => eval(c, posByTerm)).toArray
-      if (lists.exists(_.isEmpty)) Array.empty[Iv]
-      else {
-        // classic min-window sweep: one cursor per child; record the
-        // current window, advance the child whose interval starts first
-        val idx = Array.fill(lists.length)(0)
-        val out = new scala.collection.mutable.ArrayBuffer[Iv]()
-        var done = false
-        while (!done) {
-          var mnStart = Int.MaxValue; var mxEnd = Int.MinValue
-          var covered = 0; var argmin = -1
-          var i = 0
-          while (i < lists.length) {
-            val iv = lists(i)(idx(i))
-            if (iv._1 < mnStart) { mnStart = iv._1; argmin = i }
-            if (iv._2 > mxEnd) mxEnd = iv._2
-            covered += iv._3
-            i += 1
-          }
-          out += ((mnStart, mxEnd, math.min(covered, mxEnd - mnStart + 1)))
-          idx(argmin) += 1
-          if (idx(argmin) >= lists(argmin).length) done = true
+      unorderedSweep(cs.map(c => eval(c, posByTerm)).toArray)
+  }
+
+  /** Minimal unordered windows over pre-evaluated child interval lists:
+    * classic min-window sweep — one cursor per child, record the current
+    * window, advance the child whose interval starts first.
+    */
+  private def unorderedSweep(lists: Array[Array[Iv]]): Array[Iv] = {
+    if (lists.exists(_.isEmpty)) Array.empty[Iv]
+    else {
+      val idx = Array.fill(lists.length)(0)
+      val out = new scala.collection.mutable.ArrayBuffer[Iv]()
+      var done = false
+      while (!done) {
+        var mnStart = Int.MaxValue; var mxEnd = Int.MinValue
+        var covered = 0; var argmin = -1
+        var i = 0
+        while (i < lists.length) {
+          val iv = lists(i)(idx(i))
+          if (iv._1 < mnStart) { mnStart = iv._1; argmin = i }
+          if (iv._2 > mxEnd) mxEnd = iv._2
+          covered += iv._3
+          i += 1
         }
-        minimalize(out.toArray)
+        out += ((mnStart, mxEnd, math.min(covered, mxEnd - mnStart + 1)))
+        idx(argmin) += 1
+        if (idx(argmin) >= lists(argmin).length) done = true
       }
+      minimalize(out.toArray)
+    }
   }
 
   private def indexOfFirstStartAfter(lst: Array[Iv], pos: Int): Int = {

@@ -565,6 +565,17 @@ object MoreQueries {
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
+  /** The deterministic half-block structure shared by every block-join
+    * direction: token array, first half (ceil), second half. ONE
+    * definition so parent/child/scored can never disagree on boundaries.
+    */
+  private def halfBlocks: (Column, Column, Column) = {
+    val l = split(col("text"), " ")
+    val n = size(l)
+    val half = ((n + 1) / 2).cast("int") // Column `/` is double division
+    (l, slice(l, lit(1), half), slice(l, half + 1, n - half))
+  }
+
   /** ToParentBlockJoinQuery [8x search/join/ToParentBlockJoinQuery.java,
     * Solr BlockJoinParentQParser `{!parent}`]: parent docs having ≥ 1
     * CHILD matching the child query, with the matching-child count.
@@ -577,11 +588,7 @@ object MoreQueries {
     */
   def blockJoinParents(spark: SparkSession, corpus: DataFrame,
                        t1: String, t2: String): DataFrame = {
-    val l = split(col("text"), " ")
-    val n = size(l)
-    val half = ((n + 1) / 2).cast("int") // Column `/` is double division
-    val c0 = slice(l, lit(1), half)
-    val c1 = slice(l, half + 1, n - half)
+    val (_, c0, c1) = halfBlocks
     def hits(c: Column): Column =
       (array_contains(c, t1) && array_contains(c, t2)).cast("long")
     corpus
@@ -646,11 +653,7 @@ object MoreQueries {
     */
   def blockJoinScored(spark: SparkSession, corpus: DataFrame,
                       t1: String, t2: String): DataFrame = {
-    val l = split(col("text"), " ")
-    val n = size(l)
-    val half = ((n + 1) / 2).cast("int") // Column `/` is double division
-    val c0 = slice(l, lit(1), half)
-    val c1 = slice(l, half + 1, n - half)
+    val (_, c0, c1) = halfBlocks
     def tf(c: Column, t: String): Column =
       size(filter(c, x => x === t)).cast("long")
     def childScore(c: Column): Column =
@@ -670,15 +673,13 @@ object MoreQueries {
     */
   def blockJoinChildren(spark: SparkSession, corpus: DataFrame,
                         parentTerm: String): DataFrame = {
-    val l = split(col("text"), " ")
-    val n = size(l)
-    val half = ((n + 1) / 2).cast("int") // Column `/` is double division
+    val (l, c0, c1) = halfBlocks
     corpus
       .where(array_contains(l, parentTerm))
       .select(col("doc_id"),
         explode(array(
-          struct(lit(0).as("child_ord"), size(slice(l, lit(1), half)).as("n_tokens")),
-          struct(lit(1).as("child_ord"), size(slice(l, half + 1, n - half)).as("n_tokens"))
+          struct(lit(0).as("child_ord"), size(c0).as("n_tokens")),
+          struct(lit(1).as("child_ord"), size(c1).as("n_tokens"))
         )).as("ch"))
       .select(col("doc_id"), col("ch.child_ord"), col("ch.n_tokens"))
   }
