@@ -38,6 +38,15 @@ object SparkEntry {
       val v = IndexCache.documentsIndex(s, dir)
       quantize(ExactSearch.topK(s, v, Seq("spark", "join"), 10, DoubleOracle), 10)
     }),
+    "frange_filter" -> ((s, dir) => {
+      // Solr {!frange l=.. u=..} over query(...): docs whose function
+      // value (here the BM25 score, quantized) lies in a band — a
+      // filter over the scoring frame, not a top-k cut
+      val v = IndexCache.documentsIndex(s, dir)
+      quantize(graft.search.ExactSearch.scored(s, v, Seq("spark", "join"),
+          DoubleOracle), 0)
+        .where(col("score_q").between(2000L, 3000L))
+    }),
     "bm25_topk_bmw" -> ((s, dir) => {
       val v = IndexCache.documentsIndex(s, dir)
       quantize(BmwSearch.topK(s, v, Seq("merge", "dup", "scan"), 10, DoubleOracle), 10)
@@ -798,6 +807,11 @@ object SparkEntry {
     "bm25_topk_exact" -> OracleGen.bm25TopKSql(Seq("spark", "join"), 10),
     "bm25_topk_bmw" -> OracleGen.bm25TopKSql(Seq("merge", "dup", "scan"), 10),
     "bm25_topk_and" -> OracleGen.bm25TopKSql(Seq("vector", "window"), 10, minShouldMatch = 2),
+    "frange_filter" ->
+      s"""WITH ${OracleGen.bm25Ctes(Seq("spark", "join"))}
+         |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q
+         |FROM sc
+         |WHERE CAST(round(score * 10000) AS BIGINT) BETWEEN 2000 AND 3000""".stripMargin,
     "term_df_salted" -> OracleGen.termDfSql,
     "segment_merge" -> OracleGen.termDfSql,
     "tiered_merge" -> OracleGen.termDfSql,
