@@ -432,6 +432,19 @@ object SparkEntry {
       I.matches(s, IndexCache.documentsIndex(s, dir),
         I.AtLeast(2, Seq(I.Term("hash"), I.Term("join"), I.Term("scan"))))
     }),
+    "interval_scored_topk" -> ((s, dir) => {
+      // IntervalQuery scoring [8x queries/intervals/IntervalQuery.java]:
+      // saturation score freq/(freq+pivot), pivot=1, over the per-doc
+      // minimal-interval count; top-k with the docID tie-break
+      import graft.search.{Interval => I}
+      I.matches(s, IndexCache.documentsIndex(s, dir),
+          I.Ordered(Seq(I.Term("hash"),
+            I.Or(Seq(I.Term("join"), I.Term("merge")))), maxGaps = 2))
+        .select(col("doc_id"),
+          round(lit(10000.0) * col("n_intervals") / (col("n_intervals") + lit(1.0)))
+            .cast("long").as("score_q"))
+        .orderBy(col("score_q").desc, col("doc_id").asc).limit(10)
+    }),
     "interval_not_containing" -> ((s, dir) => {
       // negated interval filter: the same minimal ordered intervals,
       // minus those containing a 'scan' position — docs with NO 'scan'
@@ -1022,6 +1035,29 @@ object SparkEntry {
         |)
         |SELECT doc_id, CAST(count(*) AS INT) AS n_intervals FROM minimal
         |WHERE q - p - 1 <= 2 GROUP BY doc_id""".stripMargin,
+    "interval_scored_topk" ->
+      """WITH lists AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), tokpos AS (
+        |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+        |  FROM lists
+        |), a AS (SELECT doc_id, pos FROM tokpos WHERE term = 'hash'),
+        |   b AS (SELECT doc_id, pos FROM tokpos WHERE term IN ('join', 'merge')),
+        |   pairs AS (
+        |  SELECT b.doc_id, b.pos AS q, max(a.pos) AS p
+        |  FROM b JOIN a ON a.doc_id = b.doc_id AND a.pos < b.pos
+        |  GROUP BY b.doc_id, b.pos
+        |), minimal AS (
+        |  SELECT doc_id, p, q FROM pairs
+        |  WHERE q = (SELECT min(b2.pos) FROM b b2
+        |             WHERE b2.doc_id = pairs.doc_id AND b2.pos > pairs.p)
+        |), freq AS (
+        |  SELECT doc_id, count(*) AS n FROM minimal
+        |  WHERE q - p - 1 <= 2 GROUP BY doc_id
+        |)
+        |SELECT doc_id,
+        |  CAST(round(10000.0 * n / (n + 1.0)) AS BIGINT) AS score_q
+        |FROM freq ORDER BY score_q DESC, doc_id ASC LIMIT 10""".stripMargin,
     // minimal 2-of-3 windows = pair windows with proper containments
     // dropped (UNION dedups; the NOT EXISTS keeps only minimal ones)
     "interval_at_least" ->
