@@ -799,6 +799,8 @@ object SparkEntry {
     "dedup_clusters" -> (graft.operators.TrainingData.dedupClusters _),
     "sample_stratified" -> (graft.operators.TrainingData.sampleStratified _),
     "lm_surprisal" -> (graft.operators.TrainingData.lmSurprisal _),
+    "quality_quantile" -> (graft.operators.TrainingData.qualityQuantile _),
+    "source_cap" -> ((s, dir) => graft.operators.TrainingData.sourceCap(s, dir)),
     "pack_sequences" -> ((s, dir) => graft.operators.TrainingData.packSequences(s, dir)),
     "dup_ngram_prune" -> ((s, dir) => graft.operators.TrainingData.dupNgramPrune(s, dir)),
     "ann_cosine_topk" -> ((s, dir) => graft.operators.Vectors.annBruteTopK(s, dir)),
@@ -1252,6 +1254,8 @@ object SparkEntry {
     "dedup_clusters" -> TrainingOracles.dedupClusters,
     "sample_stratified" -> TrainingOracles.sampleStratified,
     "lm_surprisal" -> TrainingOracles.lmSurprisal,
+    "quality_quantile" -> TrainingOracles.qualityQuantile,
+    "source_cap" -> TrainingOracles.sourceCap(10),
     "pack_sequences" -> TrainingOracles.packSequences(512L),
     "dup_ngram_prune" -> TrainingOracles.dupNgramPrune,
     "common_terms_topk" -> OracleGen.commonTermsSql(Seq("dup", "spark", "merge"), 0.1, 10),

@@ -72,6 +72,30 @@ object TrainingOracles {
       |FROM sh JOIN sdf ON sh.s = sdf.s
       |GROUP BY sh.doc_id""".stripMargin
 
+  /** Per-lang 60th-percentile n_chars threshold filter (quantile_cont
+    * == Spark's exact `percentile`).
+    */
+  val qualityQuantile: String =
+    """WITH thr AS (
+      |  SELECT lang, quantile_cont(n_chars, 0.6) AS thr
+      |  FROM documents GROUP BY lang)
+      |SELECT d.lang, count(*) AS n_kept,
+      |  CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+      |FROM documents d JOIN thr ON d.lang = thr.lang
+      |WHERE d.n_chars >= thr.thr
+      |GROUP BY d.lang""".stripMargin
+
+  /** Per-source cap via the same deterministic (md5, doc_id) rank. */
+  def sourceCap(cap: Int): String =
+    s"""WITH rk AS (
+       |  SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM documents)
+       |SELECT source, count(*) AS n_kept,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM rk WHERE rk <= $cap GROUP BY source""".stripMargin
+
   /** Unigram-LM surprisal: ln(ctf) quantized ONCE per distinct term
     * (one deterministic double op in each engine), then integer sums —
     * no cross-engine float-summation-order hazard.

@@ -698,6 +698,39 @@ object TrainingData {
         (count(lit(1)) * lit(qLnTotal) - sum(col("q_ln"))).as("surprisal_scaled"))
   }
 
+  /** Per-stratum quality-quantile filter (Gopher/CCNet-style: keep the
+    * top tail of a quality signal within each language): threshold =
+    * exact 60th percentile of n_chars per lang (a TINY per-stratum agg,
+    * broadcast back), filter is then fully narrow. Spark `percentile`
+    * and DuckDB `quantile_cont` compute the same interpolated value.
+    */
+  def qualityQuantile(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val thr = d.groupBy("lang")
+      .agg(expr("percentile(n_chars, 0.6)").as("thr"))
+    d.join(broadcast(thr), Seq("lang"))
+      .where(col("n_chars") >= col("thr"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+  }
+
+  /** Per-source cap (domain balancing: no source may contribute more
+    * than `cap` docs): deterministic survivors via a rank over
+    * (md5(doc_id), doc_id) WITHIN each source — a partitioned window
+    * (hash-exchange on source, never a single-partition sort), the
+    * WindowGroupLimit shape Spark pushes down.
+    */
+  def sourceCap(s: SparkSession, dir: String, cap: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= cap)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+  }
+
   def urlNormalize(s: SparkSession, dir: String): DataFrame = {
     val raw = concat(
       lit("HTTP://Example"), (col("doc_id") % 50).cast("string"),

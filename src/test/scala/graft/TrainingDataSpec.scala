@@ -277,6 +277,50 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("quality_quantile equals brute-force interpolated percentile filter") {
+    val sf = "/root/testdata/sf0.001"
+    val got = TrainingData.qualityQuantile(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def pct60(xs: Seq[Long]): Double = {
+      val s = xs.sorted; val rank = (s.size - 1) * 0.6
+      val lo = s(rank.toInt); val hi = s(math.ceil(rank).toInt)
+      lo + (rank - rank.toInt) * (hi - lo)
+    }
+    val want = rows.groupBy(_._1).map { case (lang, rs) =>
+      val thr = pct60(rs.map(_._3).toSeq)
+      val kept = rs.filter(_._3 >= thr)
+      (lang, kept.length.toLong, kept.map(_._2).sum)
+    }.toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("source_cap keeps exactly cap deterministic survivors per source") {
+    val sf = "/root/testdata/sf0.001"
+    val got = TrainingData.sourceCap(spark, sf, cap = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = rows.groupBy(_._1).map { case (src, rs) =>
+      val kept = rs.sortBy(r => (md5hex(r._2.toString), r._2)).take(10)
+      (src, kept.length.toLong, kept.map(_._2).sum)
+    }.toSet
+    assert(got == want)
+    // same survivors at another parallelism (partitioned window is
+    // scheduling-independent)
+    val again = TrainingData.sourceCap(spark, sf, cap = 10)
+      .repartition(7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == want)
+  }
+
   test("lm_surprisal equals brute-force quantized unigram surprisal") {
     val sf = "/root/testdata/sf0.001"
     val got = TrainingData.lmSurprisal(spark, sf)
