@@ -432,6 +432,13 @@ object SparkEntry {
       I.matches(s, IndexCache.documentsIndex(s, dir),
         I.AtLeast(2, Seq(I.Term("hash"), I.Term("join"), I.Term("scan"))))
     }),
+    "interval_prefix" -> ((s, dir) => {
+      // dictionary-expanded interval source: ordered(prefix("s"), join)
+      // — prefix resolves to {scan, slow, small, sort, spark, stream}
+      import graft.search.{Interval => I}
+      I.matches(s, IndexCache.documentsIndex(s, dir),
+        I.Ordered(Seq(I.Prefix("s"), I.Term("join"))))
+    }),
     "interval_scored_topk" -> ((s, dir) => {
       // IntervalQuery scoring [8x queries/intervals/IntervalQuery.java]:
       // saturation score freq/(freq+pivot), pivot=1, over the per-doc
@@ -1037,6 +1044,27 @@ object SparkEntry {
         |)
         |SELECT doc_id, CAST(count(*) AS INT) AS n_intervals FROM minimal
         |WHERE q - p - 1 <= 2 GROUP BY doc_id""".stripMargin,
+    // same mutual-nearest minimal-pair formulation as interval_query,
+    // with the first child as the prefix-expanded term set
+    "interval_prefix" ->
+      """WITH lists AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), tokpos AS (
+        |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+        |  FROM lists
+        |), a AS (SELECT doc_id, pos FROM tokpos WHERE term LIKE 's%'),
+        |   b AS (SELECT doc_id, pos FROM tokpos WHERE term = 'join'),
+        |   pairs AS (
+        |  SELECT b.doc_id, b.pos AS q, max(a.pos) AS p
+        |  FROM b JOIN a ON a.doc_id = b.doc_id AND a.pos < b.pos
+        |  GROUP BY b.doc_id, b.pos
+        |), minimal AS (
+        |  SELECT doc_id, p, q FROM pairs
+        |  WHERE q = (SELECT min(b2.pos) FROM b b2
+        |             WHERE b2.doc_id = pairs.doc_id AND b2.pos > pairs.p)
+        |)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_intervals FROM minimal
+        |GROUP BY doc_id""".stripMargin,
     "interval_scored_topk" ->
       """WITH lists AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents

@@ -28,6 +28,9 @@ import graft.index.IndexView
  *                               (Intervals.overlapping/nonOverlapping)
  *  - [[Interval.AtLeast]]     — minimal windows covering n of k
  *                               children (Intervals.atLeast)
+ *  - [[Interval.Extend]]      — pad intervals (Intervals.extend)
+ *  - [[Interval.Prefix]] / [[Interval.Wildcard]] — dictionary-expanded
+ *                               sources, resolved via [[resolve]]
  *
  * Evaluation is per document over decoded position lists (the same
  * two-phase shape as phrase/span matching: docs first, positions only
@@ -81,6 +84,50 @@ object Interval {
     require(n >= 1 && n <= children.size, "need 1 <= n <= #children")
     require(children.size <= 8, "atLeast children capped at 8")
   }
+  /** Dictionary-expanded sources (Intervals.prefix / Intervals.wildcard):
+    * rewritten by [[resolve]] into an Or over the matching terms of the
+    * index's term dictionary, capped at 128 expansions like the
+    * reference's automaton bound.
+    */
+  final case class Prefix(prefix: String) extends Expr
+  final case class Wildcard(pattern: String) extends Expr
+  /** Pad every child interval by `before`/`after` positions
+    * (Intervals.extend); padding counts as covered for the gap metric,
+    * start clamped at 0, re-minimalized (clamping can create
+    * containment).
+    */
+  final case class Extend(child: Expr, before: Int, after: Int) extends Expr
+
+  val MaxDictExpansions = 128 // the reference's interval automaton cap
+
+  /** Rewrite dictionary-expanded sources against the index's term
+    * dictionary. MUST run before [[eval]]/[[matches]] sees the tree —
+    * Prefix/Wildcard have no term set until resolved.
+    */
+  def resolve(e: Expr, view: IndexView): Expr = e match {
+    case Prefix(p) =>
+      val ts = MoreQueries.prefixTerms(view, p)
+      require(ts.size <= MaxDictExpansions,
+        s"prefix '$p' expands to > $MaxDictExpansions terms")
+      Or(ts.map(Term(_)))
+    case Wildcard(w) =>
+      val ts = MoreQueries.wildcardTerms(view, w)
+      require(ts.size <= MaxDictExpansions,
+        s"wildcard '$w' expands to > $MaxDictExpansions terms")
+      Or(ts.map(Term(_)))
+    case Term(_)        => e
+    case Or(cs)         => Or(cs.map(resolve(_, view)))
+    case Ordered(cs, g) => Ordered(cs.map(resolve(_, view)), g)
+    case Unordered(cs)  => Unordered(cs.map(resolve(_, view)))
+    case MaxWidth(c, w) => MaxWidth(resolve(c, view), w)
+    case Containing(b, sm, n)  => Containing(resolve(b, view), resolve(sm, view), n)
+    case ContainedBy(sm, b, n) => ContainedBy(resolve(sm, view), resolve(b, view), n)
+    case Before(a, b)      => Before(resolve(a, view), resolve(b, view))
+    case After(a, b)       => After(resolve(a, view), resolve(b, view))
+    case Overlapping(a, b, n) => Overlapping(resolve(a, view), resolve(b, view), n)
+    case AtLeast(n, cs)    => AtLeast(n, cs.map(resolve(_, view)))
+    case Extend(c, b, a)   => Extend(resolve(c, view), b, a)
+  }
 
   /** All terms referenced by an expression. */
   def termsOf(e: Expr): Seq[String] = e match {
@@ -95,6 +142,9 @@ object Interval {
     case After(a, b)          => termsOf(a) ++ termsOf(b)
     case Overlapping(a, b, _) => termsOf(a) ++ termsOf(b)
     case AtLeast(_, cs)       => cs.flatMap(termsOf)
+    case Extend(c, _, _)      => termsOf(c)
+    case Prefix(p)   => sys.error(s"unresolved Prefix($p): call resolve() first")
+    case Wildcard(w) => sys.error(s"unresolved Wildcard($w): call resolve() first")
   }
 
   /** Necessary term groups of an expression: a matching doc must contain
@@ -124,6 +174,9 @@ object Interval {
     case AtLeast(n, cs) =>
       if (n == cs.size) cs.flatMap(requiredGroups)
       else Seq(cs.flatMap(termsOf).distinct)
+    case Extend(c, _, _) => requiredGroups(c)
+    case Prefix(p)   => sys.error(s"unresolved Prefix($p): call resolve() first")
+    case Wildcard(w) => sys.error(s"unresolved Wildcard($w): call resolve() first")
   }
 
   /** (start, end, coveredLen) — coveredLen is the total length of the
@@ -203,6 +256,13 @@ object Interval {
         minimalize(out).filter(iv =>
           maxGaps < 0 || (iv._2 - iv._1 + 1) - iv._3 <= maxGaps)
       }
+    case Extend(c, before, after) =>
+      minimalize(eval(c, posByTerm).map { iv =>
+        val ns = math.max(0, iv._1 - before)
+        (ns, iv._2 + after, iv._3 + (iv._1 - ns) + after)
+      })
+    case Prefix(p)   => sys.error(s"unresolved Prefix($p): call resolve() first")
+    case Wildcard(w) => sys.error(s"unresolved Wildcard($w): call resolve() first")
     case AtLeast(n, cs) =>
       // evaluate every child ONCE, sweep each n-subset over the cached
       // interval lists (a child appears in C(k-1, n-1) subsets)
@@ -257,8 +317,9 @@ object Interval {
     * — the IntervalQuery match surface (its score would feed the same
     * per-doc freq into the similarity, like phrase_tf).
     */
-  def matches(spark: SparkSession, view: IndexView, expr: Expr): DataFrame = {
+  def matches(spark: SparkSession, view: IndexView, expr0: Expr): DataFrame = {
     import spark.implicits._
+    val expr = resolve(expr0, view) // expand prefix/wildcard sources
     val terms = termsOf(expr).distinct
     val bcExpr = spark.sparkContext.broadcast(expr)
     val perDoc = MoreQueries.positionalPostings(spark, view, terms,

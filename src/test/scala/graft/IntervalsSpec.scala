@@ -146,6 +146,44 @@ class IntervalsSpec extends AnyFunSuite {
       List((1, 5), (5, 6)))
   }
 
+  test("extend pads intervals, clamps at 0, and re-minimalizes") {
+    val pos = Map("a" -> Array(0, 3), "b" -> Array(1, 4))
+    // phrase (a,b): (0,1) and (3,4); extend before=2 after=1 ->
+    // (0,2) [clamped] and (1,5): neither contains the other
+    val ph = I.PhraseOf(Seq(I.Term("a"), I.Term("b")))
+    assert(ev(I.Extend(ph, 2, 1), pos) == List((0, 2), (1, 5)))
+    // padding counts as covered: ordered(extend(a,0,1), b) with
+    // maxgaps=0 matches a@0 (covers 0-1) then b... build via gaps check
+    val pos2 = Map("a" -> Array(0), "b" -> Array(2))
+    assert(ev(I.Ordered(Seq(I.Extend(I.Term("a"), 0, 1), I.Term("b")),
+      maxGaps = 0), pos2) == List((0, 2)))
+    assert(ev(I.Ordered(Seq(I.Term("a"), I.Term("b")),
+      maxGaps = 0), pos2) == Nil) // without the pad, gap 1 > 0
+  }
+
+  test("prefix/wildcard interval sources resolve against the term dictionary") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, "u", "alpha alps beta"),
+      (1L, "u", "alto beta gamma"),
+      (2L, "u", "beta gamma delta")
+    ).toDF("doc_id", "url", "text")
+    val v = Indexer.buildTables(spark, Indexer.asDocInput(spark, tiny), 16L)
+    // prefix al* = {alpha, alps, alto}; ordered(al*, beta)
+    val got = I.matches(spark, v,
+      I.Ordered(Seq(I.Prefix("al"), I.Term("beta"))))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == Map(0L -> 1, 1L -> 1))
+    val wc = I.matches(spark, v,
+      I.Ordered(Seq(I.Wildcard("al?s"), I.Term("beta"))))
+      .collect().map(_.getLong(0)).toSet
+    assert(wc == Set(0L)) // only 'alps'
+    // unresolved use fails fast
+    intercept[RuntimeException] {
+      I.eval(I.Prefix("al"), Map.empty)
+    }
+  }
+
   test("property: ordered/unordered minimal sets equal brute force on random positions") {
     val rnd = new scala.util.Random(7)
     // brute-force reference: enumerate ALL tuples, build their spans,
