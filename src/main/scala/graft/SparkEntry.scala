@@ -816,6 +816,8 @@ object SparkEntry {
     // IVF coarse-quantizer ANN (rows-only: approximate by design; recall
     // evidence vs brute force in graft.AnnRecall / BASELINE.md)
     "ann_ivf_topk" -> ((s, dir) => graft.operators.Vectors.annIvfTopK(s, dir)),
+    // int8 scalar-quantized ANN: deterministic two-stage, exact oracle
+    "ann_sq8_topk" -> ((s, dir) => graft.operators.Vectors.annSq8TopK(s, dir)),
     "binary_meta" -> (graft.operators.Multimodal.binaryMeta _),
     "multimodal_decode" -> (graft.operators.Multimodal.mediaFeatures _),
   )
@@ -1282,6 +1284,7 @@ object SparkEntry {
     "dedup_clusters" -> TrainingOracles.dedupClusters,
     "sample_stratified" -> TrainingOracles.sampleStratified,
     "lm_surprisal" -> TrainingOracles.lmSurprisal,
+    "ann_sq8_topk" -> TrainingOracles.annSq8TopK(0L, 10, 4),
     "quality_quantile" -> TrainingOracles.qualityQuantile,
     "source_cap" -> TrainingOracles.sourceCap(10),
     "pack_sequences" -> TrainingOracles.packSequences(512L),

@@ -96,6 +96,37 @@ object TrainingOracles {
        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
        |FROM rk WHERE rk <= $cap GROUP BY source""".stripMargin
 
+  /** int8 scalar-quantized ANN, two-stage replay: the same corpus-wide
+    * symmetric scale, integer code dot for the oversampled candidate
+    * cut (ties by vec_id), exact cosine rerank — deterministic, so the
+    * oracle is exact despite the op being "approximate" vs brute force.
+    */
+  def annSq8TopK(queryId: Long, k: Int, oversample: Int): String =
+    s"""WITH sc AS (
+       |  SELECT max(list_max(list_transform(embedding, x -> abs(x)))) AS s
+       |  FROM embeddings),
+       |codes AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) / sc.s * 127) AS BIGINT)) AS c
+       |  FROM embeddings CROSS JOIN sc),
+       |q AS (SELECT c AS qc, embedding AS qv FROM codes WHERE vec_id = $queryId),
+       |cand AS (
+       |  SELECT codes.vec_id, codes.embedding, q.qv,
+       |    CAST(list_dot_product(codes.c, q.qc) AS BIGINT) AS dot8
+       |  FROM codes CROSS JOIN q WHERE codes.vec_id <> $queryId
+       |  ORDER BY dot8 DESC, codes.vec_id ASC LIMIT ${k * oversample})
+       |SELECT vec_id,
+       |  CAST(round(list_dot_product(
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+       |      list_transform(qv, x -> CAST(x AS DOUBLE)))
+       |    / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+       |                             list_transform(embedding, x -> CAST(x AS DOUBLE))))
+       |     * sqrt(list_dot_product(list_transform(qv, x -> CAST(x AS DOUBLE)),
+       |                             list_transform(qv, x -> CAST(x AS DOUBLE)))))
+       |    * 1e6) AS BIGINT) AS sim_q
+       |FROM cand ORDER BY sim_q DESC, vec_id ASC LIMIT $k""".stripMargin
+
   /** Unigram-LM surprisal: ln(ctf) quantized ONCE per distinct term
     * (one deterministic double op in each engine), then integer sums —
     * no cross-engine float-summation-order hazard.

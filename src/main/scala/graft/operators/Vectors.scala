@@ -46,6 +46,43 @@ object Vectors {
       .limit(k)
   }
 
+  /** Scalar-quantized (int8) ANN — the memory-compression scale path:
+    * components are symmetrically quantized to [-127, 127] against ONE
+    * corpus-wide scale (a tiny agg scalar), so the candidate scan reads
+    * 1 byte/dim instead of 4 (at 100 TB the stage-1 scan touches ONLY
+    * the code column; the float embeddings are fetched just for the
+    * oversampled candidate set). Stage 1 ranks by the integer code dot
+    * (fixed-k TakeOrdered, k·oversample — NOT proportional to corpus
+    * size); stage 2 exact-cosine-reranks the candidates. Fully
+    * deterministic (integer ties broken by vec_id), so the DuckDB twin
+    * replays both stages exactly.
+    */
+  def annSq8TopK(s: SparkSession, dir: String, queryId: Long = 0L,
+                 k: Int = 10, oversample: Int = 4): DataFrame = {
+    val e = emb(s, dir)
+    val absMax = aggregate(transform(col("embedding"),
+      x => abs(x.cast("double"))), lit(0.0), (a, x) => greatest(a, x))
+    val scale = e.agg(max(absMax)).head().getDouble(0)
+    val codes = e.select(col("vec_id"), col("embedding"),
+      transform(col("embedding"),
+        x => round(x.cast("double") / scale * 127).cast("long")).as("c"))
+    val q = codes.where(col("vec_id") === queryId)
+      .select(col("c").as("qc"), col("embedding").as("qv"))
+    val cand = codes.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("embedding"), col("qv"),
+        aggregate(zip_with(col("c"), col("qc"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).as("dot8"))
+      .orderBy(col("dot8").desc, col("vec_id").asc)
+      .limit(k * oversample)
+    cand.select(col("vec_id"),
+        round(dotD(col("embedding"), col("qv"))
+          / (normD(col("embedding")) * normD(col("qv"))) * 1e6)
+          .cast("long").as("sim_q"))
+      .orderBy(col("sim_q").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Batch ANN (KnnStream analog): MANY query vectors answered in ONE
     * join + window plan — no per-query driver action (round-1 advisor:
     * batch workloads should join, not loop). Queries broadcast; per-

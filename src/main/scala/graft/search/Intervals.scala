@@ -91,6 +91,7 @@ object Interval {
     */
   final case class Prefix(prefix: String) extends Expr
   final case class Wildcard(pattern: String) extends Expr
+  final case class Fuzzy(term: String, maxEdits: Int = 1) extends Expr
   /** Pad every child interval by `before`/`after` positions
     * (Intervals.extend); padding counts as covered for the gap metric,
     * start clamped at 0, re-minimalized (clamping can create
@@ -114,6 +115,11 @@ object Interval {
       val ts = MoreQueries.wildcardTerms(view, w)
       require(ts.size <= MaxDictExpansions,
         s"wildcard '$w' expands to > $MaxDictExpansions terms")
+      Or(ts.map(Term(_)))
+    case Fuzzy(t, n) =>
+      val ts = MoreQueries.fuzzyTerms(view, t, n)
+      require(ts.size <= MaxDictExpansions,
+        s"fuzzy '$t'~$n expands to > $MaxDictExpansions terms")
       Or(ts.map(Term(_)))
     case Term(_)        => e
     case Or(cs)         => Or(cs.map(resolve(_, view)))
@@ -145,6 +151,7 @@ object Interval {
     case Extend(c, _, _)      => termsOf(c)
     case Prefix(p)   => sys.error(s"unresolved Prefix($p): call resolve() first")
     case Wildcard(w) => sys.error(s"unresolved Wildcard($w): call resolve() first")
+    case Fuzzy(t, _) => sys.error(s"unresolved Fuzzy($t): call resolve() first")
   }
 
   /** Necessary term groups of an expression: a matching doc must contain
@@ -177,6 +184,7 @@ object Interval {
     case Extend(c, _, _) => requiredGroups(c)
     case Prefix(p)   => sys.error(s"unresolved Prefix($p): call resolve() first")
     case Wildcard(w) => sys.error(s"unresolved Wildcard($w): call resolve() first")
+    case Fuzzy(t, _) => sys.error(s"unresolved Fuzzy($t): call resolve() first")
   }
 
   /** (start, end, coveredLen) — coveredLen is the total length of the
@@ -263,6 +271,7 @@ object Interval {
       })
     case Prefix(p)   => sys.error(s"unresolved Prefix($p): call resolve() first")
     case Wildcard(w) => sys.error(s"unresolved Wildcard($w): call resolve() first")
+    case Fuzzy(t, _) => sys.error(s"unresolved Fuzzy($t): call resolve() first")
     case AtLeast(n, cs) =>
       // evaluate every child ONCE, sweep each n-subset over the cached
       // interval lists (a child appears in C(k-1, n-1) subsets)

@@ -178,6 +178,11 @@ class IntervalsSpec extends AnyFunSuite {
       I.Ordered(Seq(I.Wildcard("al?s"), I.Term("beta"))))
       .collect().map(_.getLong(0)).toSet
     assert(wc == Set(0L)) // only 'alps'
+    // fuzzy: 'alpa'~1 = {alpha (+h), alps (s->a)}; alto is 2 edits
+    val fz = I.matches(spark, v,
+      I.Ordered(Seq(I.Fuzzy("alpa", 1), I.Term("beta"))))
+      .collect().map(_.getLong(0)).toSet
+    assert(fz == Set(0L))
     // unresolved use fails fast
     intercept[RuntimeException] {
       I.eval(I.Prefix("al"), Map.empty)

@@ -89,6 +89,24 @@ class VectorsSpec extends AnyFunSuite {
     assert(avg >= 0.9, s"clustered IVF recall too low: $recalls")
   }
 
+  test("sq8 ANN: high recall vs brute force at 4x oversample, deterministic") {
+    val dir = "/root/testdata/sf0.01"
+    val qids = Seq(0L, 7L, 42L)
+    val recalls = qids.map { q =>
+      val brute = Vectors.annBruteTopK(spark, dir, q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val sq = Vectors.annSq8TopK(spark, dir, q, 10)
+        .collect().map(_.getLong(0)).toSet
+      brute.intersect(sq).size / 10.0
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.9, s"sq8 recall too low: $recalls")
+    // deterministic: identical result on a second run
+    val a = Vectors.annSq8TopK(spark, dir, 0L, 10).collect().map(_.getLong(0)).toSeq
+    val b = Vectors.annSq8TopK(spark, dir, 0L, 10).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
   test("sketch is deterministic and hamming is a plausible angle proxy") {
     val v = Array.tabulate(64)(i => (i % 7 - 3).toFloat / 3f)
     assert(Vectors.sketchOf(v).toSeq == Vectors.sketchOf(v.clone()).toSeq)
