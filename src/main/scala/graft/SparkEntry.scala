@@ -432,6 +432,21 @@ object SparkEntry {
       I.matches(s, IndexCache.documentsIndex(s, dir),
         I.AtLeast(2, Seq(I.Term("hash"), I.Term("join"), I.Term("scan"))))
     }),
+    "span_first" -> ((s, dir) => {
+      // SpanFirstQuery: 'hash' occurrences within the first 10 positions
+      import graft.search.{Interval => I}
+      I.matches(s, IndexCache.documentsIndex(s, dir),
+        I.First(I.Term("hash"), 10))
+    }),
+    "left_outer_join" -> ((s, dir) => {
+      // OuterHashJoinStream/LeftOuterJoinStream: customers kept with
+      // n_orders = 0 when no order matches (null-side aggregation)
+      val c = s.read.parquet(s"$dir/customer.parquet").select("c_custkey")
+      val o = s.read.parquet(s"$dir/orders.parquet").select("o_custkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L)).as("n_orders"))
+    }),
     "interval_prefix" -> ((s, dir) => {
       // dictionary-expanded interval source: ordered(prefix("s"), join)
       // — prefix resolves to {scan, slow, small, sort, spark, stream}
@@ -1046,6 +1061,21 @@ object SparkEntry {
         |)
         |SELECT doc_id, CAST(count(*) AS INT) AS n_intervals FROM minimal
         |WHERE q - p - 1 <= 2 GROUP BY doc_id""".stripMargin,
+    "span_first" ->
+      """WITH lists AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), tokpos AS (
+        |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+        |  FROM lists
+        |)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_intervals FROM tokpos
+        |WHERE term = 'hash' AND pos <= 10 GROUP BY doc_id""".stripMargin,
+    "left_outer_join" ->
+      """SELECT c.c_custkey,
+        |  CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_orders
+        |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey""".stripMargin,
     // same mutual-nearest minimal-pair formulation as interval_query,
     // with the first child as the prefix-expanded term set
     "interval_prefix" ->

@@ -92,6 +92,10 @@ object Interval {
   final case class Prefix(prefix: String) extends Expr
   final case class Wildcard(pattern: String) extends Expr
   final case class Fuzzy(term: String, maxEdits: Int = 1) extends Expr
+  /** Intervals ending within the first `n` positions (SpanFirstQuery
+    * [8x search/spans/SpanFirstQuery.java]: end < n, 0-based).
+    */
+  final case class First(child: Expr, n: Int) extends Expr
   /** Pad every child interval by `before`/`after` positions
     * (Intervals.extend); padding counts as covered for the gap metric,
     * start clamped at 0, re-minimalized (clamping can create
@@ -121,6 +125,7 @@ object Interval {
       require(ts.size <= MaxDictExpansions,
         s"fuzzy '$t'~$n expands to > $MaxDictExpansions terms")
       Or(ts.map(Term(_)))
+    case First(c, n)       => First(resolve(c, view), n)
     case Term(_)        => e
     case Or(cs)         => Or(cs.map(resolve(_, view)))
     case Ordered(cs, g) => Ordered(cs.map(resolve(_, view)), g)
@@ -149,6 +154,7 @@ object Interval {
     case Overlapping(a, b, _) => termsOf(a) ++ termsOf(b)
     case AtLeast(_, cs)       => cs.flatMap(termsOf)
     case Extend(c, _, _)      => termsOf(c)
+    case First(c, _)          => termsOf(c)
     case Prefix(p)   => sys.error(s"unresolved Prefix($p): call resolve() first")
     case Wildcard(w) => sys.error(s"unresolved Wildcard($w): call resolve() first")
     case Fuzzy(t, _) => sys.error(s"unresolved Fuzzy($t): call resolve() first")
@@ -182,6 +188,7 @@ object Interval {
       if (n == cs.size) cs.flatMap(requiredGroups)
       else Seq(cs.flatMap(termsOf).distinct)
     case Extend(c, _, _) => requiredGroups(c)
+    case First(c, _)     => requiredGroups(c)
     case Prefix(p)   => sys.error(s"unresolved Prefix($p): call resolve() first")
     case Wildcard(w) => sys.error(s"unresolved Wildcard($w): call resolve() first")
     case Fuzzy(t, _) => sys.error(s"unresolved Fuzzy($t): call resolve() first")
@@ -264,6 +271,8 @@ object Interval {
         minimalize(out).filter(iv =>
           maxGaps < 0 || (iv._2 - iv._1 + 1) - iv._3 <= maxGaps)
       }
+    case First(c, n) =>
+      eval(c, posByTerm).filter(_._2 < n) // filter keeps minimality
     case Extend(c, before, after) =>
       minimalize(eval(c, posByTerm).map { iv =>
         val ns = math.max(0, iv._1 - before)

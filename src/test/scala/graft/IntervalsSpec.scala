@@ -146,6 +146,14 @@ class IntervalsSpec extends AnyFunSuite {
       List((1, 5), (5, 6)))
   }
 
+  test("first-n filter keeps only intervals ending before n") {
+    val pos = Map("a" -> Array(2, 8), "b" -> Array(3, 9))
+    val ph = I.PhraseOf(Seq(I.Term("a"), I.Term("b")))
+    assert(ev(ph, pos) == List((2, 3), (8, 9)))
+    assert(ev(I.First(ph, 4), pos) == List((2, 3)))
+    assert(ev(I.First(ph, 3), pos) == Nil) // end 3 is NOT < 3
+  }
+
   test("extend pads intervals, clamps at 0, and re-minimalizes") {
     val pos = Map("a" -> Array(0, 3), "b" -> Array(1, 4))
     // phrase (a,b): (0,1) and (3,4); extend before=2 after=1 ->
