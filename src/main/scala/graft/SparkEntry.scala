@@ -438,6 +438,21 @@ object SparkEntry {
       I.matches(s, IndexCache.documentsIndex(s, dir),
         I.First(I.Term("hash"), 10))
     }),
+    "group_reduce" -> ((s, dir) => {
+      // ReducerStream [8x solrj io/stream/ReducerStream.java]: reduce
+      // each group of the sorted stream to one tuple — here the first 5
+      // doc_ids per source (partitioned-window rank, no global sort)
+      // joined into a deterministic string
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .groupBy("source")
+        .agg(array_join(transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("first_docs"),
+          count(lit(1)).as("n"))
+    }),
     "left_outer_join" -> ((s, dir) => {
       // OuterHashJoinStream/LeftOuterJoinStream: customers kept with
       // n_orders = 0 when no order matches (null-side aggregation)
@@ -1070,6 +1085,15 @@ object SparkEntry {
         |)
         |SELECT doc_id, CAST(count(*) AS INT) AS n_intervals FROM tokpos
         |WHERE term = 'hash' AND pos <= 10 GROUP BY doc_id""".stripMargin,
+    "group_reduce" ->
+      """WITH rk AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+        |  FROM documents)
+        |SELECT source,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS first_docs,
+        |  count(*) AS n
+        |FROM rk WHERE rk <= 5 GROUP BY source""".stripMargin,
     "left_outer_join" ->
       """SELECT c.c_custkey,
         |  CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 0 ELSE 1 END) AS BIGINT)
