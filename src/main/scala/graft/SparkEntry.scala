@@ -13,7 +13,7 @@ import graft.search.{BmwSearch, DoubleOracle, ExactSearch, MoreQueries}
   */
 object SparkEntry {
 
-  private def quantize(df: DataFrame, k: Int): DataFrame =
+  private def quantize(df: DataFrame): DataFrame =
     df.select(col("doc_id"),
       round(col("score") * 10000).cast("long").as("score_q"))
 
@@ -36,7 +36,7 @@ object SparkEntry {
     }),
     "bm25_topk_exact" -> ((s, dir) => {
       val v = IndexCache.documentsIndex(s, dir)
-      quantize(ExactSearch.topK(s, v, Seq("spark", "join"), 10, DoubleOracle), 10)
+      quantize(ExactSearch.topK(s, v, Seq("spark", "join"), 10, DoubleOracle))
     }),
     "frange_filter" -> ((s, dir) => {
       // Solr {!frange l=.. u=..} over query(...): docs whose function
@@ -44,18 +44,18 @@ object SparkEntry {
       // filter over the scoring frame, not a top-k cut
       val v = IndexCache.documentsIndex(s, dir)
       quantize(graft.search.ExactSearch.scored(s, v, Seq("spark", "join"),
-          DoubleOracle), 0)
+          DoubleOracle))
         .where(col("score_q").between(2000L, 3000L))
     }),
     "bm25_topk_bmw" -> ((s, dir) => {
       val v = IndexCache.documentsIndex(s, dir)
-      quantize(BmwSearch.topK(s, v, Seq("merge", "dup", "scan"), 10, DoubleOracle), 10)
+      quantize(BmwSearch.topK(s, v, Seq("merge", "dup", "scan"), 10, DoubleOracle))
     }),
     "bm25_topk_and" -> ((s, dir) => {
       // conjunction via the block-max AND kernel (BlockMaxConjunction
       // analog); rank-identity vs the exact path is test-enforced
       val v = IndexCache.documentsIndex(s, dir)
-      quantize(BmwSearch.topKAnd(s, v, Seq("vector", "window"), 10, DoubleOracle), 10)
+      quantize(BmwSearch.topKAnd(s, v, Seq("vector", "window"), 10, DoubleOracle))
     }),
     "term_df_salted" -> ((s, dir) => {
       // north-rule skew clause: salted two-phase aggregation over the
@@ -142,14 +142,14 @@ object SparkEntry {
       // PhraseWeight analog: phrase_tf through BM25 with summed slot idfs
       val v = IndexCache.documentsIndex(s, dir)
       quantize(MoreQueries.phraseScoredTopK(s, v, Seq("hash", "join"),
-        0, 10, DoubleOracle), 10)
+        0, 10, DoubleOracle))
     }),
     "multi_phrase_topk" -> ((s, dir) => {
       // MultiPhraseQuery: "hash (join|merge)" — slot 2 is a union of
       // alternatives; weight sums every alternative's idf
       val v = IndexCache.documentsIndex(s, dir)
       quantize(MoreQueries.multiPhraseScoredTopK(s, v,
-        Seq(Seq("hash"), Seq("join", "merge")), 10, DoubleOracle), 10)
+        Seq(Seq("hash"), Seq("join", "merge")), 10, DoubleOracle))
     }),
     "span_near_query" -> ((s, dir) => {
       MoreQueries.spanNearOrdered(s, IndexCache.documentsIndex(s, dir),
@@ -166,12 +166,12 @@ object SparkEntry {
       // slot idfs (shared similarity step with scored phrases)
       val v = IndexCache.documentsIndex(s, dir)
       quantize(MoreQueries.spanScoredTopK(s, v, Seq("hash", "join"),
-        3, 10, DoubleOracle), 10)
+        3, 10, DoubleOracle))
     }),
     "synonym_query" -> ((s, dir) => {
       // SynonymQuery: blended df (max), summed tf, scored as one term
       val v = IndexCache.documentsIndex(s, dir)
-      quantize(MoreQueries.synonymTopK(s, v, Seq("spark", "scan", "merge"), 10), 10)
+      quantize(MoreQueries.synonymTopK(s, v, Seq("spark", "scan", "merge"), 10))
     }),
     "block_join_parent" -> ((s, dir) => {
       // {!parent}: parents with a child (positional half) matching the
@@ -207,7 +207,7 @@ object SparkEntry {
       quantize(scored.withColumn("rn", row_number().over(w))
         .where(col("rn") <= 10)
         .orderBy(col("score").desc, col("doc_id").asc).limit(10)
-        .select("doc_id", "score"), 10)
+        .select("doc_id", "score"))
     }),
     "repetition_ratio" -> ((s, dir) =>
       graft.operators.TrainingData.repetitionRatio(s, dir)),
@@ -224,7 +224,7 @@ object SparkEntry {
       val seedText = s.read.parquet(s"$dir/documents.parquet")
         .where(col("doc_id") === 0L).select("text").head().getString(0)
       quantize(MoreQueries.moreLikeThisTopK(s, v, 0L, seedText, 10, 10,
-        DoubleOracle), 10)
+        DoubleOracle))
     }),
     "regexp_query" -> ((s, dir) => {
       val v = IndexCache.documentsIndex(s, dir)
@@ -515,18 +515,18 @@ object SparkEntry {
     }),
     "dismax_topk" -> ((s, dir) => {
       val v = IndexCache.documentsIndex(s, dir)
-      quantize(MoreQueries.disMaxTopK(s, v, Seq("spark", "merge"), 10, 0.3), 10)
+      quantize(MoreQueries.disMaxTopK(s, v, Seq("spark", "merge"), 10, 0.3))
     }),
     "boolean_not_topk" -> ((s, dir) => {
       val v = IndexCache.documentsIndex(s, dir)
-      quantize(MoreQueries.topKNot(s, v, Seq("spark"), Seq("dup"), 10, DoubleOracle), 10)
+      quantize(MoreQueries.topKNot(s, v, Seq("spark"), Seq("dup"), 10, DoubleOracle))
     }),
     "filter_range_topk" -> ((s, dir) => {
       val v = IndexCache.documentsIndex(s, dir)
       val filterDocs = s.read.parquet(s"$dir/documents.parquet")
         .where(col("n_chars").between(200L, 400L)).select("doc_id")
       quantize(MoreQueries.topKFiltered(s, v, Seq("spark", "join"), filterDocs, 10,
-        DoubleOracle), 10)
+        DoubleOracle))
     }),
     "constant_score_query" -> ((s, dir) => {
       // ConstantScoreQuery: matching doc set with a fixed score
@@ -539,26 +539,26 @@ object SparkEntry {
       val v = IndexCache.documentsIndex(s, dir)
       val base = ExactSearch.scored(s, v, Seq("spark"), DoubleOracle)
         .select(col("doc_id"), (col("score") * 2.5).as("score"))
-      quantize(base.orderBy(col("score").desc, col("doc_id").asc).limit(10), 10)
+      quantize(base.orderBy(col("score").desc, col("doc_id").asc).limit(10))
     }),
     "rescore_topn" -> ((s, dir) => {
       // QueryRescorer analog: top-50 of (spark OR join) re-ranked by
       // first + 2.0 * score(merge)
       val v = IndexCache.documentsIndex(s, dir)
       quantize(MoreQueries.rescoreTopN(s, v, Seq("spark", "join"),
-        Seq("merge"), 50, 10, 2.0, DoubleOracle), 10)
+        Seq("merge"), 50, 10, 2.0, DoubleOracle))
     }),
     "multifield_dismax" -> ((s, dir) => {
       // per-field stats/norms + qf-style cross-field dismax
       quantize(graft.search.MultiField.dismaxTopK(s, dir,
-        Seq("spark", "merge"), 0.3, 10, IndexCache.TestSegmentSize), 10)
+        Seq("spark", "merge"), 0.3, 10, IndexCache.TestSegmentSize))
     }),
     "multifield_dismax_qf" -> ((s, dir) => {
       // weighted qf (title^2 body): field boosts multiply the clause
       // scores before the per-term dismax combine
       quantize(graft.search.MultiField.dismaxTopK(s, dir,
         Seq("spark", "merge"), 0.3, 10, IndexCache.TestSegmentSize,
-        boosts = Map("title" -> 2.0)), 10)
+        boosts = Map("title" -> 2.0)))
     }),
     "delete_then_search" -> ((s, dir) => {
       // tombstones excluded from results, stats untouched until merge
@@ -566,7 +566,7 @@ object SparkEntry {
       val tomb = s.read.parquet(s"$dir/documents.parquet")
         .where(col("doc_id") % 7 === 3).select("doc_id")
       quantize(graft.index.Deletes.topKExcluding(
-        s, v, Seq("spark", "join"), tomb, 10, DoubleOracle), 10)
+        s, v, Seq("spark", "join"), tomb, 10, DoubleOracle))
     }),
     "query_compile_nested" -> ((s, dir) => {
       // the composable front-end: nested boolean tree with boost, MTQ
@@ -581,7 +581,7 @@ object SparkEntry {
           Q.Boost(Q.Term("scan"), 2.0)),
         mustNot = Seq(Q.Term("dup")),
         filter = Seq(Q.Prefix("sl")))
-      quantize(QueryCompiler.topK(s, v, q, 10, DoubleOracle), 10)
+      quantize(QueryCompiler.topK(s, v, q, 10, DoubleOracle))
     }),
     "match_all_count" -> ((s, dir) => {
       IndexCache.documentsIndex(s, dir).docmeta.toDF()
@@ -602,7 +602,7 @@ object SparkEntry {
       // discriminative term in the corpus, 'spark'/'merge' are common)
       val v = IndexCache.documentsIndex(s, dir)
       quantize(MoreQueries.commonTermsTopK(s, v,
-        Seq("dup", "spark", "merge"), 0.1, 10, DoubleOracle), 10)
+        Seq("dup", "spark", "merge"), 0.1, 10, DoubleOracle))
     }),
     "ltr_rerank" -> ((s, dir) => {
       // solr/contrib/ltr: linear model over (originalScore, field value,

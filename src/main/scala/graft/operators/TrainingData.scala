@@ -622,16 +622,17 @@ object TrainingData {
       .repartitionByRange(parts, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .as[(Long, Long)]
-    // eager localCheckpoint: ONE execution of the range shuffle pins the
-    // pid/local_excl assignment that the broadcast offsets are derived
-    // from — downstream actions (the totals collect AND the caller's
-    // write) read the checkpoint instead of re-running the DAG
+    // persist pins the pid/local_excl assignment across the two reads
+    // (the totals collect and the final agg), then the per-doc staging
+    // is explicitly freed: the RETURNED frame is the bin-level result —
+    // tiny — eagerly checkpointed BEFORE the unpersist, so the caller
+    // never re-executes the range shuffle
     val local = toks.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var run = 0L
       it.map { case (id, t) => val e = run; run += t; (pid, id, t, e) }
     }.toDF("pid", "doc_id", "tok", "local_excl")
-      .localCheckpoint(true)
+      .persist()
     // per-partition totals: one row per partition, a tiny driver-side
     // collect by design (same contract as broadcast collection stats)
     val totals = local.groupBy("pid").agg(sum("tok").as("t"))
@@ -639,7 +640,7 @@ object TrainingData {
     val offsets = (0 until parts).scanLeft(0L)((acc, p) =>
       acc + totals.getOrElse(p, 0L)).toArray
     val off = element_at(typedLit(offsets.toSeq), col("pid") + 1)
-    local
+    val out = local
       .select(col("doc_id"), col("tok"),
         (off + col("local_excl")).as("excl"))
       .select(col("doc_id"), col("tok"),
@@ -647,6 +648,9 @@ object TrainingData {
       .groupBy("seq_id")
       .agg(count(lit(1)).as("n_docs"), sum("tok").as("tok_sum"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .localCheckpoint(true) // one row per bin — eager, tiny
+    local.unpersist()
+    out
   }
 
   /** Duplicate-n-gram pruning (C4/CCNet-style repeated-substring
@@ -682,15 +686,19 @@ object TrainingData {
     val toks = docs(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .where(length(col("term")) > 0)
-    // vocabulary-sized frame, checkpointed so the total-count scalar and
-    // the join probe it without re-scanning the corpus
+    // vocabulary-sized frame (bounded by the vocabulary, << corpus at
+    // any scale), checkpointed so the total-count scalar and the join
+    // probe it without re-scanning the corpus; blocks are reclaimed by
+    // the ContextCleaner when the frame is GC'd
     val tf0 = toks.groupBy("term").agg(count(lit(1)).as("ctf"))
       .localCheckpoint(true)
     val tf = tf0
       .select(col("term"), round(log(col("ctf")) * 10000).cast("long").as("q_ln"))
     // total token count = sum(ctf): one broadcast scalar (GlobalStats
-    // pattern), read from the checkpoint
-    val total = tf0.agg(sum("ctf")).head().getLong(0)
+    // pattern), read from the checkpoint; null-safe for an empty corpus
+    val total = Option(tf0.agg(sum("ctf")).head()
+      .getAs[java.lang.Long](0)).map(_.longValue).getOrElse(0L)
+    require(total > 0, "lmSurprisal: empty corpus (no tokens)")
     val qLnTotal = math.round(math.log(total.toDouble) * 10000)
     toks.join(tf, Seq("term"))
       .groupBy("doc_id")
