@@ -639,8 +639,19 @@ object TrainingData {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until parts).scanLeft(0L)((acc, p) =>
       acc + totals.getOrElse(p, 0L)).toArray
+    val out = binAgg(local, offsets, budget)
+      .localCheckpoint(true) // one row per bin — eager, tiny
+    local.unpersist()
+    out
+  }
+
+  /** The bin-assignment + per-bin aggregation stage of
+    * [[packSequences]] (offsets -> excl -> seq_id -> agg).
+    */
+  private def binAgg(local: DataFrame, offsets: Array[Long],
+                     budget: Long): DataFrame = {
     val off = element_at(typedLit(offsets.toSeq), col("pid") + 1)
-    val out = local
+    local
       .select(col("doc_id"), col("tok"),
         (off + col("local_excl")).as("excl"))
       .select(col("doc_id"), col("tok"),
@@ -648,9 +659,30 @@ object TrainingData {
       .groupBy("seq_id")
       .agg(count(lit(1)).as("n_docs"), sum("tok").as("tok_sum"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-      .localCheckpoint(true) // one row per bin — eager, tiny
-    local.unpersist()
-    out
+  }
+
+  /** AUDIT-ONLY lazy twin of [[packSequences]]: the same dataflow with
+    * placeholder offsets and no persist/checkpoint, so the plan dump
+    * (ExplainDump) can show the staging shape — range exchange,
+    * mapPartitions running sums, two-phase agg, no window. Never use
+    * for results (the offsets are not derived from an execution).
+    */
+  private[graft] def packSequencesPlan(s: SparkSession, dir: String,
+                                       budget: Long = 512L,
+                                       parts: Int = 8): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val toks = docs(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)]
+    val local = toks.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var run = 0L
+      it.map { case (id, t) => val e = run; run += t; (pid, id, t, e) }
+    }.toDF("pid", "doc_id", "tok", "local_excl")
+    binAgg(local, Array.fill(parts + 1)(0L), budget)
   }
 
   /** Duplicate-n-gram pruning (C4/CCNet-style repeated-substring
