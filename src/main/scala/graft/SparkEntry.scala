@@ -837,6 +837,7 @@ object SparkEntry {
     "sample_stratified" -> (graft.operators.TrainingData.sampleStratified _),
     "lm_surprisal" -> (graft.operators.TrainingData.lmSurprisal _),
     "quality_quantile" -> (graft.operators.TrainingData.qualityQuantile _),
+    "curation_pipeline" -> ((s, dir) => graft.operators.TrainingData.curationPipeline(s, dir)),
     "source_cap" -> ((s, dir) => graft.operators.TrainingData.sourceCap(s, dir)),
     "pack_sequences" -> ((s, dir) => graft.operators.TrainingData.packSequences(s, dir)),
     "dup_ngram_prune" -> ((s, dir) => graft.operators.TrainingData.dupNgramPrune(s, dir)),
@@ -1340,6 +1341,7 @@ object SparkEntry {
     "lm_surprisal" -> TrainingOracles.lmSurprisal,
     "ann_sq8_topk" -> TrainingOracles.annSq8TopK(0L, 10, 4),
     "quality_quantile" -> TrainingOracles.qualityQuantile,
+    "curation_pipeline" -> TrainingOracles.curationPipeline(512L),
     "source_cap" -> TrainingOracles.sourceCap(10),
     "pack_sequences" -> TrainingOracles.packSequences(512L),
     "dup_ngram_prune" -> TrainingOracles.dupNgramPrune,

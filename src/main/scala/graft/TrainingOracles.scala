@@ -127,6 +127,49 @@ object TrainingOracles {
        |    * 1e6) AS BIGINT) AS sim_q
        |FROM cand ORDER BY sim_q DESC, vec_id ASC LIMIT $k""".stripMargin
 
+  /** End-to-end curation pipeline: the same five-stage chain as the
+    * Spark side (en filter → p40 n_chars cut → exact-dedup keepers →
+    * exact-Jaccard near-dup losers dropped → 512-token packing).
+    */
+  def curationPipeline(budget: Long): String =
+    s"""WITH en AS (SELECT * FROM documents WHERE lang = 'en'),
+       |thr AS (SELECT quantile_cont(n_chars, 0.4) AS t FROM en),
+       |q AS (SELECT en.* FROM en CROSS JOIN thr WHERE n_chars >= t),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+       |ex AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+       |tp AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM ex),
+       |sh0 AS (
+       |  SELECT doc_id,
+       |    term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS s
+       |  FROM tp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE s IS NOT NULL),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pair AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |losers AS (
+       |  SELECT DISTINCT j AS doc_id
+       |  FROM pair JOIN sz x ON i = x.doc_id JOIN sz y ON j = y.doc_id
+       |  WHERE CAST(round(inter * 10000.0 / (x.n + y.n - inter)) AS BIGINT) >= 8000),
+       |kept AS (
+       |  SELECT ex.* FROM ex LEFT JOIN losers USING (doc_id)
+       |  WHERE losers.doc_id IS NULL),
+       |t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |      FROM kept),
+       |c AS (
+       |  SELECT doc_id, tok,
+       |    coalesce(sum(tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+       |  FROM t)
+       |SELECT CAST(excl // $budget AS BIGINT) AS seq_id, count(*) AS n_docs,
+       |  CAST(sum(tok) AS BIGINT) AS tok_sum,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1""".stripMargin
+
   /** Unigram-LM surprisal: ln(ctf) quantized ONCE per distinct term
     * (one deterministic double op in each engine), then integer sums —
     * no cross-engine float-summation-order hazard.

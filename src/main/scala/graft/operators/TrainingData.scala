@@ -64,8 +64,12 @@ object TrainingData {
     * oracle for [[dedupMinhashLsh]], which is the 100 TB path.
     */
   def dedupNgramPairs(s: SparkSession, dir: String,
-                      thresholdQ: Long = 8000L): DataFrame = {
-    val sh = shingles(s, dir)
+                      thresholdQ: Long = 8000L): DataFrame =
+    dedupNgramPairsDf(docs(s, dir), thresholdQ)
+
+  private[graft] def dedupNgramPairsDf(corpus: DataFrame,
+                                       thresholdQ: Long = 8000L): DataFrame = {
+    val sh = shinglesDf(corpus)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.toDF("i", "shingle")
     val b = sh.toDF("j", "shingle")
@@ -614,10 +618,14 @@ object TrainingData {
     * partition boundaries and parallelism.
     */
   def packSequences(s: SparkSession, dir: String, budget: Long = 512L,
-                    parts: Int = 8): DataFrame = {
+                    parts: Int = 8): DataFrame =
+    packSequencesDf(s, docs(s, dir), budget, parts)
+
+  private[graft] def packSequencesDf(s: SparkSession, corpus: DataFrame,
+                                     budget: Long, parts: Int): DataFrame = {
     val spark = s
     import spark.implicits._
-    val toks = docs(s, dir)
+    val toks = corpus
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
       .repartitionByRange(parts, col("doc_id"))
       .sortWithinPartitions("doc_id")
@@ -769,6 +777,34 @@ object TrainingData {
       .where(col("rk") <= cap)
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+  }
+
+  /** End-to-end curation pipeline — the stage chain a real corpus pass
+    * composes, as ONE dataflow with ONE exact oracle:
+    *   1. language filter (lang = 'en'),
+    *   2. quality-quantile cut (n_chars >= the filtered set's exact 40th
+    *      percentile — one broadcast scalar),
+    *   3. exact dedup (keeper = min doc_id per md5),
+    *   4. near-dup removal (exact 3-gram Jaccard >= 0.8 pairs among the
+    *      survivors; the LARGER doc_id of each pair is dropped — the
+    *      single-pass keeper rule; at 100 TB stage 4 swaps in the
+    *      MinHash+LSH candidate path with identical pair semantics),
+    *   5. token-budget sequence packing of the curated set.
+    * Every stage is the already-audited operator shape; the composition
+    * itself adds no new shuffle beyond its stages.
+    */
+  def curationPipeline(s: SparkSession, dir: String,
+                       budget: Long = 512L): DataFrame = {
+    val en = docs(s, dir).where(col("lang") === "en")
+    val thr = en.agg(expr("percentile(n_chars, 0.4)")).head().getDouble(0)
+    val q = en.where(col("n_chars") >= thr)
+    val keepers = q.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val ex = q.join(keepers, Seq("doc_id"), "left_semi")
+    val losers = dedupNgramPairsDf(ex)
+      .select(col("j").as("doc_id")).distinct()
+    val kept = ex.join(losers, Seq("doc_id"), "left_anti")
+    packSequencesDf(s, kept.select("doc_id", "text"), budget, parts = 8)
   }
 
   def urlNormalize(s: SparkSession, dir: String): DataFrame = {

@@ -321,6 +321,21 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(again == want)
   }
 
+  test("curation_pipeline: stages actually drop docs and bins partition the survivors") {
+    val sf = "/root/testdata/sf0.001"
+    val bins = TrainingData.curationPipeline(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(bins.nonEmpty)
+    val nEn = spark.read.parquet(s"$sf/documents.parquet")
+      .where(org.apache.spark.sql.functions.col("lang") === "en").count()
+    val kept = bins.map(_._2).sum
+    assert(kept > 0 && kept < nEn, s"quantile/dedup stages must drop docs ($kept of $nEn)")
+    // bins are a contiguous partition: every bin except possibly the
+    // last is filled past the budget by its final doc
+    assert(bins.map(_._1).toSeq == bins.indices.map(_.toLong))
+  }
+
   test("lm_surprisal equals brute-force quantized unigram surprisal") {
     val sf = "/root/testdata/sf0.001"
     val got = TrainingData.lmSurprisal(spark, sf)
