@@ -168,6 +168,37 @@ object AnnRecall {
     val ivfClustered = Vectors.ivfIndexOfDf(spark, s"clustered-$n-$dim", cdf)
     val (ivfClusR, ivfClusS) = ivfEval(clustered, ivfClustered, nQueries)
     println(f"""{"metric":"ann_ivf_recall_at_10","random":$ivfRandR%.4f,"random_scanned":$ivfRandS%.4f,"clustered":$ivfClusR%.4f,"clustered_scanned":$ivfClusS%.4f,"cells":${ivfIdx.cents.length},"lloyd_iters":${Vectors.IvfIters},"n_vectors":$n,"n_queries":$nQueries}""")
+
+    // ——— sq8 recall: int8 scalar quantization + integer-dot candidate
+    // cut (k·oversample = 40) + exact rerank, replicated driver-side
+    // with the same arithmetic as Vectors.annSq8TopK
+    val sq8Scale = vecs.iterator.flatMap(_._2).map(x => math.abs(x.toDouble)).max
+    val sq8Codes = vecs.map { case (_, v) =>
+      v.map(x => math.round(x.toDouble / sq8Scale * 127)) }
+    def sq8Top10(qi: Int): Seq[Long] = {
+      val qc = sq8Codes(qi)
+      val cand = vecs.indices.filter(_ != qi)
+        .map { j =>
+          var d = 0L; var i = 0
+          while (i < qc.length) { d += sq8Codes(j)(i) * qc(i); i += 1 }
+          (j, d)
+        }
+        .sortBy(t => (-t._2, vecs(t._1)._1)).take(40)
+      cand.map { case (j, _) =>
+        (vecs(j)._1, math.round(cos(vecs(qi)._2, vecs(j)._2) * 1e6)) }
+        .sortBy(t => (-t._2, t._1)).take(10).map(_._1)
+    }
+    for (q <- Seq(0L, 7L, 42L)) {
+      val engine = Vectors.annSq8TopK(spark, dir, queryId = q)
+        .collect().map(_.getLong(0)).toSeq
+      val repl = sq8Top10(vecs.indexWhere(_._1 == q))
+      require(engine == repl,
+        s"sq8 engine/replication divergence for query $q: $engine vs $repl")
+    }
+    val sq8Recall = (0 until math.min(nQueries, n)).map { qi =>
+      bruteTop10(qi).toSet.intersect(sq8Top10(qi).toSet).size / 10.0
+    }
+    println(f"""{"metric":"ann_sq8_recall_at_10","value":${sq8Recall.sum / sq8Recall.size}%.4f,"oversample":4,"bytes_per_dim":1,"n_vectors":$n,"n_queries":${sq8Recall.size}}""")
     spark.stop()
   }
 }
