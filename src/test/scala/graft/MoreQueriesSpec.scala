@@ -99,6 +99,32 @@ class MoreQueriesSpec extends AnyFunSuite {
     assert(ids(2) == Set(0L, 1L))
   }
 
+  test("3-term sloppy phrase equals raw-position brute force on the corpus") {
+    val terms = Seq("w0000", "w0001", "w0002")
+    for (slop <- Seq(1, 3)) {
+      val got = MoreQueries.phraseMatch(spark, view, terms, slop)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      val expected = docs.flatMap { case (id, text) =>
+        val toks = Analyzer.tokenize(text)
+        val lists = terms.map(t => toks.filter(_.term == t).map(_.pos).toArray)
+        if (lists.exists(_.isEmpty)) None
+        else {
+          // anchor matches iff SOME selection has adjusted spread <= slop
+          val tf = lists.head.count { p0 =>
+            lists(1).exists { p1 =>
+              lists(2).exists { p2 =>
+                val adj = Seq(p0, p1 - 1, p2 - 2)
+                adj.max - adj.min <= slop
+              }
+            }
+          }
+          if (tf > 0) Some(id -> tf) else None
+        }
+      }.toMap
+      assert(got == expected, s"slop=$slop")
+    }
+  }
+
   test("3-term sloppy phrase: budget is SHARED across slots, not per-slot") {
     import spark.implicits._
     // adjusted positions: alpha 1, beta -1, gamma 3 -> spread 4. Per-slot
