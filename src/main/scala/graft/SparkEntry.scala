@@ -787,6 +787,38 @@ object SparkEntry {
       q.awaitTermination()
       s.table(qname)
     }),
+    "stream_custom_state" -> ((s, dir) => {
+      // flatMapGroupsWithState custom keyed state: running per-type
+      // (count, sum_cents, max_cents) across micro-batches; the final
+      // snapshot per key (max-count row) equals the batch aggregate
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val srcPath = {
+        val f = new java.io.File(s"$dir/events.parquet")
+        if (f.isDirectory) f.toString
+        else {
+          val d = java.nio.file.Files.createTempDirectory("graft-state-src")
+          java.nio.file.Files.copy(f.toPath, d.resolve("part-0.parquet"))
+          d.toString
+        }
+      }
+      import s.implicits._
+      val stream = s.readStream.schema(schema).parquet(srcPath)
+        .select(col("ts").cast("timestamp").as("ts"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.WindowedAggs.Event]
+      val out = graft.streaming.WindowedAggs.runningState(stream)
+        .toDF("event_type", "n", "sum_cents", "max_cents")
+      val qname = "scs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // final snapshot per key: all three fields are monotone in n
+      s.table(qname).groupBy("event_type")
+        .agg(max("n").as("n"), max("sum_cents").as("sum_cents"),
+          max("max_cents").as("max_cents"))
+    }),
     "stream_dedup" -> ((s, dir) => {
       // streaming exact-dedup (the tlog-replay / at-least-once ingest
       // guard): the event stream is staged with every file DUPLICATED,
@@ -1370,6 +1402,11 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "stream_dedup" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    "stream_custom_state" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(round(value * 100)) AS BIGINT) AS sum_cents,
+        |  CAST(max(round(value * 100)) AS BIGINT) AS max_cents
+        |FROM events GROUP BY event_type""".stripMargin,
     "sharded_topk" -> OracleGen.bm25TopKSql(Seq("spark", "join"), 10),
     "block_join_scored" ->
       """WITH lists AS (

@@ -37,6 +37,35 @@ object WindowedAggs {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Custom keyed state via flatMapGroupsWithState (the brief's
+    * KeyValueGroupedDataset custom-state path): per event_type, a
+    * running (count, sum_cents, max_cents) accumulated ACROSS
+    * micro-batches in GroupState. The fold is commutative/associative,
+    * so the final state is identical for any batch split or intra-batch
+    * order; each trigger emits the running snapshot, and the final
+    * snapshot per key (the max-count row — all three fields are
+    * monotone) equals the batch aggregate exactly. At scale the state
+    * store is hash-partitioned by key across executors (RocksDB-backed)
+    * and a timeout/watermark bounds it; the finite AvailableNow run
+    * keeps every key, which the oracle compare requires.
+    */
+  def runningState(events: Dataset[Event]): Dataset[(String, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Long, Long, Long), (String, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Event], state: GroupState[(Long, Long, Long)]) =>
+          var (n, sm, mx) = state.getOption.getOrElse((0L, 0L, 0L))
+          it.foreach { e =>
+            val c = math.round(e.value * 100)
+            n += 1; sm += c; mx = math.max(mx, c)
+          }
+          state.update((n, sm, mx))
+          Iterator((key, n, sm, mx))
+      }
+  }
+
   /** Session windows keyed by event_type with a 30-minute gap. */
   def sessions(events: Dataset[Event], lateness: String = "1 hour"): DataFrame =
     events.toDF()

@@ -119,4 +119,28 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-02", "click", 1L, 400L),
       ("2024-01-02", "view", 1L, 100L)))
   }
+
+  test("flatMapGroupsWithState accumulates keyed state ACROSS micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[WindowedAggs.Event]
+    val out = WindowedAggs.runningState(mem.toDS())
+      .toDF("event_type", "n", "sum_cents", "max_cents")
+    def ev(t: String, v: Double) =
+      WindowedAggs.Event(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), t, v)
+    val q = out.writeStream.format("memory").queryName("scs_test")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    mem.addData(ev("click", 1.5), ev("click", 2.25), ev("view", 1.0))
+    q.processAllAvailable()
+    mem.addData(ev("click", 0.75)) // SECOND batch: state must carry over
+    q.processAllAvailable()
+    q.stop()
+    val finals = spark.sql("SELECT * FROM scs_test").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).map { case (k, rs) => rs.maxBy(_._2) }.toSet
+    assert(finals == Set(
+      ("click", 3L, 450L, 225L), // 150+225+75 cents, max 225, ACROSS batches
+      ("view", 1L, 100L, 100L)))
+  }
 }
