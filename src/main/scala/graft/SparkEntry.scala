@@ -615,20 +615,16 @@ object SparkEntry {
           round(col("ltr") * 10000).cast("long").as("ltr_q"))
     }),
     "phonetic_soundex" -> ((s, dir) => {
-      // PhoneticFilter(Soundex): codebook stats over the stop-filtered
-      // term stream; rules are ONE shared portable SQL expression
-      // evaluated verbatim by Spark and the DuckDB oracle (Phonetic).
-      // The (non-trivial) soundex expression runs on the DISTINCT
-      // vocabulary, never the token stream: occurrences reduce to
-      // per-term counts first (dictionary-sized frame), then the codes
-      // group — the same two-level agg shape that holds at 100 TB,
-      // where the vocabulary is millions while occurrences are trillions
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(explode(split(col("text"), " ")).as("term"))
-        .where(length(col("term")) > 0 &&
-          !col("term").isin(graft.analysis.Analyzer.EnglishStopWords.toSeq: _*))
+      // PhoneticFilter(Soundex): codebook stats straight off the index's
+      // TERM DICTIONARY (per-segment df/ctf rows — dictionary-sized,
+      // millions at 100 TB while occurrences are trillions); the corpus
+      // is never re-tokenized. The soundex rules are ONE shared portable
+      // SQL expression evaluated verbatim by Spark and the DuckDB
+      // oracle (Phonetic), applied to the distinct vocabulary only.
+      val v = IndexCache.documentsIndex(s, dir)
+      v.terms.where(col("field") === graft.index.Indexer.Field)
+        .groupBy("term").agg(sum("ctf").as("tf"))
         .where(expr(graft.analysis.Phonetic.alphaOnlySql("term")))
-        .groupBy("term").agg(count(lit(1)).as("tf"))
         .select(expr(graft.analysis.Phonetic.soundexSql("term")).as("code"),
           col("tf"))
         .groupBy("code")
@@ -647,13 +643,32 @@ object SparkEntry {
       // PayloadScoreQuery(sum) [8x queries/payloads/PayloadScoreQuery
       // .java]: per-occurrence payloads folded into the doc score — the
       // payload here is the token position (a deterministic stand-in
-      // for an indexed payload byte), aggregated per matching doc
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), posexplode(split(col("text"), " ")))
-        .where(col("col") === "spark")
+      // for an indexed payload byte), read from the INDEX's position
+      // payloads (pushed-filter block scan of one term's posting list +
+      // position decode — the corpus is never re-tokenized; StopFilter
+      // gaps keep indexed positions equal to raw token positions)
+      import s.implicits._
+      val v = IndexCache.documentsIndex(s, dir)
+      v.postings
+        .where(col("term") === "spark" &&
+          col("field") === graft.index.Indexer.Field)
+        .select(col("docs"), col("freqs"), col("positions"))
+        .as[(Array[Byte], Array[Byte], Array[Byte])]
+        .flatMap { case (docs, freqs, positions) =>
+          val ids = graft.codec.VByte.decodeDeltas(docs)
+          val tfs = graft.codec.VByte.decodeAll(freqs).map(_.toInt)
+          val pos = graft.codec.PostingCodec.decodePositions(positions, tfs)
+          ids.indices.iterator.map { i =>
+            // payload_sum = Σ(pos+1) over the doc's occurrences
+            (ids(i), pos(i).foldLeft(0L)(_ + _ + 1L), tfs(i).toLong)
+          }
+        }
+        .toDF("doc_id", "payload_sum", "occ")
+        // a doc's postings live in exactly one block per (segment, term),
+        // but aggregate anyway: associative, tiny, and robust to any
+        // future multi-chunk layout
         .groupBy("doc_id")
-        .agg(sum(col("pos") + 1).as("payload_sum"),
-          count(lit(1)).as("occ"))
+        .agg(sum("payload_sum").as("payload_sum"), sum("occ").as("occ"))
     }),
     // — §2.8 scalar function-query surface —
     "func_datemath" -> (graft.operators.Functions.dateMath _),

@@ -275,33 +275,57 @@ object Relational {
     * per-shard counting + global merge is exactly the aggregate shape
     * below at scale.
     */
-  /** Distinct (doc_id, term) presence pairs of the documents table after
-    * the shared SQL-rule tokenization (whitespace split, empty + stopword
-    * filter) — the frame every training-set op (significantTerms /
-    * featuresSelection / textLogit) starts from; one definition so the
-    * three ops and their oracles can never drift apart.
+  /** Distinct (doc_id, term) presence pairs — the frame every
+    * training-set op (significantTerms / featuresSelection / textLogit)
+    * starts from. Decoded from the prebuilt inverted index's posting
+    * blocks (docID streams only: freqs/norms/positions columns are
+    * pruned at the parquet scan), NOT by re-tokenizing the raw corpus:
+    * the reference computes these from the index too [8x
+    * IGainTermsQParserPlugin, TermVectorsComponent]. The oracle's
+    * string_split rule coincides with the index analyzer on this corpus
+    * (space-separated lowercase words — OracleGen.tokCte), so the pair
+    * set is identical; postings already hold each (term, doc) at most
+    * once, so no distinct() shuffle is needed.
+    *
+    * `termFilter` (on col("term")) is applied to the BLOCK rows before
+    * any decode — it reaches the (segment, term)-sorted parquet scan as
+    * a pushed filter, so e.g. textLogit's 8 feature terms decode only 8
+    * posting lists instead of the whole index.
     */
-  private def docTermsDistinct(s: SparkSession, dir: String): DataFrame = {
-    val stop = graft.analysis.Analyzer.EnglishStopWords.toSeq.sorted
-    tbl(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .where(length(col("term")) > 0 && !col("term").isin(stop: _*))
-      .distinct()
+  private[graft] def docTermsFromIndex(s: SparkSession, dir: String,
+      termFilter: Option[Column] = None): DataFrame = {
+    import s.implicits._
+    val v = graft.IndexCache.documentsIndex(s, dir)
+    val rows = termFilter.fold(v.postings.toDF())(f => v.postings.where(f).toDF())
+    rows
+      .where(col("field") === graft.index.Indexer.Field)
+      .select(col("term"), col("docs"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (t, docs) =>
+        graft.codec.VByte.decodeDeltas(docs).iterator.map(id => (id, t)) })
+      .toDF("doc_id", "term")
   }
+
+  private def docTermsDistinct(s: SparkSession, dir: String): DataFrame =
+    docTermsFromIndex(s, dir)
 
   def significantTerms(s: SparkSession, dir: String, fgTerm: String = "spark",
                        minDf: Long = 5L, k: Int = 20): DataFrame = {
-    // persist the tokenization shuffle: it feeds nAll, nFg AND both join
-    // sides below — unpersisted it would re-run ~4 times per call
-    val docTerm = docTermsDistinct(s, dir).persist()
-    val fgDocs = docTerm.where(col("term") === fgTerm).select("doc_id")
-    val nAll = docTerm.select("doc_id").distinct().count()
+    val view = graft.IndexCache.documentsIndex(s, dir)
+    // foreground docset: ONE term's posting list, a pushed-filter block
+    // scan + decode — never a corpus pass. Tiny → broadcast into the join
+    val fgDocs = docTermsFromIndex(s, dir, Some(col("term") === fgTerm))
+      .select("doc_id").persist()
+    // docs with ≥1 indexed term = tokf's distinct doc count, read from
+    // the doc metadata table (no decode, no distinct shuffle)
+    val nAll = view.docmeta.where(col("dl") > 0).count()
     val nFg = fgDocs.count()
-    // foreground + background df in ONE aggregate pass (per-shard
-    // count + merge shape): tag rows with fg membership, then count
-    // both in the same groupBy
-    val merged = docTerm
-      .join(fgDocs.withColumn("is_fg", lit(1)), Seq("doc_id"), "left_outer")
+    // foreground + background df in ONE aggregate pass over the decoded
+    // postings (per-shard count + merge shape): tag rows with fg
+    // membership, then count both in the same groupBy
+    val merged = docTermsFromIndex(s, dir)
+      .join(broadcast(fgDocs.withColumn("is_fg", lit(1))),
+        Seq("doc_id"), "left_outer")
       .groupBy("term")
       .agg(count(lit(1)).as("bg_df"), count(col("is_fg")).as("fg_df"))
     val out = merged
@@ -312,7 +336,7 @@ object Relational {
       .orderBy(col("lift_q").desc, col("term").asc)
       .limit(k)
       .localCheckpoint(true) // materialize the tiny result, then free
-    docTerm.unpersist()
+    fgDocs.unpersist()
     out
   }
 
@@ -378,11 +402,13 @@ object Relational {
                 features: Seq[String] = LogitFeatures,
                 iters: Int = 3, lr: Double = 0.5): DataFrame = {
     import s.implicits._
-    val docTerm = docTermsDistinct(s, dir)
+    // feature-term filter applied at the BLOCK level (pushed parquet
+    // filter): only the |features| posting lists are ever decoded
+    val docTerm = docTermsFromIndex(s, dir,
+      Some(col("term").isin(features: _*)))
     val fcols = features.zipWithIndex.map { case (f, j) =>
       max(when(col("term") === f, 1).otherwise(0)).as(s"x$j") }
-    val xs = docTerm.where(col("term").isin(features: _*))
-      .groupBy("doc_id").agg(fcols.head, fcols.tail: _*)
+    val xs = docTerm.groupBy("doc_id").agg(fcols.head, fcols.tail: _*)
     val feat = tbl(s, dir, "documents")
       .select(col("doc_id"), (col("doc_id") % 2).as("y"))
       .join(xs, Seq("doc_id"), "left_outer")
