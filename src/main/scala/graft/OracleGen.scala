@@ -535,8 +535,17 @@ object OracleGen {
     * from dfs in-query, same as the engine.
     */
   def commonTermsSql(terms: Seq[String], maxTf: Double, k: Int): String =
-    s"""WITH ${bm25Ctes(terms)}, lowt AS (
-       |  SELECT df.term FROM df CROSS JOIN st WHERE df.df <= $maxTf * st.n
+    s"""WITH ${bm25Ctes(terms)}, qterms(term) AS (
+       |  VALUES ${terms.distinct.map(t => s"('$t')").mkString(", ")}
+       |), dfz AS (
+       |  -- literal query-term list, df defaulted to 0: a term ABSENT
+       |  -- from the index stays a required (low-df) clause, exactly as
+       |  -- the engine treats it — df-derived rows alone would silently
+       |  -- drop it from the required set
+       |  SELECT q.term, COALESCE(df.df, 0) AS df
+       |  FROM qterms q LEFT JOIN df ON q.term = df.term
+       |), lowt AS (
+       |  SELECT dfz.term FROM dfz CROSS JOIN st WHERE dfz.df <= $maxTf * st.n
        |), nlow AS (SELECT count(*) AS c FROM lowt),
        |lowm AS (
        |  SELECT doc_id, count(DISTINCT term) AS lm FROM persc

@@ -829,10 +829,16 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      // final snapshot per key: all three fields are monotone in n
-      s.table(qname).groupBy("event_type")
-        .agg(max("n").as("n"), max("sum_cents").as("sum_cents"),
-          max("max_cents").as("max_cents"))
+      // final snapshot per key = the max-n ROW (n strictly increases per
+      // emission). One struct-max, never independent per-column maxes:
+      // sum/max cents are not monotone in n once values can be negative
+      s.table(qname)
+        .groupBy("event_type")
+        .agg(max(struct(col("n"), col("sum_cents"), col("max_cents")))
+          .as("st"))
+        .select(col("event_type"), col("st.n").as("n"),
+          col("st.sum_cents").as("sum_cents"),
+          col("st.max_cents").as("max_cents"))
     }),
     "stream_dedup" -> ((s, dir) => {
       // streaming exact-dedup (the tlog-replay / at-least-once ingest

@@ -328,13 +328,28 @@ object TrainingData {
     import s.implicits._
     // corpus profile T: exact integer elementwise sum — a tiny global
     // stat (EmbDim longs), gathered once and closed over (broadcast),
-    // like GlobalStats for BM25. At 10¹²-doc scale downscale T by a
-    // power of two first (only its direction matters) to keep the
-    // sign-rule products in Long range.
+    // like GlobalStats for BM25.
     val profile = new Array[Long](EmbDim)
+    var maxAbsV = 1L
     vecs.select(posexplode(col("vec")))
-      .groupBy("pos").agg(sum("col").as("t"))
-      .collect().foreach(r => profile(r.getInt(0)) = r.getLong(1))
+      .groupBy("pos").agg(sum("col").as("t"), max(abs(col("col"))).as("m"))
+      .collect().foreach { r =>
+        profile(r.getInt(0)) = r.getLong(1)
+        maxAbsV = math.max(maxAbsV, r.getLong(2))
+      }
+    // Overflow guard for the sign-rule products below (vr·tt and
+    // vt·trs(k), planes are ±1): both are bounded by
+    // EmbDim² · max|v| · maxT². Only T's DIRECTION matters, so
+    // downscale it by powers of two until the bound fits a Long —
+    // no silent bit flips at any corpus size.
+    def sketchBound: BigInt = {
+      val maxT = BigInt(profile.iterator.map(math.abs).max.max(1L))
+      BigInt(EmbDim) * EmbDim * maxAbsV * maxT * maxT
+    }
+    while (sketchBound > Long.MaxValue) {
+      var i = 0
+      while (i < EmbDim) { profile(i) >>= 1; i += 1 }
+    }
     val tt = profile.map(t => t * t).sum
     val planes = embPlanes
     val trs = planes.map { r =>

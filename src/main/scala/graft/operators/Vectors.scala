@@ -62,7 +62,11 @@ object Vectors {
     val e = emb(s, dir)
     val absMax = aggregate(transform(col("embedding"),
       x => abs(x.cast("double"))), lit(0.0), (a, x) => greatest(a, x))
-    val scale = e.agg(max(absMax)).head().getDouble(0)
+    // empty corpus → max aggregates to null; all-zero corpus → 0.0.
+    // Guard both: scale 1.0 keeps every code exactly 0 (no NaN/throw)
+    val srow = e.agg(max(absMax)).head()
+    val rawScale = if (srow.isNullAt(0)) 0.0 else srow.getDouble(0)
+    val scale = if (rawScale == 0.0) 1.0 else rawScale
     val codes = e.select(col("vec_id"), col("embedding"),
       transform(col("embedding"),
         x => round(x.cast("double") / scale * 127).cast("long")).as("c"))

@@ -49,6 +49,14 @@ object WindowedAggs {
     * and a timeout/watermark bounds it; the finite AvailableNow run
     * keeps every key, which the oracle compare requires.
     */
+  /** Half-away-from-zero cents quantization, matching SQL round()
+    * (Java math.round is half-toward-+inf and differs on negative
+    * exact-.5 ties — e.g. −0.005 must become −1 cent, not 0).
+    */
+  def cents(value: Double): Long =
+    if (value >= 0) math.floor(value * 100 + 0.5).toLong
+    else -math.floor(-value * 100 + 0.5).toLong
+
   def runningState(events: Dataset[Event]): Dataset[(String, Long, Long, Long)] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
@@ -56,9 +64,11 @@ object WindowedAggs {
       .flatMapGroupsWithState[(Long, Long, Long), (String, Long, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, it: Iterator[Event], state: GroupState[(Long, Long, Long)]) =>
-          var (n, sm, mx) = state.getOption.getOrElse((0L, 0L, 0L))
+          // max seeded from the first event, not 0: all-negative values
+          // must yield a negative max, exactly as SQL max(round(v*100))
+          var (n, sm, mx) = state.getOption.getOrElse((0L, 0L, Long.MinValue))
           it.foreach { e =>
-            val c = math.round(e.value * 100)
+            val c = cents(e.value)
             n += 1; sm += c; mx = math.max(mx, c)
           }
           state.update((n, sm, mx))
