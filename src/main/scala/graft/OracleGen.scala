@@ -468,6 +468,29 @@ object OracleGen {
        |  AND doc_id IN (SELECT DISTINCT doc_id FROM tokf WHERE term LIKE 'sl%')
        |ORDER BY total DESC, doc_id ASC LIMIT 10""".stripMargin
 
+  /** Oracle of the PARSED `spark AND (join OR merge) -dup scan^2 sl*`:
+    * required spark, required (join|merge) group, prohibited dup,
+    * optional boosted scan, optional const-score-1.0 prefix clause —
+    * the clause-occur outcome QueryParserSpec pins at the AST level.
+    */
+  def qparseLuceneSql(k: Int): String =
+    s"""WITH ${bm25Ctes(Seq("spark", "merge", "join", "scan"))}, agg AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN term = 'scan' THEN 2.0 * s ELSE s END) AS total,
+       |    count(*) FILTER (WHERE term = 'spark') AS n_spark,
+       |    count(*) FILTER (WHERE term IN ('join', 'merge')) AS n_grp
+       |  FROM persc GROUP BY doc_id
+       |), wc AS (SELECT DISTINCT doc_id FROM tokf WHERE term LIKE 'sl%'),
+       |fin AS (
+       |  SELECT agg.doc_id,
+       |    total + CASE WHEN wc.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS sc
+       |  FROM agg LEFT JOIN wc ON agg.doc_id = wc.doc_id
+       |  WHERE n_spark > 0 AND n_grp > 0
+       |    AND agg.doc_id NOT IN (SELECT DISTINCT doc_id FROM tokf WHERE term = 'dup')
+       |)
+       |SELECT doc_id, CAST(round(sc * 10000) AS BIGINT) AS score_q
+       |FROM fin ORDER BY sc DESC, doc_id ASC LIMIT $k""".stripMargin
+
   /** Constant-score doc set for a term-dictionary predicate. */
   def docsWithTermWhereSql(termPred: String): String =
     s"""WITH $tokCte

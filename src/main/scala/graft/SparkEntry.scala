@@ -583,6 +583,30 @@ object SparkEntry {
         filter = Seq(Q.Prefix("sl")))
       quantize(QueryCompiler.topK(s, v, q, 10, DoubleOracle))
     }),
+    "qparse_lucene" -> ((s, dir) => {
+      // the string front door [8x queryparser/classic/QueryParser.jj]:
+      // classic syntax parsed to the Query AST (AND-promotion, MUST_NOT,
+      // boost, prefix MTQ) then rewritten + compiled like any typed tree
+      val v = IndexCache.documentsIndex(s, dir)
+      val q = graft.search.QueryParser.parse(
+        "spark AND (join OR merge) -dup scan^2 sl*")
+      quantize(graft.search.QueryCompiler.topK(s, v, q, 10, DoubleOracle))
+    }),
+    "qparse_edismax" -> ((s, dir) => {
+      // edismax main behavior [8x Solr ExtendedDismaxQParser.java]:
+      // bare-term q + qf field boosts → one DisjunctionMaxQuery per
+      // term across the qf fields (weighted before the max/tie combine)
+      import graft.search.{Query => Q}
+      val parsed = graft.search.QueryParser.parse("Spark merge")
+      val terms = parsed match {
+        case Q.Bool(sh, _, _, _, _) => sh.collect { case Q.Term(t) => t }
+        case Q.Term(t)              => Seq(t)
+        case _                      => Seq.empty[String]
+      }
+      quantize(graft.search.MultiField.dismaxTopK(s, dir, terms, 0.3, 10,
+        IndexCache.TestSegmentSize,
+        boosts = graft.search.QueryParser.parseQf("title^2 body")))
+    }),
     "match_all_count" -> ((s, dir) => {
       IndexCache.documentsIndex(s, dir).docmeta.toDF()
         .agg(countDistinct(col("doc_id")).as("n"))
@@ -1261,6 +1285,10 @@ object SparkEntry {
     "boost_query" -> OracleGen.bm25BoostSql(Seq("spark"), 2.5, 10),
     "match_all_count" -> OracleGen.matchAllCountSql,
     "query_compile_nested" -> OracleGen.queryCompileNestedSql,
+    "qparse_lucene" -> OracleGen.qparseLuceneSql(10),
+    "qparse_edismax" ->
+      OracleGen.multifieldDismaxSql(Seq("spark", "merge"), 0.3, 10,
+        titleBoost = 2.0),
     "delete_then_search" -> OracleGen.bm25DeleteSql(Seq("spark", "join"), 10),
     "multifield_dismax" -> OracleGen.multifieldDismaxSql(Seq("spark", "merge"), 0.3, 10),
     "multifield_dismax_qf" ->
