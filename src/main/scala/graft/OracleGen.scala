@@ -491,6 +491,32 @@ object OracleGen {
        |SELECT doc_id, CAST(round(sc * 10000) AS BIGINT) AS score_q
        |FROM fin ORDER BY sc DESC, doc_id ASC LIMIT $k""".stripMargin
 
+  /** The fixed 31-word corpus vocabulary (FIXTURES.md §1 — identical at
+    * every scale factor; verified sf0.001/0.01/0.1). Lets dictionary-
+    * level oracles (Porter) enumerate the vocabulary statically.
+    */
+  val CorpusVocab: Seq[String] = Seq("a", "agg", "batch", "big", "column",
+    "customer", "data", "dup", "fast", "filter", "group", "hash", "join",
+    "key", "line", "merge", "order", "part", "query", "row", "scan",
+    "slow", "small", "sort", "spark", "stream", "table", "the", "value",
+    "vector", "window")
+
+  /** Porter-stemmed dictionary stats. The (term, stem) map is inline
+    * VALUES generated from [[graft.analysis.Porter.stem]] (single source
+    * of truth — the algorithm itself is pinned by PorterSpec's published
+    * known-answer vectors); tokenization, stop filtering, df/ctf
+    * counting are DuckDB's own. A corpus term missing from the map
+    * would drop from the join and mismatch loudly.
+    */
+  def porterStemDfSql: String = {
+    val pairs = CorpusVocab
+      .map(w => s"('$w', '${graft.analysis.Porter.stem(w)}')")
+      .mkString(", ")
+    s"""WITH $tokCte, sm(term, stem) AS (VALUES $pairs)
+       |SELECT sm.stem, count(DISTINCT doc_id) AS df, count(*) AS ctf
+       |FROM tokf JOIN sm USING (term) GROUP BY 1""".stripMargin
+  }
+
   /** Constant-score doc set for a term-dictionary predicate. */
   def docsWithTermWhereSql(termPred: String): String =
     s"""WITH $tokCte

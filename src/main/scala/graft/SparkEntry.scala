@@ -361,6 +361,27 @@ object SparkEntry {
         .groupBy("stem")
         .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("ctf"))
     }),
+    "porter_stem_df" -> ((s, dir) => {
+      // PorterStemFilter [8x analysis/en/PorterStemFilter.java] — the
+      // default text_en chain's stemmer (full Porter 1980, not the
+      // plural-only minimal stem): stems are computed on the DISTINCT
+      // vocabulary off the term dictionary (dictionary-sized — millions
+      // at 100 TB while occurrences are trillions), df comes doc-distinct
+      // from the decoded posting pairs, ctf from the dictionary's ctf
+      // sums; the raw corpus is never re-tokenized. The oracle's inline
+      // (term, stem) map is generated from Porter.stem itself (single
+      // source of truth, like the SmallFloat norm table); the algorithm
+      // is pinned by the paper's known-answer vectors in PorterSpec.
+      val v = IndexCache.documentsIndex(s, dir)
+      val stemU = udf(graft.analysis.Porter.stem _)
+      val dict = v.terms.where(col("field") === graft.index.Indexer.Field)
+        .groupBy("term").agg(sum("ctf").as("tctf"))
+        .withColumn("stem", stemU(col("term")))
+      graft.operators.Relational.docTermsFromIndex(s, dir)
+        .join(broadcast(dict.select("term", "stem")), Seq("term"))
+        .groupBy("stem").agg(countDistinct("doc_id").as("df"))
+        .join(dict.groupBy("stem").agg(sum("tctf").as("ctf")), Seq("stem"))
+    }),
     "session_window_agg" -> ((s, dir) => {
       // session windows (30-minute gap) per user over the events table —
       // the session_window operator exercised in batch (its streaming
@@ -1078,6 +1099,7 @@ object SparkEntry {
          |  count(*) AS n
          |FROM documents d JOIN hits USING (doc_id)
          |GROUP BY 1""".stripMargin,
+    "porter_stem_df" -> OracleGen.porterStemDfSql,
     "minimal_stem_df" ->
       s"""WITH ${OracleGen.tokCte}
          |SELECT ${graft.analysis.Stemmer.stemSql("term")} AS stem,
