@@ -174,22 +174,25 @@ object SparkEntry {
       quantize(MoreQueries.synonymTopK(s, v, Seq("spark", "scan", "merge"), 10))
     }),
     "block_join_parent" -> ((s, dir) => {
-      // {!parent}: parents with a child (positional half) matching the
-      // conjunctive child query — stronger than doc-level AND
+      // {!parent}: parents with an INDEXED child doc matching the
+      // conjunctive child query (contiguous child+parent doc blocks,
+      // parent-filter term = the parent bitset) — stronger than AND
       MoreQueries.blockJoinParents(s,
-        s.read.parquet(s"$dir/documents.parquet"), "spark", "join")
+        graft.index.NestedBlocks.nestedIndex(s, dir), "spark", "join")
     }),
     "block_join_child" -> ((s, dir) => {
-      // {!child}: every child (positional half) of parents matching the
-      // parent query — the inverse direction of block_join_parent
+      // {!child}: every indexed child doc of parents matching the
+      // parent query — the inverse direction of block_join_parent;
+      // n_tokens is the child's own indexed length (dl)
       MoreQueries.blockJoinChildren(s,
-        s.read.parquet(s"$dir/documents.parquet"), "spark")
+        graft.index.NestedBlocks.nestedIndex(s, dir), "spark")
     }),
     "block_join_scored" -> ((s, dir) => {
       // ToParentBlockJoin ScoreMode.Max: parent takes its best-matching
-      // child's score (integer child tf-sum keeps the oracle exact)
+      // child's score from the CHILD's postings freqs (integer tf-sum
+      // keeps the oracle exact)
       MoreQueries.blockJoinScored(s,
-        s.read.parquet(s"$dir/documents.parquet"), "spark", "join")
+        graft.index.NestedBlocks.nestedIndex(s, dir), "spark", "join")
     }),
     "sharded_topk" -> ((s, dir) => {
       // distributed search, two-phase [Solr distributed search /
@@ -1015,18 +1018,27 @@ object SparkEntry {
         |WHERE list_contains(c0, 'spark') AND list_contains(c0, 'join')
         |   OR list_contains(c1, 'spark') AND list_contains(c1, 'join')""".stripMargin,
     "block_join_child" ->
-      """WITH lists AS (
+      s"""WITH lists AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
         |), halves AS (
         |  SELECT doc_id, l, l[1:(len(l)+1)//2] AS c0,
         |         l[(len(l)+1)//2+1:len(l)] AS c1
         |  FROM lists
+        |), kids AS (
+        |  -- n_tokens = the child's INDEXED length: stop-filtered token
+        |  -- count (a dl=0 child is never indexed, hence the > 0 filter)
+        |  SELECT doc_id, 0 AS child_ord,
+        |    CAST(len(list_filter(c0, x -> len(x) > 0
+        |      AND x NOT IN (${OracleGen.stopList}))) AS INT) AS n_tokens
+        |  FROM halves WHERE list_contains(l, 'spark')
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS child_ord,
+        |    CAST(len(list_filter(c1, x -> len(x) > 0
+        |      AND x NOT IN (${OracleGen.stopList}))) AS INT) AS n_tokens
+        |  FROM halves WHERE list_contains(l, 'spark')
         |)
-        |SELECT doc_id, 0 AS child_ord, CAST(len(c0) AS INT) AS n_tokens
-        |FROM halves WHERE list_contains(l, 'spark')
-        |UNION ALL
-        |SELECT doc_id, 1 AS child_ord, CAST(len(c1) AS INT) AS n_tokens
-        |FROM halves WHERE list_contains(l, 'spark')""".stripMargin,
+        |SELECT doc_id, child_ord, n_tokens FROM kids
+        |WHERE n_tokens > 0""".stripMargin,
     "term_vectors" ->
       s"""WITH ${OracleGen.tokCte}
          |SELECT doc_id, term, count(*) AS tf FROM tokf

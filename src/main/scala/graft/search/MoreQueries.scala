@@ -565,35 +565,57 @@ object MoreQueries {
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
-  /** The deterministic half-block structure shared by every block-join
-    * direction: token array, first half (ceil), second half. ONE
-    * definition so parent/child/scored can never disagree on boundaries.
-    */
-  private def halfBlocks: (Column, Column, Column) = {
-    val l = split(col("text"), " ")
-    val n = size(l)
-    val half = ((n + 1) / 2).cast("int") // Column `/` is double division
-    (l, slice(l, lit(1), half), slice(l, half + 1, n - half))
-  }
 
   /** ToParentBlockJoinQuery [8x search/join/ToParentBlockJoinQuery.java,
     * Solr BlockJoinParentQParser `{!parent}`]: parent docs having ≥ 1
     * CHILD matching the child query, with the matching-child count.
-    * Children here are the two positional halves of each document — a
-    * deterministic block structure standing in for indexed child docs —
-    * and the child query is CONJUNCTIVE (both terms within ONE half),
-    * so the result is strictly stronger than a doc-level AND. The whole
-    * child evaluation is an in-row array expression (narrow, codegen);
-    * nothing shuffles.
+    * Children are GENUINELY INDEXED docs of the contiguous-block nested
+    * index ([[graft.index.NestedBlocks]]) — the child query runs against
+    * the children's own postings, the parent set is the parent-filter
+    * term's posting list, and the child query is CONJUNCTIVE (both terms
+    * within one child doc), strictly stronger than a doc-level AND.
     */
-  def blockJoinParents(spark: SparkSession, corpus: DataFrame,
+  /** The parent-bitset analog: the real posting list of the nested
+    * index's parent-filter term (the `doc_type:parent` term every
+    * block-join schema indexes).
+    */
+  private def parentDocSet(spark: SparkSession, view: IndexView): DataFrame =
+    ExactSearch.decodedPostings(spark, view,
+        Seq(graft.index.NestedBlocks.ParentTerm))
+      .select(col("doc_id").as("parent_id"))
+
+  /** Child doc → its block's parent docID: contiguity arithmetic over
+    * the deterministic 3-per-block layout ([[graft.index.NestedBlocks]])
+    * — the analog of the reference's advance-to-next-parent-bit.
+    */
+  private def parentOf(child: Column): Column = child - (child % 3) + 2
+
+  /** Stored-field read of the matched parents: parent url = source
+    * doc_id (what the reference returns from the parent's stored
+    * fields).
+    */
+  private def parentUrlLookup(view: IndexView): DataFrame =
+    view.docmeta.toDF()
+      .select(col("doc_id").as("parent_id"), col("url"))
+
+  def blockJoinParents(spark: SparkSession, view: IndexView,
                        t1: String, t2: String): DataFrame = {
-    val (_, c0, c1) = halfBlocks
-    def hits(c: Column): Column =
-      (array_contains(c, t1) && array_contains(c, t2)).cast("long")
-    corpus
-      .select(col("doc_id"), (hits(c0) + hits(c1)).as("n_child_hits"))
-      .where(col("n_child_hits") > 0)
+    val parents = parentDocSet(spark, view)
+    val need = Seq(t1, t2).distinct.size
+    // children matching the CONJUNCTIVE child query: both terms inside
+    // ONE indexed child doc's own postings. The parent doc also carries
+    // the full text, so anti-join the parent set out — block join
+    // requires the match inside a child, never at parent level.
+    val childHits = ExactSearch.decodedPostings(spark, view, Seq(t1, t2))
+      .groupBy("doc_id").agg(countDistinct("term").as("nt"))
+      .where(col("nt") === need)
+      .join(parents, col("doc_id") === col("parent_id"), "left_anti")
+    childHits
+      .select(parentOf(col("doc_id")).as("parent_id"))
+      .groupBy("parent_id").agg(count(lit(1)).as("n_child_hits"))
+      .join(parents, Seq("parent_id")) // bitset membership check
+      .join(parentUrlLookup(view), Seq("parent_id"))
+      .select(col("url").cast("long").as("doc_id"), col("n_child_hits"))
   }
 
   /** Term-vector retrieval (Solr TermVectorsComponent / Lucene
@@ -646,42 +668,50 @@ object MoreQueries {
 
   /** ToParentBlockJoin with ScoreMode.Max [8x join/ToParentBlockJoinQuery
     * .java]: parent score = MAX over its matching children of the child
-    * score (integer tf-sum child scoring keeps the oracle exact; the
-    * BM25-scored variant shares the same shape). Children are the
-    * deterministic half-blocks of [[blockJoinParents]]. Fully narrow:
-    * per-row array arithmetic, no shuffle, no explode.
+    * score (integer child tf-sum keeps the oracle exact; the BM25-scored
+    * variant shares the same shape). Children are genuinely indexed docs
+    * of the nested index — the score comes from THEIR postings' freqs.
     */
-  def blockJoinScored(spark: SparkSession, corpus: DataFrame,
+  def blockJoinScored(spark: SparkSession, view: IndexView,
                       t1: String, t2: String): DataFrame = {
-    val (_, c0, c1) = halfBlocks
-    def tf(c: Column, t: String): Column =
-      size(filter(c, x => x === t)).cast("long")
-    def childScore(c: Column): Column =
-      when(array_contains(c, t1) && array_contains(c, t2),
-        tf(c, t1) + tf(c, t2)).otherwise(lit(-1L))
-    corpus
-      .select(col("doc_id"),
-        greatest(childScore(c0), childScore(c1)).as("parent_score"))
-      .where(col("parent_score") >= 0)
+    val parents = parentDocSet(spark, view)
+    val need = Seq(t1, t2).distinct.size
+    val childScores = ExactSearch.decodedPostings(spark, view, Seq(t1, t2))
+      .groupBy("doc_id")
+      .agg(countDistinct("term").as("nt"), sum("tf").as("cscore"))
+      .where(col("nt") === need)
+      .join(parents, col("doc_id") === col("parent_id"), "left_anti")
+    childScores
+      .select(parentOf(col("doc_id")).as("parent_id"), col("cscore"))
+      .groupBy("parent_id").agg(max("cscore").as("parent_score"))
+      .join(parents, Seq("parent_id"))
+      .join(parentUrlLookup(view), Seq("parent_id"))
+      .select(col("url").cast("long").as("doc_id"), col("parent_score"))
   }
 
   /** ToChildBlockJoinQuery [8x search/join/ToChildBlockJoinQuery.java]:
     * all CHILD docs of parents matching the parent query — the inverse
-    * direction of [[blockJoinParents]], same deterministic half-block
-    * structure. Parent filter + per-row explode of the two halves:
-    * narrow, no shuffle.
+    * direction of [[blockJoinParents]]. Parent matches come from the
+    * parent docs' own postings intersected with the parent bitset;
+    * children are real docmeta rows of the nested index joined on the
+    * block base, with `n_tokens` = the child's indexed length (dl) and
+    * `child_ord` from its stored url.
     */
-  def blockJoinChildren(spark: SparkSession, corpus: DataFrame,
+  def blockJoinChildren(spark: SparkSession, view: IndexView,
                         parentTerm: String): DataFrame = {
-    val (l, c0, c1) = halfBlocks
-    corpus
-      .where(array_contains(l, parentTerm))
-      .select(col("doc_id"),
-        explode(array(
-          struct(lit(0).as("child_ord"), size(c0).as("n_tokens")),
-          struct(lit(1).as("child_ord"), size(c1).as("n_tokens"))
-        )).as("ch"))
-      .select(col("doc_id"), col("ch.child_ord"), col("ch.n_tokens"))
+    val parents = parentDocSet(spark, view)
+    val pmatch = ExactSearch.decodedPostings(spark, view, Seq(parentTerm))
+      .select(col("doc_id").as("parent_id"))
+      .join(parents, Seq("parent_id"))
+      .select((col("parent_id") - 2).as("block_base"))
+    view.docmeta.toDF()
+      .where(col("url").contains(":")) // child rows store url = src:ord
+      .withColumn("block_base", col("doc_id") - (col("doc_id") % 3))
+      .join(pmatch, Seq("block_base"))
+      .select(
+        split(col("url"), ":").getItem(0).cast("long").as("doc_id"),
+        split(col("url"), ":").getItem(1).cast("int").as("child_ord"),
+        col("dl").cast("int").as("n_tokens"))
   }
 
   /** CommonTermsQuery [8x lucene/queries .../CommonTermsQuery.java]:

@@ -194,21 +194,41 @@ class MoreQueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("block join: child direction returns both halves of matching parents") {
+  test("block join over indexed children where child and parent text differ") {
     import spark.implicits._
-    val tiny = Seq(
-      (0L, "alpha beta gamma delta"), // halves: [alpha beta] [gamma delta]
-      (1L, "beta gamma delta"),       // halves: [beta gamma] [delta]
-      (2L, "alpha beta")              // matches parent query too
-    ).toDF("doc_id", "text")
-    val got = MoreQueries.blockJoinChildren(spark, tiny, "alpha")
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
-    assert(got == Set((0L, 0, 2), (0L, 1, 2), (2L, 0, 1), (2L, 1, 1)))
-    // parent direction on the same blocks: conjunction within ONE half —
-    // doc2 splits into [alpha] [beta], so neither half has both terms
-    val par = MoreQueries.blockJoinParents(spark, tiny, "alpha", "beta")
+    val pt = graft.index.NestedBlocks.ParentTerm
+    // hand-built nested blocks (3 contiguous docs each, parent last):
+    // child text and parent text deliberately DIFFER per block
+    val nested = Seq(
+      (0L, "0:0", "alpha beta"),          // block 0 children
+      (1L, "0:1", "gamma delta"),
+      (2L, "0", s"zeta $pt"),             // parent 0: no child term at all
+      (3L, "1:0", "beta gamma"),          // block 1 children
+      (4L, "1:1", "delta"),
+      (5L, "1", s"alpha $pt"),            // parent 1 contains alpha; kids don't
+      (6L, "2:0", "alpha"),               // block 2: alpha and beta split
+      (7L, "2:1", "beta"),                //   across two children
+      (8L, "2", s"alpha beta $pt")        // parent 2 has BOTH at parent level
+    ).toDF("doc_id", "url", "text")
+    val v = Indexer.buildTables(spark, Indexer.asDocInput(spark, nested), 3L * 16)
+
+    // {!parent}: only block 0 has a CHILD containing both terms; block 2's
+    // parent-level match must NOT count (children split the conjunction)
+    val par = MoreQueries.blockJoinParents(spark, v, "alpha", "beta")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(par == Set((0L, 1L)))
+
+    // ScoreMode.Max: the matching child's tf-sum
+    val sc = MoreQueries.blockJoinScored(spark, v, "alpha", "beta")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sc == Set((0L, 2L)))
+
+    // {!child}: parents CONTAINING alpha are 1 and 2 (parent-text match,
+    // independent of child text); their children come back with their own
+    // indexed lengths
+    val kids = MoreQueries.blockJoinChildren(spark, v, "alpha")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(kids == Set((1L, 0, 2), (1L, 1, 1), (2L, 0, 1), (2L, 1, 1)))
   }
 
   test("phrase across a removed stopword does NOT match (gap preserved)") {
