@@ -54,6 +54,21 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("BMW streams many segments through ONE task (single shuffle partition)") {
+    // all 8 doc-range segments hash into a single partition: the kernel
+    // must flush per segment from the sorted iterator (bounded buffer),
+    // and the shared heap threshold carries across segments — ranks must
+    // still be exactly the exact path's
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      for (mode <- Seq(DoubleOracle, Float32Lucene)) {
+        val (exact, bmw) = run(Seq("w0001", "w0010", "w0100"), 10, mode)
+        assert(exact == bmw, s"single-partition mismatch mode $mode")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("scores are positive and descending with docID tie-break") {
     val (exact, _) = run(Seq("w0001", "w0010"), 10, Float32Lucene)
     assert(exact.nonEmpty)
