@@ -517,6 +517,38 @@ object OracleGen {
        |FROM tokf JOIN sm USING (term) GROUP BY 1""".stripMargin
   }
 
+  /** Passage-scored highlighting oracle: BM25 top-k docs, candidate
+    * `window`-token passages anchored at match positions, score =
+    * distinct terms × 1000 + occurrences, leftmost best passage per doc.
+    */
+  def highlightPassagesSql(terms: Seq[String], k: Int, window: Int): String = {
+    val qs = termList(terms.distinct)
+    s"""WITH ${bm25Ctes(terms)}, top AS (
+       |  SELECT doc_id FROM sc ORDER BY score DESC, doc_id ASC LIMIT $k
+       |), lists AS (
+       |  SELECT d.doc_id, string_split(d.text, ' ') AS l
+       |  FROM documents d JOIN top USING (doc_id)
+       |), mm AS (
+       |  SELECT doc_id, term, pos FROM (
+       |    SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+       |    FROM lists) WHERE term IN ($qs)
+       |), wins AS (
+       |  SELECT a.doc_id, a.pos AS anchor,
+       |    count(DISTINCT b.term) * 1000 + count(*) AS p_score
+       |  FROM mm a JOIN mm b ON a.doc_id = b.doc_id
+       |    AND b.pos >= a.pos AND b.pos < a.pos + $window
+       |  GROUP BY a.doc_id, a.pos
+       |), best AS (
+       |  SELECT doc_id, anchor, p_score, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY p_score DESC, anchor ASC) AS rn
+       |  FROM wins
+       |)
+       |SELECT l.doc_id,
+       |  array_to_string(l.l[b.anchor:b.anchor + $window - 1], ' ') AS passage,
+       |  CAST(b.p_score AS BIGINT) AS p_score
+       |FROM best b JOIN lists l ON b.doc_id = l.doc_id WHERE rn = 1""".stripMargin
+  }
+
   /** Constant-score doc set for a term-dictionary predicate. */
   def docsWithTermWhereSql(termPred: String): String =
     s"""WITH $tokCte

@@ -413,16 +413,15 @@ object SparkEntry {
         "sark", 2, 5)
     }),
     "highlight_topk" -> ((s, dir) => {
-      // UnifiedHighlighter analog: fixed-width snippet around the first
-      // raw-text occurrence for each top-k hit
+      // UnifiedHighlighter analog: per top-k doc, candidate passages
+      // anchored at analyzed (word-boundary) match positions, ranked by
+      // distinct-term coverage then occurrence count, best passage
+      // returned — passage CHOICE is part of the oracle ('dup' is rare,
+      // so a window covering spark AND dup must beat spark-only windows)
       val v = IndexCache.documentsIndex(s, dir)
-      val top = ExactSearch.topK(s, v, Seq("spark"), 3, DoubleOracle)
-        .select("doc_id")
-      top.join(s.read.parquet(s"$dir/documents.parquet")
-          .select(col("doc_id"), col("text")), Seq("doc_id"))
-        .select(col("doc_id"),
-          expr("substring(text, greatest(locate('spark', text) - 10, 1), 30)")
-            .as("snippet"))
+      MoreQueries.highlightPassages(s, v,
+        s.read.parquet(s"$dir/documents.parquet"),
+        Seq("spark", "dup"), 5, 8)
     }),
     "cursor_page" -> ((s, dir) => {
       // cursorMark deep paging: page 2 via a keyset predicate from the
@@ -1156,12 +1155,7 @@ object SparkEntry {
          |WHERE levenshtein(term, 'sark') <= 2 AND levenshtein(term, 'sark') > 0
          |ORDER BY dist ASC, df DESC, term ASC LIMIT 5""".stripMargin,
     "highlight_topk" ->
-      s"""WITH ${OracleGen.bm25Ctes(Seq("spark"))}, top AS (
-         |  SELECT doc_id FROM sc ORDER BY score DESC, doc_id ASC LIMIT 3
-         |)
-         |SELECT t.doc_id,
-         |  substr(d.text, greatest(strpos(d.text, 'spark') - 10, 1), 30) AS snippet
-         |FROM top t JOIN documents d ON t.doc_id = d.doc_id""".stripMargin,
+      OracleGen.highlightPassagesSql(Seq("spark", "dup"), 5, 8),
     "cursor_page" ->
       s"""WITH ${OracleGen.bm25Ctes(Seq("spark", "join"))}
          |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q

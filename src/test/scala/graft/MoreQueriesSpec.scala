@@ -231,6 +231,20 @@ class MoreQueriesSpec extends AnyFunSuite {
     assert(kids == Set((1L, 0, 2), (1L, 1, 1), (2L, 0, 1), (2L, 1, 1)))
   }
 
+  test("highlight picks the BEST passage, not the first substring match") {
+    import spark.implicits._
+    val tiny = Seq(
+      // first match at pos 0, but the best window (2-term coverage)
+      // starts at 'beta' near the end; 'alphabet' must NOT match 'alpha'
+      (0L, "u", "alpha alphabet x1 x2 x3 x4 x5 x6 x7 beta alpha"))
+      .toDF("doc_id", "url", "text")
+    val v = Indexer.buildTables(spark, Indexer.asDocInput(spark, tiny), 16L)
+    val got = MoreQueries.highlightPassages(spark, v, tiny,
+        Seq("alpha", "beta"), 1, 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, "beta alpha", 2002L)))
+  }
+
   test("phrase across a removed stopword does NOT match (gap preserved)") {
     import spark.implicits._
     val tiny = Seq((0L, "u", "alpha the beta"), (1L, "u", "alpha beta"))
