@@ -549,6 +549,19 @@ object OracleGen {
        |FROM best b JOIN lists l ON b.doc_id = l.doc_id WHERE rn = 1""".stripMargin
   }
 
+  /** DoubleMetaphone primary-code codebook stats — same single-source
+    * VALUES-map pattern as [[porterStemDfSql]].
+    */
+  def dmetaphoneSql: String = {
+    val pairs = CorpusVocab
+      .map(w => s"('$w', '${graft.analysis.DoubleMetaphone.primary(w)}')")
+      .mkString(", ")
+    s"""WITH $tokCte, dm(term, code) AS (VALUES $pairs)
+       |SELECT dm.code, count(DISTINCT term) AS n_terms,
+       |  count(*) AS ctf
+       |FROM tokf JOIN dm USING (term) GROUP BY 1""".stripMargin
+  }
+
   /** Constant-score doc set for a term-dictionary predicate. */
   def docsWithTermWhereSql(termPred: String): String =
     s"""WITH $tokCte

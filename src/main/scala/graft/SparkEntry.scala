@@ -677,6 +677,21 @@ object SparkEntry {
         .groupBy("code")
         .agg(count(lit(1)).as("n_terms"), sum("tf").as("ctf"))
     }),
+    "phonetic_dmetaphone" -> ((s, dir) => {
+      // PhoneticFilter(DoubleMetaphone) — the reference's DEFAULT
+      // phonetic pairing [8x DoubleMetaphoneFilter.java]: primary-code
+      // codebook stats off the term dictionary (dictionary-sized, like
+      // phonetic_soundex/porter_stem_df; corpus never re-tokenized).
+      // Oracle = Porter pattern: the vocab→code map is generated from
+      // DoubleMetaphone itself; DuckDB recounts independently.
+      val v = IndexCache.documentsIndex(s, dir)
+      val dmU = udf(graft.analysis.DoubleMetaphone.primary _)
+      v.terms.where(col("field") === graft.index.Indexer.Field)
+        .groupBy("term").agg(sum("ctf").as("tf"))
+        .select(dmU(col("term")).as("code"), col("tf"))
+        .groupBy("code")
+        .agg(count(lit(1)).as("n_terms"), sum("tf").as("ctf"))
+    }),
     "terms_enum" -> ((s, dir) => {
       // TermsComponent (/terms): dictionary enumeration under a prefix,
       // ranked by docFreq — reads ONLY the term dictionary (parquet
@@ -929,6 +944,10 @@ object SparkEntry {
     "lang_id" -> (graft.operators.TrainingData.langId _),
     "quality_score" -> (graft.operators.TrainingData.qualityScore _),
     "token_counts" -> (graft.operators.TrainingData.tokenCounts _),
+    "bpe_token_counts" -> ((s, dir) =>
+      graft.operators.TrainingData.bpeTokenCounts(s, dir)),
+    "pack_sequences_bpe" -> ((s, dir) =>
+      graft.operators.TrainingData.packSequencesBpe(s, dir)),
     "doc_fingerprint" -> (graft.operators.TrainingData.docFingerprint _),
     "decontaminate" -> (graft.operators.TrainingData.decontaminate _),
     "url_normalize" -> (graft.operators.TrainingData.urlNormalize _),
@@ -1111,6 +1130,7 @@ object SparkEntry {
          |FROM documents d JOIN hits USING (doc_id)
          |GROUP BY 1""".stripMargin,
     "porter_stem_df" -> OracleGen.porterStemDfSql,
+    "phonetic_dmetaphone" -> OracleGen.dmetaphoneSql,
     "minimal_stem_df" ->
       s"""WITH ${OracleGen.tokCte}
          |SELECT ${graft.analysis.Stemmer.stemSql("term")} AS stem,
@@ -1441,6 +1461,8 @@ object SparkEntry {
     "lang_id" -> TrainingOracles.langId,
     "quality_score" -> TrainingOracles.qualityScore,
     "token_counts" -> TrainingOracles.tokenCounts,
+    "bpe_token_counts" -> TrainingOracles.bpeTokenCounts,
+    "pack_sequences_bpe" -> TrainingOracles.packSequencesBpe(512L),
     "doc_fingerprint" -> TrainingOracles.docFingerprint,
     "decontaminate" -> TrainingOracles.decontaminate,
     "url_normalize" -> TrainingOracles.urlNormalize,

@@ -52,6 +52,46 @@ object TrainingOracles {
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM c GROUP BY 1""".stripMargin
 
+  /** Inline (term, subword-count) map of the BPE tokenizer: merges are
+    * trained on the fixed corpus vocabulary minus stopwords — exactly
+    * the engine's term dictionary — via [[graft.analysis.Bpe]] (single
+    * source of truth); DuckDB independently splits and sums. Stopwords
+    * ARE in the map (counted in budgets) as out-of-vocabulary encodes.
+    */
+  private def bpeMapValues: String = {
+    val dict = OracleGen.CorpusVocab
+      .filterNot(Analyzer.EnglishStopWords.contains)
+    val merges = graft.analysis.Bpe.train(dict,
+      graft.operators.TrainingData.BpeMerges)
+    OracleGen.CorpusVocab
+      .map(w => s"('$w', ${graft.analysis.Bpe.tokenCount(w, merges)})")
+      .mkString(", ")
+  }
+
+  def bpeTokenCounts: String =
+    s"""WITH bp(term, n_tok) AS (VALUES $bpeMapValues), w AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents)
+       |SELECT doc_id, CAST(sum(bp.n_tok) AS BIGINT) AS bpe_tokens
+       |FROM w JOIN bp USING (term) GROUP BY doc_id""".stripMargin
+
+  def packSequencesBpe(budget: Long): String =
+    s"""WITH bp(term, n_tok) AS (VALUES $bpeMapValues), w AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, CAST(sum(bp.n_tok) AS BIGINT) AS tok
+       |  FROM w JOIN bp USING (term) GROUP BY doc_id),
+       |c AS (
+       |  SELECT doc_id, tok,
+       |    coalesce(sum(tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+       |  FROM t)
+       |SELECT CAST(excl // $budget AS BIGINT) AS seq_id, count(*) AS n_docs,
+       |  CAST(sum(tok) AS BIGINT) AS tok_sum,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1""".stripMargin
+
   /** Duplicate word-5-gram counts per doc (same lead()-window shingle
     * formulation as [[ngramJaccardPairs]], extended to 5 slots).
     */

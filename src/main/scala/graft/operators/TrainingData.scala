@@ -444,6 +444,56 @@ object TrainingData {
       size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
         .cast("long").as("re_tokens"))
 
+  /** Per-document token count under the REAL subword tokenizer
+    * ([[graft.analysis.Bpe]]): merges are learned from the index's term
+    * dictionary (dictionary-sized — production would broadcast a
+    * published merges file, which is exactly what the broadcast here
+    * stands in for), then one narrow pass sums per-word subword counts
+    * with a per-task memo. Out-of-vocabulary words (e.g. stopwords,
+    * absent from the index) encode through the same merge table.
+    */
+  private[graft] def bpeTokens(s: SparkSession, dir: String)
+    : org.apache.spark.sql.Column = {
+    val v = graft.IndexCache.documentsIndex(s, dir)
+    val dict = v.terms
+      .where(col("field") === graft.index.Indexer.Field)
+      .select("term").distinct().collect().map(_.getString(0)).toSeq
+    val merges = graft.analysis.Bpe.train(dict, BpeMerges)
+    val bc = s.sparkContext.broadcast(merges)
+    val f = new (String => Long) with Serializable {
+      @transient private lazy val memo =
+        scala.collection.mutable.Map.empty[String, Int]
+      def apply(text: String): Long = {
+        var sum = 0L
+        text.split(' ').foreach { w =>
+          if (w.nonEmpty)
+            sum += memo.getOrElseUpdate(w,
+              graft.analysis.Bpe.tokenCount(w, bc.value))
+        }
+        sum
+      }
+    }
+    udf(f).apply(col("text"))
+  }
+
+  /** Merge-table size for [[bpeTokens]] — shared with the oracle
+    * generator so both derive the identical tokenizer.
+    */
+  val BpeMerges = 20
+
+  /** token_counts with the real tokenizer: per-doc BPE subword count. */
+  def bpeTokenCounts(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      bpeTokens(s, dir).as("bpe_tokens"))
+
+  /** Sequence packing by REAL token budget: the distributed prefix-sum
+    * packer fed by [[bpeTokens]] instead of whitespace counts.
+    */
+  def packSequencesBpe(s: SparkSession, dir: String,
+                       budget: Long = 512L, parts: Int = 8): DataFrame =
+    packSequencesDf(s, docs(s, dir), budget, parts,
+      tokExpr = Some(bpeTokens(s, dir)))
+
   /** Document fingerprint: MinHash-1 winnowing — min md5 over word
     * 4-gram shingles (md5 is byte-stable across engines → SQL oracle).
     */
@@ -637,11 +687,13 @@ object TrainingData {
     packSequencesDf(s, docs(s, dir), budget, parts)
 
   private[graft] def packSequencesDf(s: SparkSession, corpus: DataFrame,
-                                     budget: Long, parts: Int): DataFrame = {
+                                     budget: Long, parts: Int,
+                                     tokExpr: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val spark = s
     import spark.implicits._
+    val tok = tokExpr.getOrElse(size(split(col("text"), " ")).cast("long"))
     val toks = corpus
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .select(col("doc_id"), tok.cast("long").as("tok"))
       .repartitionByRange(parts, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .as[(Long, Long)]

@@ -111,4 +111,29 @@ class PhoneticSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(texts.filter(_._1 != id).values.exists(t => grams(t).intersect(g).nonEmpty))
     }
   }
+
+  test("double metaphone: hand-derived vectors from the published rules") {
+    import graft.analysis.DoubleMetaphone.encode
+    assert(encode("spark") == ("sprk", "sprk"))
+    assert(encode("phone") == ("fn", "fn"))      // PH → F
+    assert(encode("shell") == ("xl", "xl"))      // SH → X, LL collapses
+    assert(encode("knight") == ("nt", "nt"))     // silent KN-, silent -GH-
+    assert(encode("thought") == ("0t", "tt"))    // TH → θ primary / T alt
+    assert(encode("judge") == ("jj", "aj"))      // initial J alt A, DGE → J
+    assert(encode("batch") == ("px", "px"))      // B → P, TCH → X
+    assert(encode("query") == ("kr", "kr"))      // Q → K, final Y silent
+    assert(encode("vector") == ("fktr", "fktr")) // V → F, hard C → K
+    assert(encode("window") == ("ant", "fnt"))   // initial W+vowel A/F
+    assert(encode("merge") == ("mrj", "mrk"))    // soft G: J / germanic K
+    assert(encode("dumb") == ("tm", "tm"))       // final -MB silent B
+    assert(encode("xavier") == ("sfr", "sfr"))   // initial X → S, V → F
+    assert(encode("nation") == ("nxn", "nxn"))   // TION → X
+  }
+
+  test("double metaphone: codes cap at 4 and vowels code only at start") {
+    import graft.analysis.DoubleMetaphone.primary
+    assert(primary("alphabetical").length <= 4)
+    assert(primary("order") == "artr")   // initial vowel → a
+    assert(primary("stream") == "strm")  // interior vowels silent
+  }
 }
