@@ -309,6 +309,29 @@ object Relational {
   private def docTermsDistinct(s: SparkSession, dir: String): DataFrame =
     docTermsFromIndex(s, dir)
 
+  /** AUDIT-ONLY lazy twin of [[significantTerms]]: the same dataflow
+    * with placeholder corpus counts and no persist/localCheckpoint, so
+    * ExplainDump can show the real plan (the production entry returns a
+    * checkpointed tiny result whose plan is just an RDD scan). Never
+    * use for results.
+    */
+  private[graft] def significantTermsPlan(s: SparkSession, dir: String,
+      fgTerm: String = "spark", minDf: Long = 5L, k: Int = 20): DataFrame = {
+    val fgDocs = docTermsFromIndex(s, dir, Some(col("term") === fgTerm))
+      .select("doc_id")
+    docTermsFromIndex(s, dir)
+      .join(broadcast(fgDocs.withColumn("is_fg", lit(1))),
+        Seq("doc_id"), "left_outer")
+      .groupBy("term")
+      .agg(count(lit(1)).as("bg_df"), count(col("is_fg")).as("fg_df"))
+      .where(col("fg_df") >= minDf)
+      .select(col("term"),
+        floor(lit(10000.0) * col("fg_df") * lit(1000L) / (col("bg_df") * lit(100L)))
+          .cast("long").as("lift_q"))
+      .orderBy(col("lift_q").desc, col("term").asc)
+      .limit(k)
+  }
+
   def significantTerms(s: SparkSession, dir: String, fgTerm: String = "spark",
                        minDf: Long = 5L, k: Int = 20): DataFrame = {
     val view = graft.IndexCache.documentsIndex(s, dir)
