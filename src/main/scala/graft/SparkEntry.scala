@@ -970,6 +970,58 @@ object SparkEntry {
     "ann_sq8_topk" -> ((s, dir) => graft.operators.Vectors.annSq8TopK(s, dir)),
     "binary_meta" -> (graft.operators.Multimodal.binaryMeta _),
     "multimodal_decode" -> (graft.operators.Multimodal.mediaFeatures _),
+    // — §2.5 let/eval math expressions [8x solrj io/stream/LetStream.java +
+    //   io/eval/*Evaluator.java]: parsed streaming-expression strings, every
+    //   statistic from exact integer moments (operators/MathStreams.scala) —
+    "let_describe" -> ((s, dir) => {
+      graft.operators.MathStreams.run(s, dir,
+        "let(a=search(events, q=\"event_type:click\", sort=\"event_id asc\", rows=2000), " +
+          "v=round(scalarMultiply(10000, col(a, value))), describe(v))")
+        .select(col("n"), col("sum_v"), col("min_v"), col("max_v"),
+          round(col("mean") * 10000).cast("long").as("mean_q"),
+          round(col("variance") * 10000).cast("long").as("var_q"),
+          round(col("stddev") * 10000).cast("long").as("stddev_q"),
+          round(col("p50") * 10000).cast("long").as("p50_q"))
+    }),
+    "let_score_describe" -> ((s, dir) => {
+      // the let vector fed by the INDEX search path: describe over the
+      // BM25 top-100 score vector (BMW kernel, bit-identical to exact)
+      graft.operators.MathStreams.run(s, dir,
+        "let(a=search(documents, q=\"spark join\", rows=100), " +
+          "v=round(scalarMultiply(10000, col(a, score))), describe(v))")
+        .select(col("n"), col("sum_v"), col("min_v"), col("max_v"),
+          round(col("mean") * 10000).cast("long").as("mean_q"),
+          round(col("variance") * 10000).cast("long").as("var_q"),
+          round(col("stddev") * 10000).cast("long").as("stddev_q"),
+          round(col("p50") * 10000).cast("long").as("p50_q"))
+    }),
+    "let_regress" -> ((s, dir) => {
+      graft.operators.MathStreams.run(s, dir,
+        "let(a=search(lineitem, q=\"*:*\", sort=\"l_orderkey asc,l_linenumber asc\", rows=3000), " +
+          "x=round(col(a, l_quantity)), y=round(col(a, l_extendedprice)), regress(x, y))")
+        .select(col("n"),
+          round(col("slope") * 10000).cast("long").as("slope_q"),
+          round(col("intercept") * 10000).cast("long").as("intercept_q"),
+          round(col("r2") * 1000000).cast("long").as("r2_q"),
+          round(col("corr") * 1000000).cast("long").as("corr_q"))
+    }),
+    "let_hist" -> ((s, dir) => {
+      graft.operators.MathStreams.run(s, dir,
+        "let(a=search(events, q=\"*:*\", sort=\"event_id asc\", rows=5000), " +
+          "hist(round(scalarMultiply(10000, col(a, value))), 10))")
+    }),
+    "let_moving_avg" -> ((s, dir) => {
+      graft.operators.MathStreams.run(s, dir,
+        "let(a=search(events, q=\"event_type:view\", sort=\"event_id asc\", rows=200), " +
+          "movingAvg(round(scalarMultiply(10000, col(a, value))), 7))")
+        .select(col("ord"), round(col("v") * 100).cast("long").as("ma_q"))
+    }),
+    "let_zscores" -> ((s, dir) => {
+      graft.operators.MathStreams.run(s, dir,
+        "let(a=search(orders, q=\"o_orderstatus:F\", sort=\"o_orderkey asc\", rows=1000), " +
+          "zscores(round(scalarMultiply(100, col(a, o_totalprice)))))")
+        .select(col("ord"), round(col("v") * 10000).cast("long").as("z_q"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1563,5 +1615,11 @@ object SparkEntry {
         |WHERE dots.vec_id <> dots.qid
         |QUALIFY row_number() OVER (PARTITION BY dots.qid ORDER BY sim_q DESC, dots.vec_id ASC) <= 5""".stripMargin,
     "binary_meta" -> TrainingOracles.binaryMeta,
+    "let_describe" -> MathOracles.letDescribe,
+    "let_score_describe" -> MathOracles.letScoreDescribe,
+    "let_regress" -> MathOracles.letRegress,
+    "let_hist" -> MathOracles.letHist,
+    "let_moving_avg" -> MathOracles.letMovingAvg,
+    "let_zscores" -> MathOracles.letZscores,
   )
 }

@@ -754,12 +754,23 @@ object MoreQueries {
     * (LinearModel.score = Σ wᵢ·fᵢ) re-orders and the top-k is returned.
     * The N-row candidate frame broadcasts into the metadata join, so
     * feature extraction is a map-side lookup, never a corpus scan.
+    *
+    * Pass 1 runs the block-max WAND kernel (bit-identical DoubleOracle
+    * scores to the exact path — SearchSpec asserts (doc, Double) list
+    * equality) and the N-row rerank window is materialized ONCE as a
+    * local relation, exactly as LTRRescorer holds its reRankDocs window
+    * in memory per shard: the window is contract-bounded (reRankDocs),
+    * never corpus-scale, and materializing it stops the first pass from
+    * re-executing under every downstream join branch.
     */
   def ltrRerankTopK(spark: SparkSession, view: IndexView, corpus: DataFrame,
                     terms: Seq[String], flagTerm: String,
                     n: Int, k: Int,
                     w0: Double, w1: Double, w2: Double): DataFrame = {
-    val cand = ExactSearch.topK(spark, view, terms, n, DoubleOracle)
+    import spark.implicits._
+    val cand = BmwSearch.topK(spark, view, terms, n, DoubleOracle)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .toDF("doc_id", "score") // local relation: pass 1 runs exactly once
     val meta = corpus.select(col("doc_id"), col("n_chars"))
     // flag feature evaluated on the candidates only: the flag term's
     // postings are semi-joined with the broadcast N-doc candidate set

@@ -1,0 +1,135 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.MathStreams
+import graft.operators.MathStreams._
+
+/** Parser + evaluator checks for the `let`/`eval` math-stream surface.
+  * Value-level verification against DuckDB is the driver's oracle
+  * (`let_*` entries); here we pin the parser shape, the binding rules,
+  * and spot statistics against brute force over the same sf0.001 data.
+  */
+class MathStreamsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // ---------- parser ----------
+
+  test("parser: nested calls, named + positional args, literals") {
+    val e = MathStreams.parse(
+      "let(a=search(events, q=\"event_type:click\", rows=10), describe(round(col(a, value))))")
+    e match {
+      case Call("let", List((Some("a"), Call("search", sargs)), (None, body))) =>
+        assert(sargs.head == (None, Ref("events")))
+        assert(sargs.contains((Some("q"), StrLit("event_type:click"))))
+        assert(sargs.contains((Some("rows"), NumLit(10))))
+        body match {
+          case Call("describe", List((None, Call("round",
+            List((None, Call("col", List((None, Ref("a")), (None, Ref("value")))))))))) => ()
+          case other => fail(s"unexpected body: $other")
+        }
+      case other => fail(s"unexpected parse: $other")
+    }
+  }
+
+  test("parser: negative numbers, trailing-input and unbalanced errors") {
+    assert(MathStreams.parse("scalarMultiply(-2.5, v)") ==
+      Call("scalarMultiply", List((None, NumLit(-2.5)), (None, Ref("v")))))
+    intercept[IllegalArgumentException](MathStreams.parse("describe(v) x"))
+    intercept[IllegalArgumentException](MathStreams.parse("describe(v"))
+  }
+
+  // ---------- evaluator ----------
+
+  private def brute(): Array[Long] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/events.parquet")
+      .where("event_type = 'click'")
+      .orderBy("event_id").limit(500)
+      .select("value").as[Double].collect()
+      .map(v => math.round(v * 10000))
+  }
+
+  test("describe matches brute-force exact integer moments") {
+    val vs = brute()
+    val row = MathStreams.run(spark, dir,
+      "let(a=search(events, q=\"event_type:click\", sort=\"event_id asc\", rows=500), " +
+        "describe(round(scalarMultiply(10000, col(a, value)))))").collect()(0)
+    val n = vs.length.toLong
+    assert(row.getAs[Long]("n") == n)
+    assert(row.getAs[Long]("sum_v") == vs.sum)
+    assert(row.getAs[Long]("min_v") == vs.min)
+    assert(row.getAs[Long]("max_v") == vs.max)
+    val mean = vs.sum.toDouble / n
+    assert(math.abs(row.getAs[Double]("mean") - mean) < 1e-9)
+    val sumsq = vs.map(v => v * v).sum
+    val varE = (n.toDouble * sumsq - vs.sum.toDouble * vs.sum.toDouble) / (n.toDouble * (n - 1))
+    assert(math.abs(row.getAs[Double]("variance") - varE) < math.abs(varE) * 1e-12)
+  }
+
+  test("movingAvg: trailing window, exact sums, first win-1 rows dropped") {
+    val vs = brute().take(50)
+    val got = MathStreams.run(spark, dir,
+      "let(a=search(events, q=\"event_type:click\", sort=\"event_id asc\", rows=50), " +
+        "movingAvg(round(scalarMultiply(10000, col(a, value))), 7))")
+      .orderBy("ord").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == vs.length - 6)
+    got.foreach { case (ord, ma) =>
+      val expect = vs.slice(ord.toInt - 6, ord.toInt + 1).sum.toDouble / 7
+      assert(math.abs(ma - expect) < 1e-9, s"ord $ord")
+    }
+  }
+
+  test("hist: bins partition the vector (counts sum to n), bin ids in range") {
+    val rows = MathStreams.run(spark, dir,
+      "let(a=search(events, q=\"*:*\", sort=\"event_id asc\", rows=1000), " +
+        "hist(round(scalarMultiply(10000, col(a, value))), 10))")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._2).sum == 1000L)
+    assert(rows.forall { case (bin, _) => bin >= 0 && bin <= 9 })
+  }
+
+  test("zscores: sum of z ~ 0; regress on exact linear gives slope=2, r2=1") {
+    val zs = MathStreams.run(spark, dir,
+      "let(a=search(events, q=\"event_type:view\", sort=\"event_id asc\", rows=300), " +
+        "zscores(round(scalarMultiply(10000, col(a, value)))))")
+      .collect().map(_.getDouble(1))
+    assert(zs.nonEmpty) // rows is a cap; sf0.001 has fewer 'view' events
+    assert(math.abs(zs.sum) < 1e-6)
+    val r = MathStreams.run(spark, dir,
+      "let(a=search(events, q=\"*:*\", sort=\"event_id asc\", rows=100), " +
+        "x=round(scalarMultiply(10000, col(a, value))), " +
+        "regress(x, scalarMultiply(2, x)))").collect()(0)
+    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("intercept")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-12)
+  }
+
+  test("ebeAdd/ebeSubtract roundtrip; let bindings see earlier bindings") {
+    val out = MathStreams.run(spark, dir,
+      "let(a=search(events, q=\"*:*\", sort=\"event_id asc\", rows=20), " +
+        "x=round(scalarMultiply(100, col(a, value))), " +
+        "y=ebeAdd(x, x), " +
+        "d=ebeSubtract(y, x), " +
+        "z=ebeSubtract(d, x), " +
+        "describe(z))").collect()(0)
+    assert(out.getAs[Long]("n") == 20L)
+    assert(out.getAs[Long]("min_v") == 0L)
+    assert(out.getAs[Long]("max_v") == 0L)
+  }
+
+  test("statistics reject non-quantized (double) vectors") {
+    val ex = intercept[Exception](MathStreams.run(spark, dir,
+      "let(a=search(events, q=\"*:*\", sort=\"event_id asc\", rows=10), " +
+        "describe(col(a, value)))"))
+    assert(ex.getMessage.contains("integer-unit"))
+  }
+
+  test("search over the index: BM25 top-k stream feeds col/describe") {
+    val row = MathStreams.run(spark, dir,
+      "let(a=search(documents, q=\"spark join\", rows=20), " +
+        "describe(round(scalarMultiply(10000, col(a, score)))))").collect()(0)
+    assert(row.getAs[Long]("n") > 0)
+    assert(row.getAs[Long]("min_v") > 0) // BM25 scores of matching docs are positive
+  }
+}
