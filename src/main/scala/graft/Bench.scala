@@ -47,11 +47,21 @@ object Bench {
       IndexCache.TestSegmentSize)
     graft.operators.Vectors.sketchedCorpus(spark, sfDir)
     val warmSec = (System.nanoTime() - tw0) / 1e9
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Deterministic name-sorted run order: `queries` is a HashMap, so
+    // adding entries used to reshuffle the whole run order and per-query
+    // timings moved with it (JIT/GC/cache state depends on what ran
+    // before). Sorted order keeps cross-round per-query comparisons
+    // apples-to-apples. SPARK_GRAFT_BENCH_ONLY=name1,name2 runs a subset
+    // (local A/B tool; the driver never sets it).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     def qmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

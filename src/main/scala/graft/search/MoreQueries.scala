@@ -514,7 +514,14 @@ object MoreQueries {
                   firstTerms: Seq[String], secondTerms: Seq[String],
                   n: Int, k: Int, weight: Double,
                   mode: ScoreMode = DoubleOracle): DataFrame = {
+    import spark.implicits._
+    // materialize the contract-bounded N-row first-pass window ONCE as a
+    // local relation (QueryRescorer holds its window in memory per shard);
+    // `first` feeds BOTH the candidate semi-filter and the combine join,
+    // and without this the first pass executes under each branch
     val first = ExactSearch.topK(spark, view, firstTerms, n, mode)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .toDF("doc_id", "score")
     // restrict the second pass to the N survivors BEFORE scoring (the
     // candidate set broadcasts into a map-side semi-filter of the
     // second-pass postings), so second-pass cost is O(candidates), not
