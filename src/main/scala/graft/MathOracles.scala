@@ -94,4 +94,28 @@ object MathOracles {
       |              - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
       |              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) * 10000) AS BIGINT) AS z_q
       |FROM vq, m""".stripMargin
+
+  val letDotCosine: String =
+    """WITH sub AS (SELECT value, user_id FROM events WHERE event_type = 'click'
+      |             ORDER BY event_id ASC LIMIT 2000),
+      |vq AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+      |              CAST(round(user_id) AS BIGINT) AS y FROM sub),
+      |m AS (SELECT CAST(sum(x * y) AS BIGINT) AS sxy,
+      |             CAST(sum(x * x) AS BIGINT) AS sxx,
+      |             CAST(sum(y * y) AS BIGINT) AS syy FROM vq)
+      |SELECT sxy AS dot,
+      |  CAST(round(CAST(sxy AS DOUBLE)
+      |       / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE)))
+      |       * 1000000) AS BIGINT) AS cos_q
+      |FROM m""".stripMargin
+
+  val letCumsum: String =
+    """WITH sub AS (SELECT event_id, value FROM events
+      |             ORDER BY event_id ASC LIMIT 300),
+      |vq AS (SELECT row_number() OVER (ORDER BY event_id ASC) - 1 AS ord,
+      |              CAST(round(value * 100) AS BIGINT) AS v FROM sub),
+      |d AS (SELECT ord - 1 AS ord, v - lag(v) OVER (ORDER BY ord ASC) AS dv
+      |      FROM vq QUALIFY ord >= 1)
+      |SELECT ord, CAST(sum(dv) OVER (ORDER BY ord ASC) AS BIGINT) AS v
+      |FROM d""".stripMargin
 }

@@ -1022,6 +1022,24 @@ object SparkEntry {
           "zscores(round(scalarMultiply(100, col(a, o_totalprice)))))")
         .select(col("ord"), round(col("v") * 10000).cast("long").as("z_q"))
     }),
+    "let_dot_cosine" -> ((s, dir) => {
+      // vector algebra evaluators [8x io/eval/DotProductEvaluator,
+      // CosineSimilarityEvaluator]: exact integer dot + moments
+      graft.operators.MathStreams.run(s, dir,
+        "let(a=search(events, q=\"event_type:click\", sort=\"event_id asc\", rows=2000), " +
+          "x=round(scalarMultiply(100, col(a, value))), " +
+          "y=round(col(a, user_id)), " +
+          "tuple(dot=dotProduct(x, y), cos=cosineSimilarity(x, y)))")
+        .select(col("dot").cast("long").as("dot"),
+          round(col("cos") * 1000000).cast("long").as("cos_q"))
+    }),
+    "let_cumsum" -> ((s, dir) => {
+      // diff then cumulativeSum [8x io/eval/DerivativeEvaluator analog +
+      // CumulativeProbability family]: exact long vector in, long out
+      graft.operators.MathStreams.run(s, dir,
+        "let(a=search(events, q=\"*:*\", sort=\"event_id asc\", rows=300), " +
+          "cumulativeSum(diff(round(scalarMultiply(100, col(a, value))))))")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1621,5 +1639,7 @@ object SparkEntry {
     "let_hist" -> MathOracles.letHist,
     "let_moving_avg" -> MathOracles.letMovingAvg,
     "let_zscores" -> MathOracles.letZscores,
+    "let_dot_cosine" -> MathOracles.letDotCosine,
+    "let_cumsum" -> MathOracles.letCumsum,
   )
 }

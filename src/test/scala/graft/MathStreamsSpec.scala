@@ -118,6 +118,42 @@ class MathStreamsSpec extends AnyFunSuite {
     assert(out.getAs[Long]("max_v") == 0L)
   }
 
+  test("dotProduct/cosineSimilarity: exact on known vectors; diff∘cumsum identity") {
+    // x and 3x: cos must be exactly 1 (common factor cancels in the
+    // double expression tree), dot = 3 * Σx²
+    val t = MathStreams.run(spark, dir,
+      "let(a=search(events, q=\"*:*\", sort=\"event_id asc\", rows=50), " +
+        "x=round(scalarMultiply(100, col(a, value))), " +
+        "tuple(dot=dotProduct(x, scalarMultiply(3, x)), " +
+        "cos=cosineSimilarity(x, scalarMultiply(3, x))))").collect()(0)
+    import spark.implicits._
+    val vs = spark.read.parquet(s"$dir/events.parquet")
+      .orderBy("event_id").limit(50).select("value").as[Double].collect()
+      .map(v => math.round(v * 100))
+    assert(t.getAs[Double]("dot") == 3.0 * vs.map(v => v * v).sum)
+    assert(math.abs(t.getAs[Double]("cos") - 1.0) < 1e-12)
+    // cumulativeSum(diff(v))[i] == v[i+1] - v[0]
+    val c = MathStreams.run(spark, dir,
+      "let(a=search(events, q=\"*:*\", sort=\"event_id asc\", rows=50), " +
+        "cumulativeSum(diff(round(scalarMultiply(100, col(a, value))))))")
+      .orderBy("ord").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(c.length == vs.length - 1)
+    c.foreach { case (ord, v) => assert(v == vs(ord.toInt + 1) - vs(0)) }
+  }
+
+  test("ebeMultiply keeps the integer domain; ebeDivide leaves it") {
+    val m = MathStreams.run(spark, dir,
+      "let(a=search(events, q=\"*:*\", sort=\"event_id asc\", rows=10), " +
+        "x=round(scalarMultiply(100, col(a, value))), " +
+        "describe(ebeMultiply(x, x)))").collect()(0)
+    assert(m.getAs[Long]("min_v") >= 0) // squares
+    val ex = intercept[Exception](MathStreams.run(spark, dir,
+      "let(a=search(events, q=\"*:*\", sort=\"event_id asc\", rows=10), " +
+        "x=round(scalarMultiply(100, col(a, value))), " +
+        "describe(ebeDivide(x, x)))"))
+    assert(ex.getMessage.contains("integer-unit"))
+  }
+
   test("statistics reject non-quantized (double) vectors") {
     val ex = intercept[Exception](MathStreams.run(spark, dir,
       "let(a=search(events, q=\"*:*\", sort=\"event_id asc\", rows=10), " +
