@@ -676,4 +676,73 @@ object OracleGen {
        |  count(DISTINCT term) AS n_terms, count(*) AS ctf
        |FROM tokf WHERE ${graft.analysis.Phonetic.alphaOnlySql("term")}
        |GROUP BY 1""".stripMargin
+
+  /** Independent DuckDB twin of the default word-delimiter split over
+    * `customer.c_name`: boundary insertion via RE2 backref replacement
+    * (lower→upper, letter↔digit), then split on non-alphanumerics and
+    * lowercase — the same subword set [[graft.analysis.WordDelimiter]]
+    * produces for this data (no case-change-after-acronym or possessive
+    * forms occur in `Customer#NNNNNNNNN`; those rules are pinned by
+    * FiltersSpec's published vectors instead).
+    */
+  def wordDelimiterSql: String =
+    """WITH pre AS (
+      |  SELECT c_custkey, regexp_replace(regexp_replace(regexp_replace(c_name,
+      |    '([a-z])([A-Z])', '\1 \2', 'g'),
+      |    '([A-Za-z])([0-9])', '\1 \2', 'g'),
+      |    '([0-9])([A-Za-z])', '\1 \2', 'g') AS s
+      |  FROM customer),
+      |parts AS (
+      |  SELECT c_custkey, lower(p) AS part
+      |  FROM pre, unnest(regexp_split_to_array(s, '[^A-Za-z0-9]+')) AS t(p)
+      |  WHERE p <> '')
+      |SELECT part, count(DISTINCT c_custkey) AS n_keys, count(*) AS n_occ
+      |FROM parts GROUP BY 1""".stripMargin
+
+  /** ASCII-folding round trip: accent the vowels with `translate` (the
+    * portable expression the engine shares), expect the engine's real
+    * fold table to invert it exactly (`refolded` = the bare term).
+    */
+  def asciiFoldingSql: String =
+    s"""WITH $tokCte
+       |SELECT term, translate(term, 'aeiou', 'áéíóú') AS accented,
+       |  term AS refolded, count(*) AS ctf
+       |FROM tokf GROUP BY term""".stripMargin
+
+  /** `text_en` chain tail (possessive strip then Porter) on the
+    * possessive surface form of every vocabulary word. The inline map
+    * encodes poss = term + 's and stem = Porter.stem(term) — the
+    * possessive strip itself is what the engine must get right for the
+    * stems to line up.
+    */
+  def textEnChainSql: String = {
+    val pairs = CorpusVocab
+      .map(w => s"('$w', '$w''s', '${graft.analysis.Porter.stem(w)}')")
+      .mkString(", ")
+    s"""WITH $tokCte, sm(term, poss, stem) AS (VALUES $pairs)
+       |SELECT sm.poss, sm.stem, count(DISTINCT doc_id) AS df
+       |FROM tokf JOIN sm USING (term) GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Shingle (bigram) dictionary: tokenize with ordinality, stop-filter
+    * KEEPING the original positions (the index's position-gap
+    * semantics), shingle only position-adjacent survivors.
+    */
+  def shingleDfSql: String =
+    s"""WITH tokp AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents
+       |), tokfp AS (
+       |  SELECT doc_id, term, pos FROM tokp
+       |  WHERE length(term) > 0 AND term NOT IN ($stopList)
+       |), sh AS (
+       |  SELECT doc_id, term, pos,
+       |    lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nt,
+       |    lead(pos)  OVER (PARTITION BY doc_id ORDER BY pos) AS np
+       |  FROM tokfp
+       |)
+       |SELECT term || ' ' || nt AS shingle, count(DISTINCT doc_id) AS df,
+       |  count(*) AS ctf
+       |FROM sh WHERE np = pos + 1 GROUP BY 1""".stripMargin
 }

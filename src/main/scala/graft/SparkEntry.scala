@@ -692,6 +692,18 @@ object SparkEntry {
         .groupBy("code")
         .agg(count(lit(1)).as("n_terms"), sum("tf").as("ctf"))
     }),
+    // — §2.1 analysis-chain filters beyond the StandardAnalyzer core
+    //   [8x WordDelimiterGraphFilter / ASCIIFoldingFilter /
+    //   EnglishPossessiveFilter / ShingleFilter]: see operators/
+    //   AnalysisOps.scala for the dataflow notes.
+    "word_delimiter_parts" -> ((s, dir) =>
+      graft.operators.AnalysisOps.wordDelimiterParts(s, dir)),
+    "ascii_folding" -> ((s, dir) =>
+      graft.operators.AnalysisOps.asciiFolding(s, dir)),
+    "text_en_chain" -> ((s, dir) =>
+      graft.operators.AnalysisOps.textEnChain(s, dir)),
+    "shingle_df" -> ((s, dir) =>
+      graft.operators.AnalysisOps.shingleDf(s, dir)),
     "terms_enum" -> ((s, dir) => {
       // TermsComponent (/terms): dictionary enumeration under a prefix,
       // ranked by docFreq — reads ONLY the term dictionary (parquet
@@ -1201,6 +1213,10 @@ object SparkEntry {
          |GROUP BY 1""".stripMargin,
     "porter_stem_df" -> OracleGen.porterStemDfSql,
     "phonetic_dmetaphone" -> OracleGen.dmetaphoneSql,
+    "word_delimiter_parts" -> OracleGen.wordDelimiterSql,
+    "ascii_folding" -> OracleGen.asciiFoldingSql,
+    "text_en_chain" -> OracleGen.textEnChainSql,
+    "shingle_df" -> OracleGen.shingleDfSql,
     "minimal_stem_df" ->
       s"""WITH ${OracleGen.tokCte}
          |SELECT ${graft.analysis.Stemmer.stemSql("term")} AS stem,

@@ -1,5 +1,23 @@
 package graft.analysis
 
+/** English possessive stripper — the reference's
+  * `EnglishPossessiveFilter` [8x lucene/analysis/common
+  * .../en/EnglishPossessiveFilter.java]: remove a trailing `'s` (any of
+  * the three apostrophe codepoints the reference accepts, either case of
+  * `s`) from a token. Runs before the stemmer in the stock `text_en`
+  * chain.
+  */
+object Possessive {
+  private def isApos(c: Char): Boolean =
+    c == '\'' || c == '’' || c == '＇'
+
+  def strip(s: String): String =
+    if (s.length >= 2 && isApos(s.charAt(s.length - 2)) &&
+        (s.charAt(s.length - 1) == 's' || s.charAt(s.length - 1) == 'S'))
+      s.substring(0, s.length - 2)
+    else s
+}
+
 /** English minimal stemmer — the reference's `EnglishMinimalStemFilter`
   * [8x lucene/analysis/common .../en/EnglishMinimalStemmer.java], the
   * plural-only "s-stemmer" (Harman 1991): strip a trailing `s` unless

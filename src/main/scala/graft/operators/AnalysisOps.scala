@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analysis.{Folding, Porter, Possessive, WordDelimiter}
+import graft.codec.PostingCodec
+import graft.index.Indexer
+
+/** Corpus-level demonstrations of the analysis-chain filters the stock
+  * Solr schemas apply beyond the StandardAnalyzer core: word-delimiter
+  * splitting, ASCII folding, the possessive+Porter `text_en` tail, and
+  * shingles. Each is a dictionary- or postings-routed dataflow (the raw
+  * corpus is never re-tokenized — the filters run on DISTINCT dictionary
+  * terms or on decoded index positions, both dictionary-sized at 100 TB
+  * while occurrences are trillions).
+  */
+object AnalysisOps {
+
+  /** Word-delimiter subword statistics over `customer.c_name`
+    * ("Customer#000000042" → `customer`, `000000042`) — the
+    * WordDelimiterGraphFilter [8x .../miscellaneous/
+    * WordDelimiterGraphFilter.java] with the stock factory flags,
+    * followed by lowercase. Narrow per-row map + one hash aggregation.
+    */
+  def wordDelimiterParts(s: SparkSession, dir: String): DataFrame = {
+    val partsU = udf((name: String) => WordDelimiter.parts(name))
+    s.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), explode(partsU(col("c_name"))).as("p"))
+      .select(col("c_custkey"), lower(col("p")).as("part"))
+      .groupBy("part")
+      .agg(countDistinct("c_custkey").as("n_keys"), count(lit(1)).as("n_occ"))
+  }
+
+  /** ASCII-folding differential over the term dictionary: accent the
+    * vowels of every DISTINCT term with the portable `translate`
+    * expression both engines share, fold back with the real
+    * [[graft.analysis.Folding]] table, and report the folded form next
+    * to the original (equal by construction — the oracle encodes that
+    * expectation, so any divergence in the fold table mismatches
+    * loudly). ctf comes from the dictionary, never a corpus re-scan.
+    */
+  def asciiFolding(s: SparkSession, dir: String): DataFrame = {
+    val v = graft.IndexCache.documentsIndex(s, dir)
+    val foldU = udf(Folding.fold _)
+    v.terms.where(col("field") === Indexer.Field)
+      .groupBy("term").agg(sum("ctf").as("ctf"))
+      .withColumn("accented", translate(col("term"), "aeiou", "áéíóú"))
+      .withColumn("refolded", foldU(col("accented")))
+      .select("term", "accented", "refolded", "ctf")
+  }
+
+  /** The `text_en` chain tail — EnglishPossessiveFilter then
+    * PorterStemFilter [8x .../en/EnglishPossessiveFilter.java,
+    * PorterStemFilter.java] — run end-to-end on the possessive surface
+    * form of every dictionary term (`spark's` → `spark` → `spark`),
+    * with doc frequency from the decoded posting pairs. The oracle's
+    * (term, stem) map is generated from `Porter.stem` alone, so the
+    * possessive strip is the part under test.
+    */
+  def textEnChain(s: SparkSession, dir: String): DataFrame = {
+    val v = graft.IndexCache.documentsIndex(s, dir)
+    val chainU = udf((t: String) => Porter.stem(Possessive.strip(t)))
+    val dict = v.terms.where(col("field") === Indexer.Field)
+      .groupBy("term").agg(sum("ctf").as("tctf"))
+      .withColumn("poss", concat(col("term"), lit("'s")))
+      .withColumn("stem", chainU(col("poss")))
+    Relational.docTermsFromIndex(s, dir)
+      .join(broadcast(dict.select("term", "poss", "stem")), Seq("term"))
+      .groupBy("poss", "stem").agg(countDistinct("doc_id").as("df"))
+  }
+
+  /** Shingle (token-bigram) dictionary — the ShingleFilter
+    * [8x lucene/analysis/common .../shingle/ShingleFilter.java] at its
+    * stock size (min=max=2): df/ctf per adjacent token pair. Decoded
+    * from the index's POSITION payloads, not by re-tokenizing text;
+    * adjacency = consecutive positions, so a stopword's position gap
+    * correctly suppresses the shingle that would span it (the
+    * reference's enablePositionIncrements semantics with no filler
+    * emission). One shuffle: the per-doc window over (doc, pos).
+    */
+  def shingleDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = graft.IndexCache.documentsIndex(s, dir)
+    val occ = v.postings
+      .filter($"field" === Indexer.Field)
+      .flatMap { b =>
+        val d = PostingCodec.decode(b.docs, b.freqs, b.norms)
+        val ps = PostingCodec.decodePositions(b.positions, d.freqs)
+        Iterator.range(0, d.docIds.length).flatMap(i =>
+          ps(i).iterator.map(p => (d.docIds(i), b.term, p)))
+      }
+      .toDF("doc_id", "term", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    occ
+      .select(col("doc_id"), col("term"), col("pos"),
+        lead("term", 1).over(w).as("nt"), lead("pos", 1).over(w).as("np"))
+      .where(col("np") === col("pos") + 1)
+      .groupBy(concat_ws(" ", col("term"), col("nt")).as("shingle"))
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("ctf"))
+  }
+}
