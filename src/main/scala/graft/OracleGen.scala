@@ -677,6 +677,22 @@ object OracleGen {
        |FROM tokf WHERE ${graft.analysis.Phonetic.alphaOnlySql("term")}
        |GROUP BY 1""".stripMargin
 
+  /** Multi-token synonym rule "`w1 w2` => `out`": the output term's
+    * df/ctf must equal the adjacent-pair statistics of the input phrase
+    * on the RAW token stream (matching happens before stop filtering).
+    */
+  def multiwordSynonymSql(w1: String, w2: String, out: String): String =
+    s"""WITH lists AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), tokpos AS (
+       |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+       |  FROM lists
+       |), a AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w1'),
+       |   b AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w2')
+       |SELECT '$out' AS term, count(DISTINCT a.doc_id) AS df,
+       |  count(*) AS ctf
+       |FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1""".stripMargin
+
   /** Independent DuckDB twin of the default word-delimiter split over
     * `customer.c_name`: boundary insertion via RE2 backref replacement
     * (lower→upper, letter↔digit), then split on non-alphanumerics and

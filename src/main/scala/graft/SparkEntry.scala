@@ -692,6 +692,32 @@ object SparkEntry {
         .groupBy("code")
         .agg(count(lit(1)).as("n_terms"), sum("tf").as("ctf"))
     }),
+    // — §2.1 index-time synonyms [8x synonym/SynonymGraphFilter.java]:
+    //   a separate synonym-expanded index (analysis/SynonymGraph.scala,
+    //   index/SynonymIndex.scala) where synonyms are REAL postings —
+    //   df/tf/positions — so the unchanged BM25 / phrase machinery
+    //   works on them. Oracles query the RAW corpus for the source
+    //   variant: the injected postings must reproduce them exactly.
+    "synonym_index_topk" -> ((s, dir) => {
+      // {spark, flame} equivalence: BM25 top-k for the variant that
+      // never occurs raw — identical scores to querying 'spark'
+      val v = graft.index.SynonymIndex.synonymIndex(s, dir)
+      quantize(ExactSearch.topK(s, v, Seq("flame"), 10, DoubleOracle))
+    }),
+    "synonym_index_phrase" -> ((s, dir) => {
+      // injected tokens carry the source POSITION, so phrases cross
+      // the synonym boundary: "flame join" matches where "spark join"
+      // is adjacent (the flattened-graph position contract)
+      MoreQueries.phraseMatch(s,
+        graft.index.SynonymIndex.synonymIndex(s, dir), Seq("flame", "join"))
+    }),
+    "synonym_multiword_df" -> ((s, dir) => {
+      // "big data" => bigdata: the multi-token rule's output indexes
+      // once per adjacent occurrence of the input phrase
+      val v = graft.index.SynonymIndex.synonymIndex(s, dir)
+      v.terms.where(col("term") === "bigdata")
+        .groupBy("term").agg(sum("df").as("df"), sum("ctf").as("ctf"))
+    }),
     // — §2.1 analysis-chain filters beyond the StandardAnalyzer core
     //   [8x WordDelimiterGraphFilter / ASCIIFoldingFilter /
     //   EnglishPossessiveFilter / ShingleFilter]: see operators/
@@ -1213,6 +1239,9 @@ object SparkEntry {
          |GROUP BY 1""".stripMargin,
     "porter_stem_df" -> OracleGen.porterStemDfSql,
     "phonetic_dmetaphone" -> OracleGen.dmetaphoneSql,
+    "synonym_index_topk" -> OracleGen.bm25TopKSql(Seq("spark"), 10),
+    "synonym_index_phrase" -> OracleGen.phraseSql("spark", "join"),
+    "synonym_multiword_df" -> OracleGen.multiwordSynonymSql("big", "data", "bigdata"),
     "word_delimiter_parts" -> OracleGen.wordDelimiterSql,
     "ascii_folding" -> OracleGen.asciiFoldingSql,
     "text_en_chain" -> OracleGen.textEnChainSql,
