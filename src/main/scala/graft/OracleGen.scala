@@ -677,6 +677,42 @@ object OracleGen {
        |FROM tokf WHERE ${graft.analysis.Phonetic.alphaOnlySql("term")}
        |GROUP BY 1""".stripMargin
 
+  /** Block-join child facet: top child terms over the children (halves)
+    * of parents (full docs) matching `parentTerm`, replicating the
+    * deterministic half split and the index's stop filter.
+    */
+  def blockJoinFacetSql(parentTerm: String, k: Int): String =
+    s"""WITH lists AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), halves AS (
+       |  SELECT doc_id, l, l[1:(len(l)+1)//2] AS c0,
+       |         l[(len(l)+1)//2+1:len(l)] AS c1
+       |  FROM lists
+       |), kids AS (
+       |  SELECT doc_id * 2 AS child_key, unnest(c0) AS term
+       |  FROM halves WHERE list_contains(l, '$parentTerm')
+       |  UNION ALL
+       |  SELECT doc_id * 2 + 1 AS child_key, unnest(c1) AS term
+       |  FROM halves WHERE list_contains(l, '$parentTerm')
+       |)
+       |SELECT term, count(DISTINCT child_key) AS n_children
+       |FROM kids WHERE length(term) > 0 AND term NOT IN ($stopList)
+       |GROUP BY 1 ORDER BY n_children DESC, term ASC LIMIT $k""".stripMargin
+
+  /** KeywordMarker + Porter: the protected set bypasses the stemmer.
+    * Map generated from the impl (single source, Porter pinned by
+    * PorterSpec, protection pinned by FiltersSpec); DuckDB recounts ctf.
+    */
+  def keywordMarkerSql(protectedWords: Set[String]): String = {
+    val pairs = CorpusVocab.map { w =>
+      val st = if (protectedWords.contains(w)) w else graft.analysis.Porter.stem(w)
+      s"('$w', '$st')"
+    }.mkString(", ")
+    s"""WITH $tokCte, sm(term, stem) AS (VALUES $pairs)
+       |SELECT sm.term, sm.stem, count(*) AS ctf
+       |FROM tokf JOIN sm USING (term) GROUP BY 1, 2""".stripMargin
+  }
+
   /** Multi-token synonym rule "`w1 w2` => `out`": the output term's
     * df/ctf must equal the adjacent-pair statistics of the input phrase
     * on the RAW token stream (matching happens before stop filtering).

@@ -187,6 +187,25 @@ object SparkEntry {
       MoreQueries.blockJoinChildren(s,
         graft.index.NestedBlocks.nestedIndex(s, dir), "spark")
     }),
+    "block_join_facet" -> ((s, dir) => {
+      // JSON facet domain switch to children: top child terms (distinct
+      // child docs containing the term) over the children of parents
+      // matching 'spark' — facet runs on the CHILDREN's own postings
+      MoreQueries.blockJoinChildFacet(s,
+        graft.index.NestedBlocks.nestedIndex(s, dir), "spark", 10)
+    }),
+    "keyword_marker_stem" -> ((s, dir) => {
+      // KeywordMarkerFilter [8x .../miscellaneous/SetKeywordMarkerFilter
+      // .java]: terms in the protected set bypass the stemmer — the
+      // schema's protwords.txt contract. Dictionary-sized transform.
+      val protect = graft.operators.AnalysisOps.ProtectedWords
+      val v = IndexCache.documentsIndex(s, dir)
+      val stemU = udf((t: String) =>
+        if (protect.contains(t)) t else graft.analysis.Porter.stem(t))
+      v.terms.where(col("field") === graft.index.Indexer.Field)
+        .groupBy("term").agg(sum("ctf").as("ctf"))
+        .select(col("term"), stemU(col("term")).as("stem"), col("ctf"))
+    }),
     "block_join_scored" -> ((s, dir) => {
       // ToParentBlockJoin ScoreMode.Max: parent takes its best-matching
       // child's score from the CHILD's postings freqs (integer tf-sum
@@ -1239,6 +1258,9 @@ object SparkEntry {
          |GROUP BY 1""".stripMargin,
     "porter_stem_df" -> OracleGen.porterStemDfSql,
     "phonetic_dmetaphone" -> OracleGen.dmetaphoneSql,
+    "block_join_facet" -> OracleGen.blockJoinFacetSql("spark", 10),
+    "keyword_marker_stem" ->
+      OracleGen.keywordMarkerSql(graft.operators.AnalysisOps.ProtectedWords),
     "synonym_index_topk" -> OracleGen.bm25TopKSql(Seq("spark"), 10),
     "synonym_index_phrase" -> OracleGen.phraseSql("spark", "join"),
     "synonym_multiword_df" -> OracleGen.multiwordSynonymSql("big", "data", "bigdata"),

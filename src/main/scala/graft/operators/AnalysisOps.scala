@@ -18,6 +18,12 @@ import graft.index.Indexer
   */
 object AnalysisOps {
 
+  /** Protected words for the KeywordMarker entry — vocabulary words the
+    * Porter stemmer would otherwise rewrite (query → queri, table →
+    * tabl), so protection is observable in the output.
+    */
+  val ProtectedWords: Set[String] = Set("query", "table")
+
   /** Word-delimiter subword statistics over `customer.c_name`
     * ("Customer#000000042" → `customer`, `000000042`) — the
     * WordDelimiterGraphFilter [8x .../miscellaneous/

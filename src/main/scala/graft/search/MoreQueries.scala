@@ -721,6 +721,36 @@ object MoreQueries {
         col("dl").cast("int").as("n_tokens"))
   }
 
+  /** Block-join child facet — the JSON Facet API's `domain: {toChildren
+    * ...}` switch [8x solr/core .../search/facet/FacetRequest.java
+    * (BlockJoin domain), ToChildBlockJoinQuery.java]: facet the CHILD
+    * docs of parents matching the parent query by their own indexed
+    * terms. The facet pass decodes the children's posting docID streams
+    * (the UIF/docvalues analog — never the stored text) and semi-joins
+    * the matching blocks; the matching-parent frame is tiny and
+    * broadcasts.
+    */
+  def blockJoinChildFacet(spark: SparkSession, view: IndexView,
+                          parentTerm: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val parents = parentDocSet(spark, view)
+    val pmatch = ExactSearch.decodedPostings(spark, view, Seq(parentTerm))
+      .select(col("doc_id").as("parent_id"))
+      .join(parents, Seq("parent_id"))
+      .select((col("parent_id") - 2).as("block_base"))
+    view.postings
+      .filter($"field" === graft.index.Indexer.Field &&
+        $"term" =!= graft.index.NestedBlocks.ParentTerm)
+      .flatMap(b => graft.codec.VByte.decodeDeltas(b.docs).iterator
+        .map(id => (id, b.term)))
+      .toDF("doc_id", "term")
+      .where(col("doc_id") % 3 < 2) // children only
+      .withColumn("block_base", col("doc_id") - (col("doc_id") % 3))
+      .join(broadcast(pmatch), Seq("block_base"))
+      .groupBy("term").agg(countDistinct("doc_id").as("n_children"))
+      .orderBy(col("n_children").desc, col("term").asc).limit(k)
+  }
+
   /** CommonTermsQuery [8x lucene/queries .../CommonTermsQuery.java]:
     * query terms split by docFreq against `maxTermFrequency * docCount` —
     * low-frequency terms become REQUIRED (the discriminative part),

@@ -126,6 +126,12 @@ class FiltersSpec extends AnyFunSuite {
     }
   }
 
+  test("keyword marker: the protected words are ones Porter would change") {
+    for (w <- graft.operators.AnalysisOps.ProtectedWords)
+      assert(graft.analysis.Porter.stem(w) != w,
+        s"$w must be stemmer-visible for protection to be observable")
+  }
+
   test("possessive: strip variants") {
     assert(Possessive.strip("spark's") == "spark")
     assert(Possessive.strip("SPARK'S") == "SPARK")
