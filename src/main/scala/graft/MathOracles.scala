@@ -109,6 +109,33 @@ object MathOracles {
       |       * 1000000) AS BIGINT) AS cos_q
       |FROM m""".stripMargin
 
+  val letCov: String =
+    """WITH sub AS (SELECT value, user_id FROM events WHERE event_type = 'click'
+      |             ORDER BY event_id ASC LIMIT 2000),
+      |vq AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+      |              CAST(round(user_id) AS BIGINT) AS y FROM sub),
+      |m AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |             CAST(sum(y) AS BIGINT) AS sy,
+      |             CAST(sum(x * y) AS BIGINT) AS sxy FROM vq)
+      |SELECT n, CAST(round(
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) * 10000) AS BIGINT)
+      |  AS cov_q
+      |FROM m""".stripMargin
+
+  val letConv: String =
+    """WITH sa AS (SELECT event_id, value FROM events
+      |            ORDER BY event_id ASC LIMIT 50),
+      |va AS (SELECT row_number() OVER (ORDER BY event_id ASC) - 1 AS ia,
+      |              CAST(round(value * 100) AS BIGINT) AS v FROM sa),
+      |sb AS (SELECT event_id, user_id FROM events WHERE event_type = 'view'
+      |       ORDER BY event_id ASC LIMIT 20),
+      |vb AS (SELECT row_number() OVER (ORDER BY event_id ASC) - 1 AS ib,
+      |              CAST(round(user_id) AS BIGINT) AS v FROM sb)
+      |SELECT va.ia + vb.ib AS ord, CAST(sum(va.v * vb.v) AS BIGINT) AS v
+      |FROM va, vb GROUP BY 1""".stripMargin
+
   val letCumsum: String =
     """WITH sub AS (SELECT event_id, value FROM events
       |             ORDER BY event_id ASC LIMIT 300),

@@ -713,6 +713,21 @@ object OracleGen {
        |FROM tokf JOIN sm USING (term) GROUP BY 1, 2""".stripMargin
   }
 
+  /** Character-3-gram codebook — single-source (term, gram) VALUES map
+    * generated from the engine's n-gram function over the fixed
+    * vocabulary; DuckDB recounts terms and ctf independently.
+    */
+  def charNgramSql: String = {
+    val pairs = (for {
+      w <- CorpusVocab
+      g <- graft.operators.AnalysisOps.charNgrams(w, 3)
+    } yield s"('$w', '$g')").mkString(", ")
+    s"""WITH $tokCte, ng(term, gram) AS (VALUES $pairs),
+       |d AS (SELECT term, count(*) AS ctf FROM tokf GROUP BY term)
+       |SELECT ng.gram, count(*) AS n_terms, CAST(sum(d.ctf) AS BIGINT) AS ctf
+       |FROM ng JOIN d USING (term) GROUP BY 1""".stripMargin
+  }
+
   /** Multi-token synonym rule "`w1 w2` => `out`": the output term's
     * df/ctf must equal the adjacent-pair statistics of the input phrase
     * on the RAW token stream (matching happens before stop filtering).

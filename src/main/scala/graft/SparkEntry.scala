@@ -749,6 +749,8 @@ object SparkEntry {
       graft.operators.AnalysisOps.textEnChain(s, dir)),
     "shingle_df" -> ((s, dir) =>
       graft.operators.AnalysisOps.shingleDf(s, dir)),
+    "char_ngram_df" -> ((s, dir) =>
+      graft.operators.AnalysisOps.charNgramDf(s, dir)),
     "terms_enum" -> ((s, dir) => {
       // TermsComponent (/terms): dictionary enumeration under a prefix,
       // ranked by docFreq — reads ONLY the term dictionary (parquet
@@ -1090,6 +1092,24 @@ object SparkEntry {
         .select(col("dot").cast("long").as("dot"),
           round(col("cos") * 1000000).cast("long").as("cos_q"))
     }),
+    "let_cov" -> ((s, dir) => {
+      // covariance evaluator [8x io/eval/CovarianceEvaluator]: sample
+      // covariance (n−1) of two aligned quantized series
+      graft.operators.MathStreams.run(s, dir,
+        "let(a=search(events, q=\"event_type:click\", sort=\"event_id asc\", rows=2000), " +
+          "x=round(scalarMultiply(100, col(a, value))), " +
+          "y=round(col(a, user_id)), cov(x, y))")
+        .select(col("n"),
+          round(col("cov") * 10000).cast("long").as("cov_q"))
+    }),
+    "let_conv" -> ((s, dir) => {
+      // convolution evaluator [8x io/eval/ConvolutionEvaluator]: full
+      // integer convolution of two bounded vectors — exact long output
+      graft.operators.MathStreams.run(s, dir,
+        "let(a=search(events, q=\"*:*\", sort=\"event_id asc\", rows=50), " +
+          "b=search(events, q=\"event_type:view\", sort=\"event_id asc\", rows=20), " +
+          "conv(round(scalarMultiply(100, col(a, value))), round(col(b, user_id))))")
+    }),
     "let_cumsum" -> ((s, dir) => {
       // diff then cumulativeSum [8x io/eval/DerivativeEvaluator analog +
       // CumulativeProbability family]: exact long vector in, long out
@@ -1268,6 +1288,7 @@ object SparkEntry {
     "ascii_folding" -> OracleGen.asciiFoldingSql,
     "text_en_chain" -> OracleGen.textEnChainSql,
     "shingle_df" -> OracleGen.shingleDfSql,
+    "char_ngram_df" -> OracleGen.charNgramSql,
     "minimal_stem_df" ->
       s"""WITH ${OracleGen.tokCte}
          |SELECT ${graft.analysis.Stemmer.stemSql("term")} AS stem,
@@ -1708,5 +1729,7 @@ object SparkEntry {
     "let_zscores" -> MathOracles.letZscores,
     "let_dot_cosine" -> MathOracles.letDotCosine,
     "let_cumsum" -> MathOracles.letCumsum,
+    "let_cov" -> MathOracles.letCov,
+    "let_conv" -> MathOracles.letConv,
   )
 }

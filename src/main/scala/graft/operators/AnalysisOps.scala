@@ -24,6 +24,31 @@ object AnalysisOps {
     */
   val ProtectedWords: Set[String] = Set("query", "table")
 
+  /** Character n-grams of one term — the reference's `NGramTokenizer` /
+    * `NGramTokenFilter` [8x lucene/analysis/common .../ngram/
+    * NGramTokenizer.java] at a fixed size (the partial-match /
+    * substring-search index vocabulary). Distinct grams per term (the
+    * dictionary-stats use case counts a term once per gram).
+    */
+  def charNgrams(t: String, n: Int): Seq[String] =
+    if (t.length < n) Seq.empty
+    else (0 to t.length - n).map(i => t.substring(i, i + n)).distinct
+
+  /** N-gram codebook over the term dictionary: for every DISTINCT term,
+    * its distinct 3-grams; per gram, how many terms contain it and the
+    * summed corpus ctf of those terms — the statistics a substring-
+    * match index needs. Dictionary-sized: the corpus is never scanned.
+    */
+  def charNgramDf(s: SparkSession, dir: String): DataFrame = {
+    val v = graft.IndexCache.documentsIndex(s, dir)
+    val ngU = udf((t: String) => charNgrams(t, 3))
+    v.terms.where(col("field") === Indexer.Field)
+      .groupBy("term").agg(sum("ctf").as("tctf"))
+      .select(explode(ngU(col("term"))).as("gram"), col("tctf"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_terms"), sum("tctf").as("ctf"))
+  }
+
   /** Word-delimiter subword statistics over `customer.c_name`
     * ("Customer#000000042" → `customer`, `000000042`) — the
     * WordDelimiterGraphFilter [8x .../miscellaneous/

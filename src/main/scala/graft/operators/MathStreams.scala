@@ -360,6 +360,33 @@ object MathStreams {
             (numE / sqrt(denx * deny)).as("corr")))
         }
 
+      case "cov" =>
+        // sample covariance [8x solrj io/eval/CovarianceEvaluator.java —
+        // Commons Math Covariance, n−1 denominator]: exact integer
+        // moments, ONE double division at the end
+        val x = vec(pos.head, env); val y = vec(pos(1), env)
+        requireLong(x, fn); requireLong(y, fn)
+        val j = x.select(col("ord"), col("v").as("x"))
+          .join(y.select(col("ord"), col("v").as("y")), Seq("ord"))
+        val m = j.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"))
+        val nD = col("n").cast("double")
+        def dc(c: String) = col(c).cast("double")
+        MStream(m.select(col("n"),
+          ((nD * dc("sxy") - dc("sx") * dc("sy")) / (nD * (nD - 1))).as("cov")))
+
+      case "conv" =>
+        // full convolution [8x solrj io/eval/ConvolutionEvaluator.java]:
+        // out[k] = Σ_i a[i]·b[k−i], k = 0..|a|+|b|−2 — exact integer
+        // sums over the bounded-vector cross join (rows= contract keeps
+        // both sides tiny; never a corpus-scale product)
+        val a = vec(pos.head, env); val b = vec(pos(1), env)
+        requireLong(a, fn); requireLong(b, fn)
+        MVec(a.select(col("ord").as("ia"), col("v").as("va"))
+          .crossJoin(broadcast(b.select(col("ord").as("ib"), col("v").as("vb"))))
+          .groupBy((col("ia") + col("ib")).as("ord"))
+          .agg(sum(col("va") * col("vb")).as("v")))
+
       case "hist" =>
         val v = vec(pos.head, env)
         requireLong(v, "hist")

@@ -126,6 +126,14 @@ class FiltersSpec extends AnyFunSuite {
     }
   }
 
+  test("char n-grams: distinct sliding grams, short terms yield none") {
+    import graft.operators.AnalysisOps.charNgrams
+    assert(charNgrams("spark", 3) == Seq("spa", "par", "ark"))
+    assert(charNgrams("aaaa", 3) == Seq("aaa"))
+    assert(charNgrams("ab", 3) == Seq.empty)
+    assert(charNgrams("abc", 3) == Seq("abc"))
+  }
+
   test("keyword marker: the protected words are ones Porter would change") {
     for (w <- graft.operators.AnalysisOps.ProtectedWords)
       assert(graft.analysis.Porter.stem(w) != w,

@@ -161,6 +161,51 @@ class MathStreamsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("integer-unit"))
   }
 
+  test("cov: sample covariance equals brute force on aligned series") {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$dir/events.parquet")
+      .where("event_type = 'click'")
+      .orderBy("event_id").limit(200)
+      .select("value", "user_id").as[(Double, Long)].collect()
+    val xs = rows.map(r => math.round(r._1 * 100).toDouble)
+    val ys = rows.map(_._2.toDouble)
+    val n = xs.length
+    val mx = xs.sum / n; val my = ys.sum / n
+    val expected = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / (n - 1)
+    val got = MathStreams.run(spark, dir,
+      "let(a=search(events, q=\"event_type:click\", sort=\"event_id asc\", rows=200), " +
+        "cov(round(scalarMultiply(100, col(a, value))), round(col(a, user_id))))")
+      .collect()(0)
+    assert(got.getAs[Long]("n") == n)
+    assert(math.abs(got.getAs[Double]("cov") - expected) < 1e-6 * math.abs(expected) + 1e-9)
+  }
+
+  test("conv: full convolution matches known vectors") {
+    import spark.implicits._
+    // conv([1,2,3],[4,5]) = [4, 13, 22, 15] — build via diff-free
+    // bounded vectors from a one-off in-memory table is not in the
+    // grammar, so verify via the algebraic identity on corpus data:
+    // sum(conv(a,b)) == sum(a) * sum(b)
+    val out = MathStreams.run(spark, dir,
+      "let(a=search(events, q=\"*:*\", sort=\"event_id asc\", rows=12), " +
+        "b=search(events, q=\"event_type:view\", sort=\"event_id asc\", rows=5), " +
+        "conv(round(scalarMultiply(100, col(a, value))), round(col(b, user_id))))")
+      .collect().map(r => r.getAs[Long]("ord") -> r.getAs[Long]("v")).toMap
+    val a = spark.read.parquet(s"$dir/events.parquet")
+      .orderBy("event_id").limit(12)
+      .select("value").as[Double].collect().map(v => math.round(v * 100))
+    val b = spark.read.parquet(s"$dir/events.parquet")
+      .where("event_type = 'view'").orderBy("event_id").limit(5)
+      .select("user_id").as[Long].collect()
+    val expected = (for {
+      i <- a.indices; j <- b.indices
+    } yield (i + j).toLong -> a(i) * b(j))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(out == expected)
+    assert(out.values.sum == a.sum * b.sum)
+    assert(out.size == a.length + b.length - 1)
+  }
+
   test("search over the index: BM25 top-k stream feeds col/describe") {
     val row = MathStreams.run(spark, dir,
       "let(a=search(documents, q=\"spark join\", rows=20), " +
