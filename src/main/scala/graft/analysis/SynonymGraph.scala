@@ -42,14 +42,24 @@ object SynonymGraph {
   def equivalence(terms: String*): Seq[SynRule] =
     terms.map(t => SynRule(List(t), terms.filterNot(_ == t).toList))
 
+  /** Prebuilt rule dispatch (head token → candidate rules). Build ONCE
+    * per task/partition, not per document — the per-doc-allocation
+    * discipline of the index build path.
+    */
+  def matcher(rules: Seq[SynRule]): Map[String, Seq[SynRule]] =
+    rules.groupBy(_.input.head)
+
   /** Analyze with synonym injection: tokenize raw (lowercase, positions
     * 0,1,2,…), match + inject, stop-filter, aggregate to per-term
     * postings. `dl` counts only the surviving ORIGINAL tokens.
     */
   def analyze(text: String, rules: Seq[SynRule],
-              stopWords: Set[String] = Analyzer.EnglishStopWords): DocTerms = {
+              stopWords: Set[String] = Analyzer.EnglishStopWords): DocTerms =
+    analyzeWith(text, matcher(rules), stopWords)
+
+  def analyzeWith(text: String, byFirst: Map[String, Seq[SynRule]],
+                  stopWords: Set[String]): DocTerms = {
     val raw = Analyzer.tokenizeRaw(text)
-    val byFirst: Map[String, Seq[SynRule]] = rules.groupBy(_.input.head)
     val injected = ArrayBuffer.empty[Token]
     var i = 0
     while (i < raw.length) {

@@ -52,13 +52,7 @@ object WordDelimiter {
     * number catenations, all-catenation, preserved original).
     */
   def parts(token: String, f: Flags = Default): Seq[String] = {
-    val t0 =
-      if (f.stemEnglishPossessive &&
-          token.length >= 2 &&
-          (token.charAt(token.length - 1) == 's' || token.charAt(token.length - 1) == 'S') &&
-          (token.charAt(token.length - 2) == '\'' || token.charAt(token.length - 2) == '’'))
-        token.substring(0, token.length - 2)
-      else token
+    val t0 = if (f.stemEnglishPossessive) Possessive.strip(token) else token
     val n = t0.length
     val subs = ArrayBuffer.empty[String]
     val isNum = ArrayBuffer.empty[Boolean] // per subword: all-digit?

@@ -38,12 +38,17 @@ object SynonymIndex {
     import spark.implicits._
     val rulesB = spark.sparkContext.broadcast(rules.toList)
     val stopsB = spark.sparkContext.broadcast(stopWords)
-    val analyzed = corpus.flatMap { d =>
-      val a = SynonymGraph.analyze(d.text, rulesB.value, stopsB.value)
-      if (a.dl == 0) Iterator.empty
-      else Iterator.single(AnalyzedDoc(Indexer.segmentOf(d.doc_id, segSize),
-        d.doc_id, d.url, a.dl, SmallFloat.intToByte4(a.dl).toInt & 0xff,
-        a.terms))
+    val analyzed = corpus.mapPartitions { it =>
+      // rule dispatch built once per partition, not per doc
+      val byFirst = SynonymGraph.matcher(rulesB.value)
+      val stops = stopsB.value
+      it.flatMap { d =>
+        val a = SynonymGraph.analyzeWith(d.text, byFirst, stops)
+        if (a.dl == 0) Iterator.empty
+        else Iterator.single(AnalyzedDoc(Indexer.segmentOf(d.doc_id, segSize),
+          d.doc_id, d.url, a.dl, SmallFloat.intToByte4(a.dl).toInt & 0xff,
+          a.terms))
+      }
     }
     val postings =
       Indexer.buildPostings(spark, Indexer.invertAnalyzed(spark, analyzed))

@@ -94,7 +94,7 @@ object AnalysisOps {
     val v = graft.IndexCache.documentsIndex(s, dir)
     val chainU = udf((t: String) => Porter.stem(Possessive.strip(t)))
     val dict = v.terms.where(col("field") === Indexer.Field)
-      .groupBy("term").agg(sum("ctf").as("tctf"))
+      .select("term").distinct()
       .withColumn("poss", concat(col("term"), lit("'s")))
       .withColumn("stem", chainU(col("poss")))
     Relational.docTermsFromIndex(s, dir)

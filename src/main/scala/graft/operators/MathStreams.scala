@@ -29,8 +29,8 @@ import org.apache.spark.sql.types.LongType
   *
   * Functions: let, search, col, round, scalarMultiply, ebeAdd,
   * ebeSubtract, ebeMultiply, ebeDivide, dotProduct, cosineSimilarity,
-  * diff, cumulativeSum, tuple, describe, regress, corr, hist,
-  * movingAvg, zscores, percentile.
+  * diff, cumulativeSum, tuple, describe, regress, corr, cov, conv,
+  * hist, movingAvg, zscores, percentile.
   */
 object MathStreams {
 
@@ -285,6 +285,10 @@ object MathStreams {
         val m = j.agg(sum(col("x") * col("y")).as("sxy"),
           sum(col("x") * col("x")).as("sxx"),
           sum(col("y") * col("y")).as("syy")).head()
+        // sum() over zero rows is null — surface the empty ord-join as a
+        // clean error, not a driver NPE (regress/corr/cov stay lazy and
+        // return a null row instead; scalars must be defined)
+        require(!m.isNullAt(0), s"$fn of empty/disjoint vectors")
         if (fn == "dotProduct") MNum(m.getLong(0).toDouble)
         else MNum(m.getLong(0).toDouble /
           (math.sqrt(m.getLong(1).toDouble) * math.sqrt(m.getLong(2).toDouble)))

@@ -206,6 +206,16 @@ class MathStreamsSpec extends AnyFunSuite {
     assert(out.size == a.length + b.length - 1)
   }
 
+  test("ebeDivide: element-wise double quotient (success path)") {
+    val out = MathStreams.run(spark, dir,
+      "let(a=search(events, q=\"*:*\", sort=\"event_id asc\", rows=10), " +
+        "x=round(scalarMultiply(100, col(a, value))), " +
+        "ebeDivide(ebeAdd(x, x), x))") // (2x)/x = 2.0 exactly, x > 0 here
+      .collect()
+    assert(out.length == 10)
+    assert(out.forall(r => r.getAs[Double]("v") == 2.0))
+  }
+
   test("search over the index: BM25 top-k stream feeds col/describe") {
     val row = MathStreams.run(spark, dir,
       "let(a=search(documents, q=\"spark join\", rows=20), " +
