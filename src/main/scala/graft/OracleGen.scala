@@ -677,6 +677,59 @@ object OracleGen {
        |FROM tokf WHERE ${graft.analysis.Phonetic.alphaOnlySql("term")}
        |GROUP BY 1""".stripMargin
 
+  /** MLT interestingTerms: the seed doc's terms ranked by tf × idf —
+    * the `mlt` CTE of [[moreLikeThisSql]] surfaced as the result.
+    */
+  def mltInterestingTermsSql(seed: Long, m: Int): String =
+    s"""WITH $tokCte, $dlCtes, seedtf AS (
+       |  SELECT term, count(*) AS tf FROM tokf WHERE doc_id = $seed GROUP BY term
+       |), alldf AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM tokf GROUP BY term
+       |)
+       |SELECT s.term, CAST(round(
+       |  s.tf * ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) * 10000) AS BIGINT) AS w_q
+       |FROM seedtf s JOIN alldf d USING (term) CROSS JOIN st
+       |ORDER BY s.tf * ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) DESC,
+       |  s.term ASC LIMIT $m""".stripMargin
+
+  /** Spellcheck collation: per-word candidate cut (distance, df desc,
+    * term) then conjunctive hit counts over the candidate pairs.
+    */
+  def spellcheckCollateSql(w1: String, w2: String, maxEdits: Int,
+                           perTerm: Int, k: Int): String =
+    s"""WITH $tokCte, d AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM tokf GROUP BY term
+       |), c1 AS (
+       |  SELECT term FROM d
+       |  WHERE levenshtein(term, '$w1') BETWEEN 1 AND $maxEdits
+       |  ORDER BY levenshtein(term, '$w1') ASC, df DESC, term ASC LIMIT $perTerm
+       |), c2 AS (
+       |  SELECT term FROM d
+       |  WHERE levenshtein(term, '$w2') BETWEEN 1 AND $maxEdits
+       |  ORDER BY levenshtein(term, '$w2') ASC, df DESC, term ASC LIMIT $perTerm
+       |), o1 AS (
+       |  SELECT DISTINCT doc_id, term FROM tokf
+       |  WHERE term IN (SELECT term FROM c1)
+       |), o2 AS (
+       |  SELECT DISTINCT doc_id, term FROM tokf
+       |  WHERE term IN (SELECT term FROM c2)
+       |)
+       |SELECT o1.term || ' ' || o2.term AS collated,
+       |  count(DISTINCT o1.doc_id) AS hits
+       |FROM o1 JOIN o2 USING (doc_id)
+       |GROUP BY 1 ORDER BY hits DESC, collated ASC LIMIT $k""".stripMargin
+
+  /** Bounding-box filter over the key-derived synth coordinates. */
+  def geoBboxSql(latLo: Double, latHi: Double,
+                 lonLo: Double, lonHi: Double): String =
+    s"""SELECT * FROM (
+       |  SELECT c_custkey,
+       |    CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+       |    CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) + 0.5 AS lon
+       |  FROM customer) t
+       |WHERE lat BETWEEN $latLo AND $latHi
+       |  AND lon BETWEEN $lonLo AND $lonHi""".stripMargin
+
   /** Block-join child facet: top child terms over the children (halves)
     * of parents (full docs) matching `parentTerm`, replicating the
     * deterministic half split and the index's stop filter.

@@ -431,6 +431,36 @@ object SparkEntry {
       graft.search.Suggest.spellcheck(s, IndexCache.documentsIndex(s, dir),
         "sark", 2, 5)
     }),
+    "spellcheck_collate" -> ((s, dir) => {
+      // spellcheck.collate: corrected multi-word combinations that
+      // actually produce conjunctive hits, ranked by hit count
+      graft.search.Suggest.collate(s, IndexCache.documentsIndex(s, dir),
+        dir, "sark", "jion", 2, 3, 5)
+    }),
+    "geo_bbox" -> ((s, dir) =>
+      // {!bbox} / LatLonPoint.newBoxQuery: pure pushed range predicates
+      graft.operators.Functions.geoBbox(s, dir, -30.0, 30.0, -90.0, 90.0)),
+    "mlt_interesting_terms" -> ((s, dir) => {
+      // MLT interestingTerms=details [8x lucene/queries .../mlt/
+      // MoreLikeThis.java retrieveInterestingTerms]: the seed doc's
+      // terms ranked by tf×idf — the query-building half of
+      // more_like_this, exposed as the reference exposes it. Stats are
+      // gathered distributed (QueryScorers); the ranked list itself is
+      // seed-doc-sized, built driver-side like the reference.
+      val v = IndexCache.documentsIndex(s, dir)
+      val seedText = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") === 0L).select("text").head().getString(0)
+      val a = graft.analysis.Analyzer.analyze(seedText,
+        graft.analysis.Analyzer.EnglishStopWords)
+      val scorers = graft.search.QueryScorers(v,
+        a.terms.map(_.term).toSeq, DoubleOracle)
+      import s.implicits._
+      a.terms.toSeq
+        .flatMap(t => scorers.idfDOf(t.term).map(idf => (t.term, t.tf * idf)))
+        .sortBy { case (t, w) => (-w, t) }.take(10)
+        .map { case (t, w) => (t, math.round(w * 10000)) }
+        .toDF("term", "w_q")
+    }),
     "highlight_topk" -> ((s, dir) => {
       // UnifiedHighlighter analog: per top-k doc, candidate passages
       // anchored at analyzed (word-boundary) match positions, ranked by
@@ -1279,6 +1309,9 @@ object SparkEntry {
     "porter_stem_df" -> OracleGen.porterStemDfSql,
     "phonetic_dmetaphone" -> OracleGen.dmetaphoneSql,
     "block_join_facet" -> OracleGen.blockJoinFacetSql("spark", 10),
+    "spellcheck_collate" -> OracleGen.spellcheckCollateSql("sark", "jion", 2, 3, 5),
+    "geo_bbox" -> OracleGen.geoBboxSql(-30.0, 30.0, -90.0, 90.0),
+    "mlt_interesting_terms" -> OracleGen.mltInterestingTermsSql(0L, 10),
     "keyword_marker_stem" ->
       OracleGen.keywordMarkerSql(graft.operators.AnalysisOps.ProtectedWords),
     "synonym_index_topk" -> OracleGen.bm25TopKSql(Seq("spark"), 10),

@@ -97,6 +97,23 @@ object Functions {
       .where(synthLatLon._1.between(-latBandDeg, latBandDeg))
       .where(col("dist_10m") <= (dKm * 100).toLong)
   }
+
+  /** Bounding-box query [Solr {!bbox} / Lucene LatLonPoint.newBoxQuery]:
+    * two plain range predicates over the point coordinates — fully
+    * sargable, pushed to the scan by Catalyst (the BKD-pruning analog;
+    * no trigonometry on the filter path). Coordinates are the same
+    * key-derived synth as [[geoDist]] (exact X.5 doubles — no boundary
+    * float hazard).
+    */
+  def geoBbox(s: SparkSession, dir: String,
+              latLo: Double, latHi: Double,
+              lonLo: Double, lonHi: Double): DataFrame = {
+    val (lat, lon) = synthLatLon
+    tbl(s, dir, "customer")
+      .select(col("c_custkey"), lat.as("lat"), lon.as("lon"))
+      .where(col("lat").between(latLo, latHi) &&
+        col("lon").between(lonLo, lonHi))
+  }
 }
 
 /** DuckDB twins of [[Functions]]. */

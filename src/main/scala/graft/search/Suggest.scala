@@ -63,4 +63,34 @@ object Suggest {
       .where(col("dist") <= maxEdits && col("dist") > 0)
       .orderBy(col("dist").asc, col("df").desc, col("term").asc)
       .limit(k)
+
+  /** Spellcheck collation [8x solr/core .../spelling/SpellCheckCollator
+    * .java, `spellcheck.collate=true`]: correct EVERY word of a
+    * multi-word query and keep only combinations that actually produce
+    * conjunctive hits, ranked by hit count. Candidate enumeration per
+    * word is the [[spellcheck]] ranking (edit distance, then df) cut to
+    * `perTerm` — a handful of terms, collected driver-side exactly like
+    * the reference's collator building trial queries; the hit counts
+    * come from ONE decode of the candidates' posting docID streams.
+    */
+  def collate(s: SparkSession, view: IndexView, dir: String,
+              w1: String, w2: String, maxEdits: Int, perTerm: Int,
+              k: Int): DataFrame = {
+    def cands(w: String): Array[String] =
+      spellcheck(s, view, w, maxEdits, perTerm)
+        .select("term").collect().map(_.getString(0))
+    val ts1 = cands(w1)
+    val ts2 = cands(w2)
+    val occ = graft.operators.Relational.docTermsFromIndex(s, dir,
+      Some(col("term").isin((ts1 ++ ts2).distinct.toSeq: _*)))
+    val o1 = occ.where(col("term").isin(ts1.toSeq: _*))
+      .withColumnRenamed("term", "t1")
+    val o2 = occ.where(col("term").isin(ts2.toSeq: _*))
+      .withColumnRenamed("term", "t2")
+    o1.join(o2, Seq("doc_id"))
+      .groupBy("t1", "t2").agg(countDistinct("doc_id").as("hits"))
+      .select(concat_ws(" ", col("t1"), col("t2")).as("collated"),
+        col("hits"))
+      .orderBy(col("hits").desc, col("collated").asc).limit(k)
+  }
 }
