@@ -677,6 +677,82 @@ object OracleGen {
        |FROM tokf WHERE ${graft.analysis.Phonetic.alphaOnlySql("term")}
        |GROUP BY 1""".stripMargin
 
+  /** edismax pf: the qf-weighted dismax total PLUS pfBoost × the exact
+    * body-phrase score (PhraseWeight: summed slot idfs) for the
+    * adjacent (w1, w2) pair; docs without the phrase contribute 0. The
+    * ranking cut compares the QUANTIZED combined score (the engine cuts
+    * after quantization too, so ties resolve identically).
+    */
+  def edismaxPfSql(w1: String, w2: String, tie: Double, titleBoost: Double,
+                   pfBoost: Double, k: Int): String = {
+    val qs = termList(Seq(w1, w2).distinct)
+    val w = s"CASE ftf.field WHEN 'title' THEN $titleBoost ELSE 1.0 END"
+    s"""WITH btok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents
+       |), toks AS (
+       |  SELECT doc_id, 'body' AS field, term FROM btok
+       |  WHERE length(term) > 0 AND term NOT IN ($stopList)
+       |  UNION ALL
+       |  SELECT doc_id, 'title' AS field, term FROM btok
+       |  WHERE pos <= 4 AND length(term) > 0 AND term NOT IN ($stopList)
+       |), fdl AS (
+       |  SELECT doc_id, field, count(*) AS dl FROM toks GROUP BY doc_id, field
+       |), fnorm AS (
+       |  SELECT doc_id, field, dl,
+       |    (SELECT max(v) FROM (VALUES $normValues) AS nv(v) WHERE nv.v <= fdl.dl) AS ldl
+       |  FROM fdl
+       |), fst AS (
+       |  SELECT field, count(*) AS n, sum(dl) AS sttf FROM fdl GROUP BY field
+       |), fdf AS (
+       |  SELECT field, term, count(DISTINCT doc_id) AS df FROM toks
+       |  WHERE term IN ($qs) GROUP BY field, term
+       |), ftf AS (
+       |  SELECT doc_id, field, term, count(*) AS tf FROM toks
+       |  WHERE term IN ($qs) GROUP BY doc_id, field, term
+       |), fsc AS (
+       |  SELECT ftf.doc_id, ftf.field, ftf.term,
+       |    $w * ln(1 + (fst.n - fdf.df + 0.5) / (fdf.df + 0.5))
+       |      * ftf.tf / (ftf.tf + 1.2 * (1 - 0.75 + 0.75 * fnorm.ldl / (fst.sttf / CAST(fst.n AS DOUBLE)))) AS s
+       |  FROM ftf
+       |  JOIN fdf ON ftf.field = fdf.field AND ftf.term = fdf.term
+       |  JOIN fnorm ON ftf.doc_id = fnorm.doc_id AND ftf.field = fnorm.field
+       |  JOIN fst ON fst.field = ftf.field
+       |), pt AS (
+       |  SELECT doc_id, term, max(s) AS mx, sum(s) AS sm
+       |  FROM fsc GROUP BY doc_id, term
+       |), agg AS (
+       |  SELECT doc_id, sum(mx + $tie * (sm - mx)) AS total
+       |  FROM pt GROUP BY doc_id
+       |), bnorm AS (
+       |  SELECT doc_id, dl, ldl FROM fnorm WHERE field = 'body'
+       |), bst AS (
+       |  SELECT n, sttf FROM fst WHERE field = 'body'
+       |), pdf AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       |  WHERE field = 'body' AND term IN ($qs) GROUP BY term
+       |), widf AS (
+       |  SELECT sum(ln(1 + (bst.n - pdf.df + 0.5) / (pdf.df + 0.5))) AS w
+       |  FROM pdf CROSS JOIN bst
+       |), a AS (SELECT doc_id, pos FROM btok WHERE term = '$w1'),
+       |   b AS (SELECT doc_id, pos FROM btok WHERE term = '$w2'),
+       |   ph AS (
+       |  SELECT a.doc_id, count(*) AS ptf
+       |  FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |  GROUP BY a.doc_id
+       |), psc AS (
+       |  SELECT ph.doc_id,
+       |    widf.w * ph.ptf / (ph.ptf + 1.2 * (1 - 0.75 + 0.75 * bnorm.ldl / (bst.sttf / CAST(bst.n AS DOUBLE)))) AS ps
+       |  FROM ph JOIN bnorm ON ph.doc_id = bnorm.doc_id
+       |  CROSS JOIN widf CROSS JOIN bst
+       |)
+       |SELECT agg.doc_id,
+       |  CAST(round((agg.total + $pfBoost * coalesce(psc.ps, 0)) * 10000) AS BIGINT) AS score_q
+       |FROM agg LEFT JOIN psc ON agg.doc_id = psc.doc_id
+       |ORDER BY score_q DESC, agg.doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** MLT interestingTerms: the seed doc's terms ranked by tf × idf —
     * the `mlt` CTE of [[moreLikeThisSql]] surfaced as the result.
     */

@@ -679,6 +679,28 @@ object SparkEntry {
         IndexCache.TestSegmentSize,
         boosts = graft.search.QueryParser.parseQf("title^2 body")))
     }),
+    "qparse_edismax_pf" -> ((s, dir) => {
+      // edismax pf (phrase fields) [8x Solr ExtendedDismaxQParser.java
+      // addShingledPhraseQueries]: the qf-weighted per-term dismax PLUS
+      // a boosted exact-phrase clause over the pf field for the
+      // adjacent query-term pair — docs where the words are adjacent
+      // rank above equal bag-of-words matches. pf=body^1.5; body is
+      // the full text, so the phrase scores off the primary index's
+      // positions with the standard PhraseWeight (summed slot idfs).
+      val v = IndexCache.documentsIndex(s, dir)
+      val terms = Seq("spark", "merge")
+      val dismax = graft.search.MultiField.dismaxScored(s, dir, terms, 0.3,
+        IndexCache.TestSegmentSize,
+        boosts = graft.search.QueryParser.parseQf("title^2 body"))
+      val scorers = graft.search.QueryScorers(v, terms, DoubleOracle)
+      val phrase = MoreQueries.phraseScored(s, v, terms, 0, scorers)
+        .withColumnRenamed("score", "pscore")
+      quantize(dismax.join(phrase, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          (col("score") + lit(1.5) * coalesce(col("pscore"), lit(0.0)))
+            .as("score")))
+        .orderBy(col("score_q").desc, col("doc_id").asc).limit(10)
+    }),
     "match_all_count" -> ((s, dir) => {
       IndexCache.documentsIndex(s, dir).docmeta.toDF()
         .agg(countDistinct(col("doc_id")).as("n"))
@@ -1310,6 +1332,7 @@ object SparkEntry {
     "phonetic_dmetaphone" -> OracleGen.dmetaphoneSql,
     "block_join_facet" -> OracleGen.blockJoinFacetSql("spark", 10),
     "spellcheck_collate" -> OracleGen.spellcheckCollateSql("sark", "jion", 2, 3, 5),
+    "qparse_edismax_pf" -> OracleGen.edismaxPfSql("spark", "merge", 0.3, 2.0, 1.5, 10),
     "geo_bbox" -> OracleGen.geoBboxSql(-30.0, 30.0, -90.0, 90.0),
     "mlt_interesting_terms" -> OracleGen.mltInterestingTermsSql(0L, 10),
     "keyword_marker_stem" ->

@@ -33,7 +33,16 @@ object MultiField {
     */
   def dismaxTopK(spark: SparkSession, dir: String, qTerms: Seq[String],
                  tie: Double, k: Int, segSize: Long,
-                 boosts: Map[String, Double] = Map.empty): DataFrame = {
+                 boosts: Map[String, Double] = Map.empty): DataFrame =
+    dismaxScored(spark, dir, qTerms, tie, segSize, boosts)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+
+  /** The scored frame behind [[dismaxTopK]] (no ranking cut) — building
+    * block for additive edismax clauses (pf phrase boost joins it).
+    */
+  def dismaxScored(spark: SparkSession, dir: String, qTerms: Seq[String],
+                   tie: Double, segSize: Long,
+                   boosts: Map[String, Double] = Map.empty): DataFrame = {
     import spark.implicits._
     val (view, fstats) = MultiFieldCache.titleBodyIndex(spark, dir, segSize)
     val fields = Seq("body", "title")
@@ -89,6 +98,5 @@ object MultiField {
       }
       (docId, total)
     }.toDF("doc_id", "score")
-      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 }

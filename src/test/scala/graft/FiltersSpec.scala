@@ -140,6 +140,43 @@ class FiltersSpec extends AnyFunSuite {
         s"$w must be stemmer-visible for protection to be observable")
   }
 
+  test("WDGF: differential vs an independent brute twin on random tokens") {
+    // the oracle's rule set (boundary insertion at lower→upper and
+    // letter↔digit, split on non-alphanumerics, no acronym rule) —
+    // re-derived here with plain string ops, NOT regexes, so the two
+    // sides share no code. Inputs avoid the acronym shape (>=2 uppers
+    // then lower) which the reference splits differently (own vector
+    // tests above).
+    def bruteParts(s: String): Seq[String] = {
+      val sb = new StringBuilder
+      for (i <- s.indices) {
+        val c = s.charAt(i)
+        if (i > 0) {
+          val p = s.charAt(i - 1)
+          val caseSplit = p.isLower && c.isUpper
+          val numSplit = (p.isLetter && c.isDigit) || (p.isDigit && c.isLetter)
+          if (caseSplit || numSplit) sb.append(' ')
+        }
+        sb.append(if (c.isLetterOrDigit) c else ' ')
+      }
+      sb.toString.split(' ').filter(_.nonEmpty).toSeq
+    }
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcXYZ019-#._ '"
+    var checked = 0
+    while (checked < 500) {
+      val s = Seq.fill(1 + rnd.nextInt(12))(
+        alphabet.charAt(rnd.nextInt(alphabet.length))).mkString
+      val hasAcronym = s.sliding(3).exists(t => t.length == 3 &&
+        t(0).isUpper && t(1).isUpper && t(2).isLower)
+      val possessive = s.length >= 2 && (s.endsWith("'s") || s.endsWith("'S"))
+      if (!hasAcronym && !possessive) {
+        assert(wd(s) == bruteParts(s), s"input: ${s.map(_.toInt)} ($s)")
+        checked += 1
+      }
+    }
+  }
+
   test("possessive: strip variants") {
     assert(Possessive.strip("spark's") == "spark")
     assert(Possessive.strip("SPARK'S") == "SPARK")
