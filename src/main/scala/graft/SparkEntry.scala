@@ -975,6 +975,33 @@ object SparkEntry {
       q.awaitTermination()
       s.table(qname)
     }),
+    "stream_stream_join" -> ((s, dir) => {
+      // watermarked stream-stream interval join (REAL streaming run:
+      // file source ×2 → stateful join → memory sink, AvailableNow):
+      // each click attributed to the same user's views in the prior 2h;
+      // finished input ⇒ result == the batch interval join (the oracle)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val srcPath = {
+        val f = new java.io.File(s"$dir/events.parquet")
+        if (f.isDirectory) f.toString
+        else {
+          val d = java.nio.file.Files.createTempDirectory("graft-ssj-src")
+          java.nio.file.Files.copy(f.toPath, d.resolve("part-0.parquet"))
+          d.toString
+        }
+      }
+      val stream = s.readStream.schema(schema).parquet(srcPath)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"))
+      val out = graft.streaming.StreamJoin.clickViewAttribution(stream, "2 hours")
+      val qname = "ssj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+    }),
     "stream_custom_state" -> ((s, dir) => {
       // flatMapGroupsWithState custom keyed state: running per-type
       // (count, sum_cents, max_cents) across micro-batches; the final
@@ -1666,6 +1693,11 @@ object SparkEntry {
          |WHERE doc_id <= (SELECT max(doc_id) // 2 FROM documents)
          |GROUP BY doc_id""".stripMargin,
     "stream_window_agg" -> RelationalOracles.timeSeries,
+    "stream_stream_join" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id
+        |FROM events c JOIN events v ON v.user_id = c.user_id
+        |WHERE c.event_type = 'click' AND v.event_type = 'view'
+        |  AND v.ts BETWEEN c.ts - INTERVAL 2 HOUR AND c.ts""".stripMargin,
     // Training-data ops (simhash / lsh-ann / multimodal decode are
     // hash- or stub-based — rows-only checks, deliberately no oracle)
     "dedup_exact" -> TrainingOracles.dedupExact,

@@ -143,4 +143,31 @@ class StreamingSpec extends AnyFunSuite {
       ("click", 3L, 450L, 225L), // 150+225+75 cents, max 225, ACROSS batches
       ("view", 1L, 100L, 100L)))
   }
+
+  test("stream-stream interval join matches across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val events = mem.toDS().toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.streaming.StreamJoin.clickViewAttribution(events, "2 hours")
+    def ev(id: Long, t: String, user: Long, mins: Int) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-01 ${mins / 60}%02d:${mins % 60}%02d:00"),
+        user, t)
+    val q = out.writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    // batch 1: views only — no output yet, view state buffered
+    mem.addData(ev(1, "view", 7, 0), ev(2, "view", 7, 30), ev(3, "view", 8, 10))
+    q.processAllAvailable()
+    // batch 2: clicks — must join the BUFFERED views from batch 1
+    mem.addData(
+      ev(10, "click", 7, 60),  // views 1 and 2 (same user, within 2h)
+      ev(11, "click", 8, 300), // user 8's view is 4h50m earlier: outside
+      ev(12, "click", 9, 90))  // user 9 has no views
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.sql("SELECT click_id, view_id FROM ssj_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 1L), (10L, 2L)))
+  }
 }
