@@ -975,6 +975,10 @@ object SparkEntry {
       q.awaitTermination()
       s.table(qname)
     }),
+    "asof_join" -> ((s, dir) =>
+      // as-of join: most recent prior view per click, via one sorted
+      // per-user window (no quadratic pair join) — see Relational
+      graft.operators.Relational.asofJoin(s, dir)),
     "stream_stream_join" -> ((s, dir) => {
       // watermarked stream-stream interval join (REAL streaming run:
       // file source ×2 → stateful join → memory sink, AvailableNow):
@@ -995,11 +999,18 @@ object SparkEntry {
           col("user_id"), col("event_type"))
       val out = graft.streaming.StreamJoin.clickViewAttribution(stream, "2 hours")
       val qname = "ssj_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // a stateful two-sided join instantiates 4 state stores PER shuffle
+      // partition; size the state partitioning to the job (at 100 TB
+      // you raise it, at demo scale 32 partitions is pure fixed cost)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = out.writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(qname)
     }),
     "stream_custom_state" -> ((s, dir) => {
@@ -1698,6 +1709,16 @@ object SparkEntry {
         |FROM events c JOIN events v ON v.user_id = c.user_id
         |WHERE c.event_type = 'click' AND v.event_type = 'view'
         |  AND v.ts BETWEEN c.ts - INTERVAL 2 HOUR AND c.ts""".stripMargin,
+    "asof_join" ->
+      """WITH pairs AS (
+        |  SELECT c.event_id AS click_id, v.event_id AS view_id,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |  FROM events c JOIN events v ON v.user_id = c.user_id
+        |  WHERE c.event_type = 'click' AND v.event_type = 'view'
+        |    AND (v.ts < c.ts OR (v.ts = c.ts AND v.event_id < c.event_id))
+        |)
+        |SELECT click_id, view_id FROM pairs WHERE rn = 1""".stripMargin,
     // Training-data ops (simhash / lsh-ann / multimodal decode are
     // hash- or stub-based — rows-only checks, deliberately no oracle)
     "dedup_exact" -> TrainingOracles.dedupExact,

@@ -94,6 +94,31 @@ object Relational {
       .select("l_orderkey", "l_linenumber", "p_name", "price_cents")
   }
 
+  /** As-of join — an operator Spark lacks natively (the brief's example
+    * custom-operator class): attribute each click to the same user's
+    * MOST RECENT prior view. NOT implemented as pair join + argmax (the
+    * pair set explodes quadratically on active users); instead the two
+    * event kinds are interleaved in ONE sorted window per user and the
+    * last view id is carried forward — one shuffle on (user_id), linear
+    * state, the shape that survives 100 TB. Tie rule (deterministic):
+    * at equal timestamps a view precedes a click iff its event_id is
+    * smaller; the oracle encodes the same rule.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .where(col("event_type").isin("click", "view"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lastView = last(
+      when(col("event_type") === "view", col("event_id")),
+      ignoreNulls = true).over(w)
+    ev.withColumn("view_id", lastView)
+      .where(col("event_type") === "click" && col("view_id").isNotNull)
+      .select(col("event_id").as("click_id"), col("view_id"))
+  }
+
   /** CartesianProductStream: explode a multivalued field into rows. */
   def cartesianExplode(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "part")

@@ -99,4 +99,22 @@ class RelationalSpec extends AnyFunSuite {
     val got = Relational.statsPercentile(spark, dir).head().getDouble(0)
     assert(got == expect)
   }
+
+  test("asofJoin equals brute-force pair+argmax (sf0.001)") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+    val views = ev.filter(_._4 == "view")
+    val expected = ev.filter(_._4 == "click").flatMap { c =>
+      val prior = views.filter(v => v._3 == c._3 &&
+        (v._2.before(c._2) || (v._2 == c._2 && v._1 < c._1)))
+      if (prior.isEmpty) None
+      else Some(c._1 -> prior.maxBy(v => (v._2.getTime, v._1))._1)
+    }.toMap
+    val got = Relational.asofJoin(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }
