@@ -572,11 +572,17 @@ object OracleGen {
     * fields as max + tie * (sum - max), then summed over terms — the
     * Solr DisMaxQParser shape (one DisjunctionMaxQuery per query term).
     */
-  def multifieldDismaxSql(terms: Seq[String], tie: Double, k: Int,
-                          titleBoost: Double = 1.0): String = {
-    val qs = termList(terms.distinct)
+  /** Shared CTE chain of the cross-field dismax oracles: raw tokens
+    * with positions (btok), the two field streams, per-field dl/norm/
+    * stats/df/tf, per-(doc, field, term) scores and the per-doc dismax
+    * total — ends in `agg(doc_id, total)`. Composed by
+    * [[multifieldDismaxSql]] and [[edismaxPfSql]] so the field model
+    * can never drift between them.
+    */
+  private def multifieldCtes(qs: String, tie: Double,
+                             titleBoost: Double): String = {
     val w = s"CASE ftf.field WHEN 'title' THEN $titleBoost ELSE 1.0 END"
-    s"""WITH btok AS (
+    s"""btok AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
        |         generate_subscripts(string_split(text, ' '), 1) AS pos
        |  FROM documents
@@ -614,7 +620,13 @@ object OracleGen {
        |), agg AS (
        |  SELECT doc_id, sum(mx + $tie * (sm - mx)) AS total
        |  FROM pt GROUP BY doc_id
-       |)
+       |)""".stripMargin
+  }
+
+  def multifieldDismaxSql(terms: Seq[String], tie: Double, k: Int,
+                          titleBoost: Double = 1.0): String = {
+    val qs = termList(terms.distinct)
+    s"""WITH ${multifieldCtes(qs, tie, titleBoost)}
        |SELECT doc_id,
        |  CAST(round(total * 10000) AS BIGINT) AS score_q
        |FROM agg ORDER BY total DESC, doc_id ASC LIMIT $k""".stripMargin
@@ -686,46 +698,7 @@ object OracleGen {
   def edismaxPfSql(w1: String, w2: String, tie: Double, titleBoost: Double,
                    pfBoost: Double, k: Int): String = {
     val qs = termList(Seq(w1, w2).distinct)
-    val w = s"CASE ftf.field WHEN 'title' THEN $titleBoost ELSE 1.0 END"
-    s"""WITH btok AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
-       |         generate_subscripts(string_split(text, ' '), 1) AS pos
-       |  FROM documents
-       |), toks AS (
-       |  SELECT doc_id, 'body' AS field, term FROM btok
-       |  WHERE length(term) > 0 AND term NOT IN ($stopList)
-       |  UNION ALL
-       |  SELECT doc_id, 'title' AS field, term FROM btok
-       |  WHERE pos <= 4 AND length(term) > 0 AND term NOT IN ($stopList)
-       |), fdl AS (
-       |  SELECT doc_id, field, count(*) AS dl FROM toks GROUP BY doc_id, field
-       |), fnorm AS (
-       |  SELECT doc_id, field, dl,
-       |    (SELECT max(v) FROM (VALUES $normValues) AS nv(v) WHERE nv.v <= fdl.dl) AS ldl
-       |  FROM fdl
-       |), fst AS (
-       |  SELECT field, count(*) AS n, sum(dl) AS sttf FROM fdl GROUP BY field
-       |), fdf AS (
-       |  SELECT field, term, count(DISTINCT doc_id) AS df FROM toks
-       |  WHERE term IN ($qs) GROUP BY field, term
-       |), ftf AS (
-       |  SELECT doc_id, field, term, count(*) AS tf FROM toks
-       |  WHERE term IN ($qs) GROUP BY doc_id, field, term
-       |), fsc AS (
-       |  SELECT ftf.doc_id, ftf.field, ftf.term,
-       |    $w * ln(1 + (fst.n - fdf.df + 0.5) / (fdf.df + 0.5))
-       |      * ftf.tf / (ftf.tf + 1.2 * (1 - 0.75 + 0.75 * fnorm.ldl / (fst.sttf / CAST(fst.n AS DOUBLE)))) AS s
-       |  FROM ftf
-       |  JOIN fdf ON ftf.field = fdf.field AND ftf.term = fdf.term
-       |  JOIN fnorm ON ftf.doc_id = fnorm.doc_id AND ftf.field = fnorm.field
-       |  JOIN fst ON fst.field = ftf.field
-       |), pt AS (
-       |  SELECT doc_id, term, max(s) AS mx, sum(s) AS sm
-       |  FROM fsc GROUP BY doc_id, term
-       |), agg AS (
-       |  SELECT doc_id, sum(mx + $tie * (sm - mx)) AS total
-       |  FROM pt GROUP BY doc_id
-       |), bnorm AS (
+    s"""WITH ${multifieldCtes(qs, tie, titleBoost)}, bnorm AS (
        |  SELECT doc_id, dl, ldl FROM fnorm WHERE field = 'body'
        |), bst AS (
        |  SELECT n, sttf FROM fst WHERE field = 'body'

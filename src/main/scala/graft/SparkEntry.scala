@@ -17,6 +17,27 @@ object SparkEntry {
     df.select(col("doc_id"),
       round(col("score") * 10000).cast("long").as("score_q"))
 
+  /** Stage a single parquet FILE as a directory for the file-stream
+    * source (which requires one). Deterministic per input path and
+    * created once — repeated gate runs reuse it instead of leaking a
+    * fresh /tmp copy per run.
+    */
+  private def stageStreamSource(path: String): String = {
+    val f = new java.io.File(path)
+    if (f.isDirectory) f.toString
+    else {
+      val d = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft-stream-src-" + Integer.toHexString(path.hashCode))
+      val part = d.resolve("part-0.parquet")
+      if (!java.nio.file.Files.exists(part)) {
+        java.nio.file.Files.createDirectories(d)
+        java.nio.file.Files.copy(f.toPath, part)
+      }
+      d.toString
+    }
+  }
+
   /** Flagship: end-to-end index build + BM25 BMW top-10 on sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
     val view = IndexCache.documentsIndex(spark, "/root/testdata/sf0.001")
@@ -950,17 +971,7 @@ object SparkEntry {
       // finalized windows must equal the batch SQL answer exactly
       import s.implicits._
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      // the file-stream source requires a DIRECTORY; the driver table
-      // may be a single parquet file — stage it into one
-      val srcPath = {
-        val f = new java.io.File(s"$dir/events.parquet")
-        if (f.isDirectory) f.toString
-        else {
-          val d = java.nio.file.Files.createTempDirectory("graft-stream-src")
-          java.nio.file.Files.copy(f.toPath, d.resolve("part-0.parquet"))
-          d.toString
-        }
-      }
+      val srcPath = stageStreamSource(s"$dir/events.parquet")
       val stream = s.readStream.schema(schema).parquet(srcPath)
         // NTZ → LTZ under the session's UTC: watermarks require TIMESTAMP
         .select(col("ts").cast("timestamp").as("ts"),
@@ -983,21 +994,16 @@ object SparkEntry {
       // watermarked stream-stream interval join (REAL streaming run:
       // file source ×2 → stateful join → memory sink, AvailableNow):
       // each click attributed to the same user's views in the prior 2h;
-      // finished input ⇒ result == the batch interval join (the oracle)
+      // lateness spans the whole data range so the result equals the
+      // batch interval join (the oracle) for ANY micro-batch split —
+      // not just the single-batch AvailableNow case
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val srcPath = {
-        val f = new java.io.File(s"$dir/events.parquet")
-        if (f.isDirectory) f.toString
-        else {
-          val d = java.nio.file.Files.createTempDirectory("graft-ssj-src")
-          java.nio.file.Files.copy(f.toPath, d.resolve("part-0.parquet"))
-          d.toString
-        }
-      }
+      val srcPath = stageStreamSource(s"$dir/events.parquet")
       val stream = s.readStream.schema(schema).parquet(srcPath)
         .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
           col("user_id"), col("event_type"))
-      val out = graft.streaming.StreamJoin.clickViewAttribution(stream, "2 hours")
+      val out = graft.streaming.StreamJoin.clickViewAttribution(stream,
+        "2 hours", lateness = "31 days")
       val qname = "ssj_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // a stateful two-sided join instantiates 4 state stores PER shuffle
       // partition; size the state partitioning to the job (at 100 TB
@@ -1018,15 +1024,7 @@ object SparkEntry {
       // (count, sum_cents, max_cents) across micro-batches; the final
       // snapshot per key (max-count row) equals the batch aggregate
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val srcPath = {
-        val f = new java.io.File(s"$dir/events.parquet")
-        if (f.isDirectory) f.toString
-        else {
-          val d = java.nio.file.Files.createTempDirectory("graft-state-src")
-          java.nio.file.Files.copy(f.toPath, d.resolve("part-0.parquet"))
-          d.toString
-        }
-      }
+      val srcPath = stageStreamSource(s"$dir/events.parquet")
       import s.implicits._
       val stream = s.readStream.schema(schema).parquet(srcPath)
         .select(col("ts").cast("timestamp").as("ts"),

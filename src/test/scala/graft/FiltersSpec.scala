@@ -162,7 +162,7 @@ class FiltersSpec extends AnyFunSuite {
       sb.toString.split(' ').filter(_.nonEmpty).toSeq
     }
     val rnd = new scala.util.Random(42)
-    val alphabet = "abcXYZ019-#._ '"
+    val alphabet = "abcsXYZS019-#._ '" // incl. s/S so 's-adjacent shapes occur
     var checked = 0
     while (checked < 500) {
       val s = Seq.fill(1 + rnd.nextInt(12))(

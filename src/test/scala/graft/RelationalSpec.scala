@@ -110,7 +110,9 @@ class RelationalSpec extends AnyFunSuite {
       val prior = views.filter(v => v._3 == c._3 &&
         (v._2.before(c._2) || (v._2 == c._2 && v._1 < c._1)))
       if (prior.isEmpty) None
-      else Some(c._1 -> prior.maxBy(v => (v._2.getTime, v._1))._1)
+      // full-precision tie order: getTime is millis-only while the
+      // engine's window orders by the microsecond timestamp
+      else Some(c._1 -> prior.maxBy(v => (v._2.getTime, v._2.getNanos, v._1))._1)
     }.toMap
     val got = Relational.asofJoin(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
