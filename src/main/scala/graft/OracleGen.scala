@@ -801,6 +801,50 @@ object OracleGen {
        |FROM kids WHERE length(term) > 0 AND term NOT IN ($stopList)
        |GROUP BY 1 ORDER BY n_children DESC, term ASC LIMIT $k""".stripMargin
 
+  /** Block-join parent facet: top parent terms (stop-filtered full-text
+    * vocabulary) over parents whose block has ≥ 1 child matching the
+    * child term. A child is a half of the source doc's tokens, so
+    * "some child contains T" ⇔ "the full token list contains T" — the
+    * oracle uses the simpler equivalent form.
+    */
+  def blockJoinParentFacetSql(childTerm: String, k: Int): String =
+    s"""WITH lists AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), m AS (
+       |  SELECT doc_id, l FROM lists WHERE list_contains(l, '$childTerm')
+       |), pt AS (
+       |  SELECT doc_id, unnest(l) AS term FROM m
+       |)
+       |SELECT term, count(DISTINCT doc_id) AS n_parents
+       |FROM pt WHERE length(term) > 0 AND term NOT IN ($stopList)
+       |GROUP BY 1 ORDER BY n_parents DESC, term ASC LIMIT $k""".stripMargin
+
+  /** Infix suggest: contains-anywhere over the dictionary, weight =
+    * corpus frequency. The engine's stage-1 gram cut is recall-lossless
+    * for fragments ≥ 3 chars (a term containing the fragment contains
+    * every 3-gram of it), so the oracle is the plain contains.
+    */
+  def suggestInfixSql(fragment: String, k: Int): String =
+    s"""WITH $tokCte, d AS (SELECT term, count(*) AS weight FROM tokf GROUP BY 1)
+       |SELECT term, weight FROM d WHERE contains(term, '$fragment')
+       |ORDER BY weight DESC, term ASC LIMIT $k""".stripMargin
+
+  /** CommonGrams phrase: raw-token adjacency for the stopword-side
+    * pair — positions BEFORE stop filtering, matching the filter's
+    * placement in the reference chain (it runs ahead of StopFilter).
+    */
+  def commonGramsPhraseSql(w1: String, w2: String): String =
+    s"""WITH lists AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), tokpos AS (
+       |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+       |  FROM lists
+       |), a AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w1'),
+       |   b AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w2')
+       |SELECT a.doc_id, count(*) AS tf
+       |FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |GROUP BY 1""".stripMargin
+
   /** KeywordMarker + Porter: the protected set bypasses the stemmer.
     * Map generated from the impl (single source, Porter pinned by
     * PorterSpec, protection pinned by FiltersSpec); DuckDB recounts ctf.

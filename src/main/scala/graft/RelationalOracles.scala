@@ -86,6 +86,23 @@ object RelationalOracles {
        |  count(*) AS n, CAST(sum($centsP) AS BIGINT) AS total_cents
        |FROM orders GROUP BY 1""".stripMargin
 
+  /** facet.range other=all + hardend: the same label CASE as the
+    * engine, integer-cents arithmetic (`//` = floor division on
+    * BIGINT, exact for the positive prices).
+    */
+  def facetRangeOther(startC: Long, endC: Long, gapC: Long): String =
+    s"""WITH lab AS (
+       |  SELECT CASE WHEN $centsP < $startC THEN 'before'
+       |              WHEN $centsP >= $endC THEN 'after'
+       |              ELSE CAST($startC + (($centsP - $startC) // $gapC) * $gapC AS VARCHAR)
+       |         END AS bucket
+       |  FROM orders
+       |), base AS (SELECT bucket, count(*) AS n FROM lab GROUP BY 1)
+       |SELECT bucket, n FROM base
+       |UNION ALL
+       |SELECT 'between' AS bucket, CAST(coalesce(sum(n), 0) AS BIGINT) AS n
+       |FROM base WHERE bucket NOT IN ('before', 'after')""".stripMargin
+
   val facetNested: String =
     """WITH base AS (
       |  SELECT c_mktsegment, c_nationkey, count(*) AS n,

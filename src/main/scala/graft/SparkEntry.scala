@@ -215,6 +215,13 @@ object SparkEntry {
       MoreQueries.blockJoinChildFacet(s,
         graft.index.NestedBlocks.nestedIndex(s, dir), "spark", 10)
     }),
+    "block_join_parent_facet" -> ((s, dir) => {
+      // JSON facet domain switch to parents: top parent terms over the
+      // parents whose block has >= 1 child matching 'dup' — the mirror
+      // of block_join_facet, from the parents' own postings
+      MoreQueries.blockJoinParentFacet(s,
+        graft.index.NestedBlocks.nestedIndex(s, dir), "dup", 10)
+    }),
     "keyword_marker_stem" -> ((s, dir) => {
       // KeywordMarkerFilter [8x .../miscellaneous/SetKeywordMarkerFilter
       // .java]: terms in the protected set bypass the stemmer — the
@@ -254,6 +261,9 @@ object SparkEntry {
     }),
     "repetition_ratio" -> ((s, dir) =>
       graft.operators.TrainingData.repetitionRatio(s, dir)),
+    "chunk_documents" -> ((s, dir) =>
+      // context-window chunking: 40-token windows, 10-token overlap
+      graft.operators.TrainingData.chunkDocuments(s, dir, 40, 10)),
     "term_vectors" -> ((s, dir) => {
       // TermVectorsComponent: (term, tf) vectors for a doc range, via
       // skip-window-pruned posting block inversion
@@ -447,6 +457,12 @@ object SparkEntry {
       graft.search.Suggest.suggestPrefix(s, IndexCache.documentsIndex(s, dir),
         "s", 10)
     }),
+    "suggest_infix" -> ((s, dir) => {
+      // AnalyzingInfixSuggester analog: contains-anywhere suggestions —
+      // 3-gram codebook candidate cut, exact verify, weight-ranked
+      graft.search.Suggest.suggestInfix(s, IndexCache.documentsIndex(s, dir),
+        "par", 5)
+    }),
     "spellcheck" -> ((s, dir) => {
       // DirectSpellChecker analog: did-you-mean for an unindexed input
       graft.search.Suggest.spellcheck(s, IndexCache.documentsIndex(s, dir),
@@ -593,6 +609,12 @@ object SparkEntry {
     "wildcard_query" -> ((s, dir) => {
       val v = IndexCache.documentsIndex(s, dir)
       MoreQueries.matchingDocs(s, v, MoreQueries.wildcardTerms(v, "s?an"))
+    }),
+    "leading_wildcard" -> ((s, dir) => {
+      // ReversedWildcardFilter rewrite: *er → prefix scan of the
+      // REVERSED dictionary (sargable again), then the constant-score set
+      val v = IndexCache.documentsIndex(s, dir)
+      MoreQueries.matchingDocs(s, v, MoreQueries.leadingWildcardTerms(v, "er"))
     }),
     "fuzzy_query" -> ((s, dir) => {
       val v = IndexCache.documentsIndex(s, dir)
@@ -917,6 +939,15 @@ object SparkEntry {
     "select_expr" -> (graft.operators.Relational.selectExpr _),
     "facet_terms" -> (graft.operators.Relational.facetTerms _),
     "facet_range" -> (graft.operators.Relational.facetRange _),
+    "facet_range_other" -> ((s, dir) =>
+      // facet.range.other=all + hardend: $500.00k range in $50k gaps
+      graft.operators.Relational.facetRangeOther(s, dir,
+        5000000L, 40000000L, 5000000L)),
+    "common_grams_phrase" -> ((s, dir) =>
+      // CommonGramsQueryFilter rewrite: phrase-with-stopword answered
+      // from ONE gram posting list (the primary index stop-filters
+      // 'the' away, so this phrase is unanswerable from it)
+      graft.index.CommonGrams.phraseDocs(s, dir, "the", "spark")),
     "facet_nested" -> (graft.operators.Relational.facetNested _),
     "facet_query" -> (graft.operators.Relational.facetQuery _),
     "facet_pivot" -> (graft.operators.Relational.facetPivot _),
@@ -1253,6 +1284,9 @@ object SparkEntry {
         |FROM anchors WHERE nb - pos - 1 <= 3 GROUP BY doc_id""".stripMargin,
     "prefix_query" -> OracleGen.docsWithTermWhereSql("term LIKE 'sl%'"),
     "wildcard_query" -> OracleGen.docsWithTermWhereSql("regexp_matches(term, '^s.an$')"),
+    "leading_wildcard" -> OracleGen.docsWithTermWhereSql("term LIKE '%er'"),
+    "suggest_infix" -> OracleGen.suggestInfixSql("par", 5),
+    "common_grams_phrase" -> OracleGen.commonGramsPhraseSql("the", "spark"),
     "span_near_unordered" -> OracleGen.spanNearUnorderedSql("join", "hash", 3),
     "span_scored_topk" -> OracleGen.spanScoredSql("hash", "join", 3, 10),
     "synonym_query" -> OracleGen.synonymTopKSql(Seq("spark", "scan", "merge"), 10),
@@ -1367,6 +1401,7 @@ object SparkEntry {
     "porter_stem_df" -> OracleGen.porterStemDfSql,
     "phonetic_dmetaphone" -> OracleGen.dmetaphoneSql,
     "block_join_facet" -> OracleGen.blockJoinFacetSql("spark", 10),
+    "block_join_parent_facet" -> OracleGen.blockJoinParentFacetSql("dup", 10),
     "spellcheck_collate" -> OracleGen.spellcheckCollateSql("sark", "jion", 2, 3, 5),
     "qparse_edismax_pf" -> OracleGen.edismaxPfSql("spark", "merge", 0.3, 2.0, 1.5, 10),
     "geo_bbox" -> OracleGen.geoBboxSql(-30.0, 30.0, -90.0, 90.0),
@@ -1684,6 +1719,8 @@ object SparkEntry {
     "select_expr" -> RelationalOracles.selectExpr,
     "facet_terms" -> RelationalOracles.facetTerms,
     "facet_range" -> RelationalOracles.facetRange,
+    "facet_range_other" ->
+      RelationalOracles.facetRangeOther(5000000L, 40000000L, 5000000L),
     "facet_nested" -> RelationalOracles.facetNested,
     "facet_query" -> RelationalOracles.facetQuery,
     "facet_pivot" -> RelationalOracles.facetPivot,
@@ -1791,6 +1828,7 @@ object SparkEntry {
         |  FROM halves)
         |SELECT doc_id, CAST(greatest(s0, s1) AS BIGINT) AS parent_score
         |FROM scored WHERE greatest(s0, s1) >= 0""".stripMargin,
+    "chunk_documents" -> TrainingOracles.chunkDocuments(40, 10),
     "repetition_ratio" ->
       """WITH tp AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,

@@ -16,6 +16,23 @@ object TrainingOracles {
   private val stopList: String =
     Analyzer.EnglishStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
 
+  /** Context-window chunking: the same windows via generate_series +
+    * list slicing (DuckDB clamps the slice end; Spark's `slice` clamps
+    * the length — identical chunks).
+    */
+  def chunkDocuments(size: Int, overlap: Int): String = {
+    val stride = size - overlap
+    s"""WITH l AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |c AS (
+       |  SELECT doc_id, i AS chunk_ord,
+       |    toks[CAST(i*$stride + 1 AS INT) : CAST(least(i*$stride + $size, len(toks)) AS INT)] AS ctoks
+       |  FROM l, LATERAL unnest(generate_series(0,
+       |    greatest(1, CAST(ceil((len(toks) - $overlap) / ${stride}.0) AS INT)) - 1)) AS t(i)
+       |)
+       |SELECT doc_id, chunk_ord, len(ctoks) AS n_tokens,
+       |  array_to_string(ctoks, ' ') AS chunk FROM c""".stripMargin
+  }
+
   val dedupExact: String =
     """SELECT md5(text) AS content_hash, count(*) AS n_dups,
       |  min(doc_id) AS keeper

@@ -184,6 +184,33 @@ object Relational {
       .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_cents"))
 
+  /** Range facet with the `other` buckets [8x solr/core .../handler/
+    * component/RangeFacetProcessor.java; `facet.range.other=all`,
+    * `facet.range.hardend`]: gap buckets over [start, end) plus the
+    * before / after / between counts. ONE scan over the fact table:
+    * every row maps to a label (its bucket's start, or before/after),
+    * partial+final hash agg; `between` re-aggregates the already-tiny
+    * bucket frame, never the data. hardend semantics: the range is
+    * clipped at `end` exactly (the last bucket never overshoots), which
+    * the label expression encodes by sending p >= end to `after`.
+    * All arithmetic on integer cents so the oracle matches bit-for-bit.
+    */
+  def facetRangeOther(s: SparkSession, dir: String,
+                      startC: Long, endC: Long, gapC: Long): DataFrame = {
+    val p = cents(col("o_totalprice"))
+    val label = when(p < startC, lit("before"))
+      .when(p >= endC, lit("after"))
+      .otherwise((lit(startC) + floor((p - startC) / gapC) * gapC)
+        .cast("long").cast("string"))
+    val base = tbl(s, dir, "orders")
+      .groupBy(label.as("bucket")).agg(count(lit(1)).as("n"))
+    val between = base
+      .where(col("bucket") =!= "before" && col("bucket") =!= "after")
+      .agg(sum("n").as("n"))
+      .select(lit("between").as("bucket"), coalesce(col("n"), lit(0L)).as("n"))
+    base.unionByName(between)
+  }
+
   /** Nested subfacets (the JSON Facet API's bucket-in-bucket shape
     * [Solr search/facet/FacetField.java]): top-3 mktsegment buckets by
     * count, each carrying its own count plus a nested top-3 nations

@@ -513,6 +513,33 @@ object TrainingData {
     * per-row array reductions over the split token list; a 100 TB run
     * is a single scan with no shuffle at all.
     */
+  /** Long-document chunking: fixed token windows with overlap — the
+    * context-window preparation step every training pipeline runs on
+    * long documents (each doc becomes ceil((n − overlap) / stride)
+    * rows of ≤ `size` tokens, stride = size − overlap, so consecutive
+    * chunks share `overlap` tokens). Fully NARROW: a per-row SQL
+    * `transform` over the split array — codegen-fused with the scan, no
+    * shuffle at any corpus size, and rows are a pure function of the
+    * data (resumable at any parallelism).
+    */
+  def chunkDocuments(s: SparkSession, dir: String,
+                     size: Int, overlap: Int): DataFrame = {
+    require(size > overlap && overlap >= 0,
+      s"need size > overlap >= 0, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    docs(s, dir).selectExpr("doc_id",
+      s"""explode(transform(
+         |  sequence(0, greatest(1,
+         |    cast(ceil((size(split(text, ' ')) - $overlap) / ${stride}.0) as int)) - 1),
+         |  i -> struct(
+         |    cast(i as bigint) as chunk_ord,
+         |    cast(size(slice(split(text, ' '), i * $stride + 1, $size)) as bigint)
+         |      as n_tokens,
+         |    array_join(slice(split(text, ' '), i * $stride + 1, $size), ' ')
+         |      as chunk))) as c""".stripMargin)
+      .select(col("doc_id"), col("c.chunk_ord"), col("c.n_tokens"), col("c.chunk"))
+  }
+
   def repetitionRatio(s: SparkSession, dir: String): DataFrame = {
     val grams = expr(gramArray(3))
     docs(s, dir)

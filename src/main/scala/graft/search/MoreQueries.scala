@@ -101,6 +101,32 @@ object MoreQueries {
   def fuzzyTerms(view: IndexView, term: String, maxEdits: Int): Seq[String] =
     expandTerms(view, levenshtein(col("term"), lit(term)) <= maxEdits)
 
+  /** Leading-wildcard expansion via the REVERSED dictionary — Solr's
+    * ReversedWildcardFilterFactory [8x solr/core .../analysis/
+    * ReversedWildcardFilterFactory.java, lucene/analysis/common .../
+    * reverse/ReverseStringFilter.java]. A `*suffix` pattern cannot
+    * prune the term dictionary (an unanchored predicate must test every
+    * term), so the reference indexes each token a second time REVERSED
+    * under a marker and rewrites the query to a PREFIX scan of the
+    * reversed form — sargable again. Here the reversed dictionary is a
+    * narrow dictionary-sized projection and the rewritten predicate is
+    * `startswith(rterm, reverse(suffix))`; at production scale `rterm`
+    * is written beside `term` at index build so parquet min/max stats
+    * prune its sorted ranges exactly as they prune ordinary prefixes.
+    */
+  def leadingWildcardTerms(view: IndexView, suffix: String): Seq[String] = {
+    require(!suffix.exists(c => c == '*' || c == '?'),
+      "pattern must be *<literal suffix>")
+    val rdict = view.terms
+      .select(col("term"), reverse(col("term")).as("rterm")).distinct()
+    val ts = rdict.filter(col("rterm").startsWith(suffix.reverse))
+      .select("term").distinct()
+      .orderBy("term").limit(MaxClauseCount + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(ts.size <= MaxClauseCount, s"too many expanded terms (> $MaxClauseCount)")
+    ts
+  }
+
   /** RegexpQuery [8x search/RegexpQuery.java]: the pattern must match
     * the WHOLE term (Lucene anchors the automaton), so the dictionary
     * predicate is the anchored regex.
@@ -749,6 +775,35 @@ object MoreQueries {
       .join(broadcast(pmatch), Seq("block_base"))
       .groupBy("term").agg(countDistinct("doc_id").as("n_children"))
       .orderBy(col("n_children").desc, col("term").asc).limit(k)
+  }
+
+  /** Block-join parent facet — the JSON Facet API's `domain: {toParent
+    * ...}` switch [8x solr/core .../search/facet/FacetRequest.java
+    * (BlockJoin domain), ToParentBlockJoinQuery.java]: facet the PARENT
+    * docs whose block contains ≥ 1 child matching the child query, by
+    * the parents' own indexed terms — the mirror of
+    * [[blockJoinChildFacet]]. The child match reduces to one block key
+    * per matching block (tiny, broadcast); the facet pass decodes
+    * parent posting docID streams only — never the stored text.
+    */
+  def blockJoinParentFacet(spark: SparkSession, view: IndexView,
+                           childTerm: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val cmatch = ExactSearch.decodedPostings(spark, view, Seq(childTerm))
+      .where(col("doc_id") % 3 < 2) // child rows of each 3-doc block
+      .select((col("doc_id") - (col("doc_id") % 3)).as("block_base"))
+      .distinct()
+    view.postings
+      .filter($"field" === graft.index.Indexer.Field &&
+        $"term" =!= graft.index.NestedBlocks.ParentTerm)
+      .flatMap(b => graft.codec.VByte.decodeDeltas(b.docs).iterator
+        .map(id => (id, b.term)))
+      .toDF("doc_id", "term")
+      .where(col("doc_id") % 3 === 2) // parent rows only
+      .withColumn("block_base", col("doc_id") - 2)
+      .join(broadcast(cmatch), Seq("block_base"))
+      .groupBy("term").agg(countDistinct("doc_id").as("n_parents"))
+      .orderBy(col("n_parents").desc, col("term").asc).limit(k)
   }
 
   /** CommonTermsQuery [8x lucene/queries .../CommonTermsQuery.java]:

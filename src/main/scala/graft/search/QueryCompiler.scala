@@ -89,6 +89,12 @@ object QueryCompiler {
     */
   def rewrite(view: IndexView, q: Query): Query = q match {
     case Prefix(p)       => ConstScore(TermSet(MoreQueries.prefixTerms(view, p)))
+    case Wildcard(p) if p.length > 1 && p.head == '*' &&
+        !p.tail.exists(c => c == '*' || c == '?') =>
+      // leading-wildcard special case: same term set as the generic
+      // rlike expansion, but via the sargable REVERSED-dictionary
+      // prefix scan (ReversedWildcardFilter — see leadingWildcardTerms)
+      ConstScore(TermSet(MoreQueries.leadingWildcardTerms(view, p.tail)))
     case Wildcard(p)     => ConstScore(TermSet(MoreQueries.wildcardTerms(view, p)))
     case Regexp(p)       => ConstScore(TermSet(MoreQueries.regexpTerms(view, p)))
     case Fuzzy(t, e)     => ConstScore(TermSet(MoreQueries.fuzzyTerms(view, t, e)))

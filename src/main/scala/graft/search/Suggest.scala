@@ -49,6 +49,33 @@ object Suggest {
       .limit(k)
   }
 
+  /** Infix suggester [8x lucene/suggest .../analyzing/
+    * AnalyzingInfixSuggester.java]: suggestions whose text contains the
+    * typed fragment ANYWHERE, ranked by weight — the "search-as-you-
+    * type from the middle" surface. An unanchored contains cannot prune
+    * the dictionary, so the reference indexes grams of the suggestion
+    * text; here stage 1 cuts candidates with the character-3-gram
+    * codebook (terms containing EVERY 3-gram of the fragment — bounded
+    * gram-key lookups, dictionary-sized), and stage 2 verifies the
+    * exact contains on the candidates only. Weight = corpus frequency,
+    * the same rank key as [[suggestPrefix]].
+    */
+  def suggestInfix(s: SparkSession, view: IndexView, fragment: String,
+                   k: Int): DataFrame = {
+    val fgrams = graft.operators.AnalysisOps.charNgrams(fragment, 3)
+    require(fgrams.nonEmpty, s"fragment must be >= 3 chars: '$fragment'")
+    val ngU = udf((t: String) => graft.operators.AnalysisOps.charNgrams(t, 3))
+    view.terms
+      .groupBy("term").agg(sum("ctf").as("weight"))
+      .select(col("term"), col("weight"), explode(ngU(col("term"))).as("gram"))
+      .where(col("gram").isin(fgrams: _*))
+      .groupBy("term", "weight").agg(countDistinct("gram").as("ng"))
+      .where(col("ng") === fgrams.size && col("term").contains(fragment))
+      .select(col("term"), col("weight"))
+      .orderBy(col("weight").desc, col("term").asc)
+      .limit(k)
+  }
+
   /** Did-you-mean: candidate corrections within `maxEdits` of the
     * (presumably unindexed) input, ranked by (edit distance asc,
     * document frequency desc, term asc) — DirectSpellChecker's

@@ -229,6 +229,32 @@ class MoreQueriesSpec extends AnyFunSuite {
     val kids = MoreQueries.blockJoinChildren(spark, v, "alpha")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(kids == Set((1L, 0, 2), (1L, 1, 1), (2L, 0, 1), (2L, 1, 1)))
+
+    // toParent facet domain: every block has a child containing 'beta'
+    // (docs 0, 3, 7) → facet the three parents' OWN terms (zeta / alpha /
+    // alpha beta), sentinel excluded, ranked by parent df then term
+    val pf = MoreQueries.blockJoinParentFacet(spark, v, "beta", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(pf == Seq(("alpha", 2L), ("beta", 1L), ("zeta", 1L)))
+  }
+
+  test("leading wildcard: reversed-dictionary prefix == brute-force suffix") {
+    val suffix = Analyzer.tokenize(docs.head._2).head.term.takeRight(2)
+    assert(collected(MoreQueries.matchingDocs(spark, view,
+      MoreQueries.leadingWildcardTerms(view, suffix))) ==
+      bruteDocs(_.endsWith(suffix)))
+  }
+
+  test("infix suggest: gram cut + contains verify == plain contains, weight-ranked") {
+    val frag = docs.iterator.flatMap(d => Analyzer.tokenize(d._2))
+      .find(_.term.length >= 4).get.term.take(3)
+    val weights = docs.flatMap(d => Analyzer.tokenize(d._2).map(_.term))
+      .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+    val expect = weights.filter(_._1.contains(frag)).toSeq
+      .sortBy { case (t, w) => (-w, t) }.take(10)
+    val got = graft.search.Suggest.suggestInfix(spark, view, frag, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect)
   }
 
   test("highlight picks the BEST passage, not the first substring match") {

@@ -47,6 +47,19 @@ class QueryCompilerSpec extends AnyFunSuite {
       == Q.ConstScore(Q.TermSet(Seq("x")), 3.0))
   }
 
+  test("leading-wildcard rewrite: reversed-dictionary path == generic rlike path") {
+    // pick a suffix that exists in the synth dictionary
+    import org.apache.spark.sql.functions.{col, length}
+    val suffix = view.terms.select("term").where(length(col("term")) >= 2)
+      .orderBy("term").limit(1).collect().head.getString(0).takeRight(2)
+    val fast = QueryCompiler.rewrite(view, Q.Wildcard("*" + suffix))
+    val slow = Q.ConstScore(Q.TermSet(MoreQueries.wildcardTerms(view, "*" + suffix)))
+    assert(fast == slow)
+    // mixed patterns must still take the generic path
+    assert(QueryCompiler.rewrite(view, Q.Wildcard("*a*b"))
+      == Q.ConstScore(Q.TermSet(MoreQueries.wildcardTerms(view, "*a*b"))))
+  }
+
   test("compiled nested tree equals hand-composed primitives") {
     val q = Q.Bool(
       must = Seq(Q.Term("w0002")),

@@ -13,6 +13,28 @@ class RelationalSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("facet_range_other: buckets + before/after/between partition the table") {
+    import spark.implicits._
+    val (startC, endC, gapC) = (5000000L, 40000000L, 5000000L)
+    val rows = Relational.facetRangeOther(spark, dir, startC, endC, gapC)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val prices = spark.read.parquet(s"$dir/orders.parquet")
+      .select(round(col("o_totalprice") * 100).cast("long")).as[Long].collect()
+    // the three `other` counts are exact
+    assert(rows("before") == prices.count(_ < startC).toLong)
+    assert(rows("after") == prices.count(_ >= endC).toLong)
+    assert(rows("between") == prices.count(p => p >= startC && p < endC).toLong)
+    // gap buckets partition `between`, and hardend clips them at end
+    val buckets = rows.filter { case (k, _) =>
+      k != "before" && k != "after" && k != "between" }
+    assert(buckets.values.sum == rows("between"))
+    assert(buckets.keys.map(_.toLong).forall(b => b >= startC && b < endC))
+    buckets.foreach { case (b, n) =>
+      val lo = b.toLong
+      assert(n == prices.count(p => p >= lo && p < math.min(lo + gapC, endC)).toLong)
+    }
+  }
+
   test("rollup_agg matches brute force") {
     import spark.implicits._
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

@@ -42,6 +42,32 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(dupGroup.getLong(2) == 0L) // keeper = min doc_id
   }
 
+  test("chunking: fixed windows with overlap, brute-force differential") {
+    // size=8, overlap=3 (stride 5) over the crafted corpus (3..21 tokens)
+    val got = TrainingData.chunkDocuments(spark, corpusDir, 8, 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$corpusDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val expect = docs.flatMap { case (id, text) =>
+      val toks = text.split(' ')
+      val n = math.max(1, math.ceil((toks.length - 3) / 5.0).toInt)
+      (0 until n).map { i =>
+        val c = toks.slice(i * 5, i * 5 + 8)
+        (id, i.toLong, c.length.toLong, c.mkString(" "))
+      }
+    }.toSet
+    assert(got == expect)
+    // consecutive chunks of one doc share exactly `overlap` tokens
+    val c0 = got.filter(t => t._1 == 0L).toSeq.sortBy(_._2).map(_._4.split(' ').toSeq)
+    c0.sliding(2).foreach {
+      case Seq(a, b) => assert(a.takeRight(3) == b.take(3))
+      case _ =>
+    }
+  }
+
   test("shingles are the distinct word 3-grams") {
     val sh = TrainingData.shingles(spark, corpusDir)
       .where(col("doc_id") === 5L) // "x1 x2 x3"
