@@ -726,6 +726,66 @@ object OracleGen {
        |ORDER BY score_q DESC, agg.doc_id ASC LIMIT $k""".stripMargin
   }
 
+  /** edismax pf2: the qf-weighted dismax total PLUS pfBoost × the sum
+    * of the exact body-phrase scores of EVERY ADJACENT BIGRAM of the
+    * query — (w1 w2) and (w2 w3) for a three-term q [8x Solr
+    * ExtendedDismaxQParser.java addShingledPhraseQueries(…, 2)]. Each
+    * bigram gets its own PhraseWeight (summed slot idfs over ITS two
+    * terms); the combine shape `total + pfBoost * (ps1 + ps2)` is the
+    * engine's, verbatim, before the shared quantized cut.
+    */
+  def edismaxPf2Sql(w1: String, w2: String, w3: String, tie: Double,
+                    titleBoost: Double, pfBoost: Double, k: Int): String = {
+    val qs = termList(Seq(w1, w2, w3).distinct)
+    def pairCtes(i: Int, a: String, b: String): String =
+      s"""widf$i AS (
+         |  SELECT sum(ln(1 + (bst.n - pdf.df + 0.5) / (pdf.df + 0.5))) AS w
+         |  FROM pdf CROSS JOIN bst WHERE pdf.term IN ('$a', '$b')
+         |), a$i AS (SELECT doc_id, pos FROM btok WHERE term = '$a'),
+         |   b$i AS (SELECT doc_id, pos FROM btok WHERE term = '$b'),
+         |   ph$i AS (
+         |  SELECT a$i.doc_id, count(*) AS ptf
+         |  FROM a$i JOIN b$i ON b$i.doc_id = a$i.doc_id AND b$i.pos = a$i.pos + 1
+         |  GROUP BY a$i.doc_id
+         |), psc$i AS (
+         |  SELECT ph$i.doc_id,
+         |    widf$i.w * ph$i.ptf / (ph$i.ptf + 1.2 * (1 - 0.75 + 0.75 * bnorm.ldl / (bst.sttf / CAST(bst.n AS DOUBLE)))) AS ps
+         |  FROM ph$i JOIN bnorm ON ph$i.doc_id = bnorm.doc_id
+         |  CROSS JOIN widf$i CROSS JOIN bst
+         |)""".stripMargin
+    s"""WITH ${multifieldCtes(qs, tie, titleBoost)}, bnorm AS (
+       |  SELECT doc_id, dl, ldl FROM fnorm WHERE field = 'body'
+       |), bst AS (
+       |  SELECT n, sttf FROM fst WHERE field = 'body'
+       |), pdf AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       |  WHERE field = 'body' AND term IN ($qs) GROUP BY term
+       |), ${pairCtes(1, w1, w2)}, ${pairCtes(2, w2, w3)}
+       |SELECT agg.doc_id,
+       |  CAST(round((agg.total + $pfBoost * (coalesce(psc1.ps, 0) + coalesce(psc2.ps, 0))) * 10000) AS BIGINT) AS score_q
+       |FROM agg LEFT JOIN psc1 ON agg.doc_id = psc1.doc_id
+       |         LEFT JOIN psc2 ON agg.doc_id = psc2.doc_id
+       |ORDER BY score_q DESC, agg.doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** edismax mm (minimum should match): the qf-weighted dismax ranking
+    * restricted to docs matching ≥ mm of the query's term clauses — a
+    * term clause matches when ANY qf field contains the term, which is
+    * exactly one `pt` row per (doc, matched term) in the shared dismax
+    * CTE chain [8x Solr SolrPluginUtils.setMinShouldMatch].
+    */
+  def edismaxMmSql(terms: Seq[String], tie: Double, titleBoost: Double,
+                   mm: Int, k: Int): String = {
+    val qs = termList(terms.distinct)
+    s"""WITH ${multifieldCtes(qs, tie, titleBoost)}, nt AS (
+       |  SELECT doc_id, count(*) AS n FROM pt GROUP BY doc_id
+       |)
+       |SELECT agg.doc_id,
+       |  CAST(round(agg.total * 10000) AS BIGINT) AS score_q
+       |FROM agg JOIN nt USING (doc_id) WHERE nt.n >= $mm
+       |ORDER BY agg.total DESC, agg.doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** MLT interestingTerms: the seed doc's terms ranked by tf × idf —
     * the `mlt` CTE of [[moreLikeThisSql]] surfaced as the result.
     */

@@ -744,6 +744,80 @@ object SparkEntry {
             .as("score")))
         .orderBy(col("score_q").desc, col("doc_id").asc).limit(10)
     }),
+    "qparse_edismax_mm" -> ((s, dir) => {
+      // edismax mm (minimum should match) [8x Solr
+      // ExtendedDismaxQParser.java / SolrPluginUtils.setMinShouldMatch]:
+      // the per-term dismax clauses form the top-level BooleanQuery and
+      // mm=2 requires ≥ 2 of the 3 term clauses to match (a term clause
+      // matches when ANY qf field contains it) — single-term docs drop
+      // out of the ranking entirely. The count rides the same
+      // per-doc combine as the score; no second pass.
+      val terms = Seq("spark", "merge", "dup")
+      quantize(graft.search.MultiField.dismaxScoredMm(s, dir, terms, 0.3,
+          IndexCache.TestSegmentSize,
+          boosts = graft.search.QueryParser.parseQf("title^2 body"))
+        .where(col("n_terms") >= 2)
+        .select(col("doc_id"), col("score")))
+        .orderBy(col("score_q").desc, col("doc_id").asc).limit(10)
+    }),
+    "facet_missing" -> ((s, dir) => {
+      // JSON facet missing bucket [8x solr/core .../search/facet/
+      // FacetField.java missing:true]: terms buckets over a field that
+      // is genuinely ABSENT for part of the domain get one extra bucket
+      // counting the docs with no value. Field = year of the customer's
+      // latest large order (null when they have none); the missing
+      // bucket is first-class in the same partial+final hash agg —
+      // one scan, no second pass for the nulls.
+      val c = s.read.parquet(s"$dir/customer.parquet").select("c_custkey")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey"), col("o_orderdate"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(max("o_orderdate").as("d"))
+        .groupBy(coalesce(date_format(col("d"), "yyyy"), lit("__missing__"))
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "func_recip_date" -> ((s, dir) => {
+      // recip(ms(NOW,date),m,a,b) recency boost [8x solr
+      // ValueSourceParser "recip", ReciprocalFloatFunction.java] — THE
+      // canonical Solr date-decay: newer docs score near a/b, older
+      // decay hyperbolically. NOW is pinned to a fixture date for
+      // determinism (the reference freezes NOW per request too); units
+      // = days/365 with a=b=1, quantized to micro-units. Fully narrow —
+      // codegen-fused with the scan at any corpus size.
+      val ref = to_date(lit("2002-01-01")) // pinned NOW, after every order
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"),
+          round(lit(1000000.0) * (lit(1.0) / (lit(1.0) +
+            datediff(ref, col("o_orderdate")).cast("double") / lit(365.0))))
+            .cast("long").as("recip_q"))
+    }),
+    "qparse_edismax_pf2" -> ((s, dir) => {
+      // edismax pf2 [8x Solr ExtendedDismaxQParser.java
+      // addShingledPhraseQueries(…, 2)]: the qf-weighted dismax total
+      // PLUS pfBoost × the SUM of exact body-phrase scores of every
+      // ADJACENT BIGRAM of q — (w1 w2) and (w2 w3) for a three-term
+      // query. Each bigram is its own PhraseWeight (summed slot idfs
+      // over ITS two terms); both phrase passes score off the primary
+      // index's positions and share one stats gather.
+      val v = IndexCache.documentsIndex(s, dir)
+      val terms = Seq("table", "merge", "group")
+      val dismax = graft.search.MultiField.dismaxScored(s, dir, terms, 0.3,
+        IndexCache.TestSegmentSize,
+        boosts = graft.search.QueryParser.parseQf("title^2 body"))
+      val scorers = graft.search.QueryScorers(v, terms, DoubleOracle)
+      val p1 = MoreQueries.phraseScored(s, v, Seq("table", "merge"), 0, scorers)
+        .withColumnRenamed("score", "ps1")
+      val p2 = MoreQueries.phraseScored(s, v, Seq("merge", "group"), 0, scorers)
+        .withColumnRenamed("score", "ps2")
+      quantize(dismax.join(p1, Seq("doc_id"), "left_outer")
+        .join(p2, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          (col("score") + lit(1.5) * (coalesce(col("ps1"), lit(0.0)) +
+            coalesce(col("ps2"), lit(0.0)))).as("score")))
+        .orderBy(col("score_q").desc, col("doc_id").asc).limit(10)
+    }),
     "match_all_count" -> ((s, dir) => {
       IndexCache.documentsIndex(s, dir).docmeta.toDF()
         .agg(countDistinct(col("doc_id")).as("n"))
@@ -846,6 +920,39 @@ object SparkEntry {
       graft.operators.AnalysisOps.shingleDf(s, dir)),
     "char_ngram_df" -> ((s, dir) =>
       graft.operators.AnalysisOps.charNgramDf(s, dir)),
+    "terms_regex" -> ((s, dir) => {
+      // TermsComponent terms.regex [8x solr/core .../handler/component/
+      // TermsComponent.java]: dictionary enumeration by whole-term
+      // regular expression (the reference's Pattern.matches semantics),
+      // ranked by docFreq — dictionary-only read, postings untouched
+      val v = IndexCache.documentsIndex(s, dir)
+      v.terms.where(col("term").rlike("^.*a.*r.*$"))
+        .groupBy("term").agg(sum("df").as("df"))
+        .orderBy(col("df").desc, col("term").asc).limit(10)
+    }),
+    "sort_missing_last" -> ((s, dir) => {
+      // Solr sort=field desc + sortMissingLast [8x solr/core schema
+      // FieldType sortMissingLast; docvalues sort]: customers ranked by
+      // the date of their latest LARGE order; customers with none (a
+      // genuinely null aggregate — 68 of 1500 at sf0.01) sort LAST, not
+      // first. The rank column makes the null-placement contract
+      // hash-visible to the oracle. Heavy step = the groupBy aggregate;
+      // the rank runs over the tiny per-customer frame.
+      import org.apache.spark.sql.expressions.Window
+      val c = s.read.parquet(s"$dir/customer.parquet").select("c_custkey")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_totalprice") > 350000.0)
+        .select(col("o_custkey"), col("o_orderdate"))
+      val last = c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(max("o_orderdate").as("d"))
+      val w = Window.orderBy(col("d").desc_nulls_last, col("c_custkey").asc)
+      last.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 1480)
+        .select(col("rank").cast("long").as("rank"), col("c_custkey"),
+          coalesce(date_format(col("d"), "yyyy-MM-dd"), lit("")).as("last_order"))
+    }),
+    "func_scale" -> ((s, dir) =>
+      graft.operators.Functions.funcScale(s, dir)),
     "terms_enum" -> ((s, dir) => {
       // TermsComponent (/terms): dictionary enumeration under a prefix,
       // ranked by docFreq — reads ONLY the term dictionary (parquet
@@ -1404,6 +1511,27 @@ object SparkEntry {
     "block_join_parent_facet" -> OracleGen.blockJoinParentFacetSql("dup", 10),
     "spellcheck_collate" -> OracleGen.spellcheckCollateSql("sark", "jion", 2, 3, 5),
     "qparse_edismax_pf" -> OracleGen.edismaxPfSql("spark", "merge", 0.3, 2.0, 1.5, 10),
+    "qparse_edismax_pf2" ->
+      OracleGen.edismaxPf2Sql("table", "merge", "group", 0.3, 2.0, 1.5, 10),
+    "qparse_edismax_mm" ->
+      OracleGen.edismaxMmSql(Seq("spark", "merge", "dup"), 0.3, 2.0, 2, 10),
+    "facet_missing" ->
+      """WITH lo AS (
+        |  SELECT c.c_custkey, max(o.o_orderdate) AS d
+        |  FROM customer c LEFT JOIN orders o
+        |    ON o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        |  GROUP BY 1
+        |)
+        |SELECT coalesce(strftime(CAST(d AS DATE), '%Y'), '__missing__')
+        |    AS bucket,
+        |  count(*) AS n
+        |FROM lo GROUP BY 1""".stripMargin,
+    "func_recip_date" ->
+      """SELECT o_orderkey,
+        |  CAST(round(1000000.0 * (1.0 / (1.0 +
+        |    date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+        |      / 365.0))) AS BIGINT) AS recip_q
+        |FROM orders""".stripMargin,
     "geo_bbox" -> OracleGen.geoBboxSql(-30.0, 30.0, -90.0, 90.0),
     "mlt_interesting_terms" -> OracleGen.mltInterestingTermsSql(0L, 10),
     "keyword_marker_stem" ->
@@ -1781,6 +1909,27 @@ object SparkEntry {
     "common_terms_topk" -> OracleGen.commonTermsSql(Seq("dup", "spark", "merge"), 0.1, 10),
     "ltr_rerank" -> OracleGen.ltrRerankSql(Seq("spark", "join"), "vector", 50, 10, 0.6, 0.3, 0.5),
     "phonetic_soundex" -> OracleGen.phoneticSoundexSql,
+    "terms_regex" ->
+      s"""WITH ${OracleGen.tokCte}
+         |SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+         |WHERE regexp_matches(term, '^.*a.*r.*$$') GROUP BY term
+         |ORDER BY df DESC, term ASC LIMIT 10""".stripMargin,
+    "sort_missing_last" ->
+      """WITH lo AS (
+        |  SELECT c.c_custkey, max(o.o_orderdate) AS d
+        |  FROM customer c LEFT JOIN orders o
+        |    ON o.o_custkey = c.c_custkey AND o.o_totalprice > 350000
+        |  GROUP BY 1
+        |), r AS (
+        |  SELECT c_custkey, d,
+        |    row_number() OVER (ORDER BY d DESC NULLS LAST, c_custkey ASC)
+        |      AS rank
+        |  FROM lo
+        |)
+        |SELECT rank, c_custkey,
+        |  coalesce(strftime(CAST(d AS DATE), '%Y-%m-%d'), '') AS last_order
+        |FROM r WHERE rank <= 1480""".stripMargin,
+    "func_scale" -> graft.operators.FunctionOracles.funcScale,
     "terms_enum" ->
       s"""WITH ${OracleGen.tokCte}
          |SELECT term, count(DISTINCT doc_id) AS df FROM tokf

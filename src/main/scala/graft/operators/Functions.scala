@@ -56,6 +56,26 @@ object Functions {
         greatest(col("o_orderkey") % 7, col("o_orderkey") % 5)
           .cast("long").as("gmax"))
 
+  /** scale() function query [8x solr ValueSourceParser "scale",
+    * lucene/queries .../function/valuesource/ScaleFloatFunction.java]:
+    * maps a per-doc value into a target range using the GLOBAL min/max
+    * of the source field — the reference computes those once per
+    * searcher; here a tiny agg broadcast-joins back (the GlobalStats
+    * pattern — the corpus is scanned once for the extremes, once for
+    * the mapping, never collected). Output in integer micro-units of
+    * the [0, 1] target via floor division, so the oracle matches
+    * bit-for-bit with no float-rounding hazard.
+    */
+  def funcScale(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars")
+    val mm = d.agg(min("n_chars").as("lo"), max("n_chars").as("hi"))
+    d.crossJoin(broadcast(mm))
+      .select(col("doc_id"), expr(
+        "CASE WHEN hi = lo THEN 0 ELSE (n_chars - lo) * 1000000 div (hi - lo) END")
+        .cast("long").as("scaled_u"))
+  }
+
   /** Mean earth radius used by the reference's DistanceUtils (km). */
   val EarthRadiusKm = 6371.0087714
 
@@ -139,6 +159,14 @@ object FunctionOracles {
     """SELECT c_custkey,
       |  CAST(levenshtein(c_name, 'Customer#000000042') AS BIGINT) AS dist
       |FROM customer WHERE c_custkey < 500""".stripMargin
+
+  val funcScale: String =
+    """WITH mm AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN hi = lo THEN 0
+      |            ELSE (n_chars - lo) * 1000000 // (hi - lo) END AS BIGINT)
+      |    AS scaled_u
+      |FROM documents, mm""".stripMargin
 
   val geoDist: String =
     s"""SELECT c_custkey,

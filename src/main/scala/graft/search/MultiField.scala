@@ -42,7 +42,20 @@ object MultiField {
     */
   def dismaxScored(spark: SparkSession, dir: String, qTerms: Seq[String],
                    tie: Double, segSize: Long,
-                   boosts: Map[String, Double] = Map.empty): DataFrame = {
+                   boosts: Map[String, Double] = Map.empty): DataFrame =
+    dismaxScoredMm(spark, dir, qTerms, tie, segSize, boosts)
+      .select(col("doc_id"), col("score"))
+
+  /** Like [[dismaxScored]] but keeps `n_terms` — the count of DISTINCT
+    * query terms the doc matched in ANY field. Edismax `mm` (minimum
+    * should match [8x Solr ExtendedDismaxQParser.java /
+    * SolrPluginUtils.setMinShouldMatch]) filters on it: the top-level
+    * BooleanQuery of per-term dismax clauses requires ≥ mm term
+    * clauses, where a term clause matches when any qf field has it.
+    */
+  def dismaxScoredMm(spark: SparkSession, dir: String, qTerms: Seq[String],
+                     tie: Double, segSize: Long,
+                     boosts: Map[String, Double] = Map.empty): DataFrame = {
     import spark.implicits._
     val (view, fstats) = MultiFieldCache.titleBodyIndex(spark, dir, segSize)
     val fields = Seq("body", "title")
@@ -81,6 +94,7 @@ object MultiField {
       // over terms (ascending term then field order — deterministic)
       val rows = it.toArray.sortBy(r => (r._3, r._2))
       var total = 0.0
+      var nTerms = 0
       var i = 0
       while (i < rows.length) {
         val term = rows(i)._3
@@ -95,8 +109,9 @@ object MultiField {
           i += 1
         }
         total += mx + tie * (sm - mx)
+        nTerms += 1
       }
-      (docId, total)
-    }.toDF("doc_id", "score")
+      (docId, total, nTerms)
+    }.toDF("doc_id", "score", "n_terms")
   }
 }
