@@ -87,6 +87,27 @@ object OracleGen {
        |FROM sc WHERE n_matched >= $minShouldMatch
        |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
 
+  /** explain()/debugQuery: per-term decomposition rows of the top-k
+    * docs' BM25 scores — contribution, idf, tf, df, lossy dl per
+    * matched (doc, term), plus the doc total they sum to (the CheckHits
+    * invariant).
+    */
+  def explainSql(terms: Seq[String], k: Int): String =
+    s"""WITH ${bm25Ctes(terms)}, topd AS (
+       |  SELECT doc_id, score FROM sc
+       |  ORDER BY score DESC, doc_id ASC LIMIT $k
+       |)
+       |SELECT t.doc_id, p.term, tf.tf, df.df, norm.ldl AS dl,
+       |  CAST(round(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) * 10000) AS BIGINT) AS idf_q,
+       |  CAST(round(p.s * 10000) AS BIGINT) AS contrib_q,
+       |  CAST(round(t.score * 10000) AS BIGINT) AS score_q
+       |FROM topd t
+       |JOIN persc p ON t.doc_id = p.doc_id
+       |JOIN tf ON tf.doc_id = p.doc_id AND tf.term = p.term
+       |JOIN df ON df.term = p.term
+       |JOIN norm ON norm.doc_id = p.doc_id
+       |CROSS JOIN st""".stripMargin
+
   /** SynonymQuery: the synonym set as ONE pseudo-term — per-doc
     * tf = Σ over the terms, idf from the blended docFreq = max over the
     * terms' dfs (8.x SynonymQuery.createWeight blending).

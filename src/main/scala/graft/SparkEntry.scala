@@ -744,6 +744,15 @@ object SparkEntry {
             .as("score")))
         .orderBy(col("score_q").desc, col("doc_id").asc).limit(10)
     }),
+    "explain_score" -> ((s, dir) => {
+      // Lucene explain() / Solr debugQuery [8x search/Weight.java#explain,
+      // BM25Similarity.java#explain]: per-term score decomposition of
+      // the top-k docs — each row's contrib sums to the doc's returned
+      // score (the CheckHits invariant, here enforced by the oracle
+      // recomputing both sides independently)
+      val v = IndexCache.documentsIndex(s, dir)
+      MoreQueries.explainTopK(s, v, Seq("spark", "join"), 3)
+    }),
     "qparse_edismax_mm" -> ((s, dir) => {
       // edismax mm (minimum should match) [8x Solr
       // ExtendedDismaxQParser.java / SolrPluginUtils.setMinShouldMatch]:
@@ -1515,6 +1524,7 @@ object SparkEntry {
       OracleGen.edismaxPf2Sql("table", "merge", "group", 0.3, 2.0, 1.5, 10),
     "qparse_edismax_mm" ->
       OracleGen.edismaxMmSql(Seq("spark", "merge", "dup"), 0.3, 2.0, 2, 10),
+    "explain_score" -> OracleGen.explainSql(Seq("spark", "join"), 3),
     "facet_missing" ->
       """WITH lo AS (
         |  SELECT c.c_custkey, max(o.o_orderdate) AS d

@@ -927,4 +927,34 @@ object MoreQueries {
           -col("b.na") + 1, lit(window))).as("passage"),
         col("b.s").as("p_score"))
   }
+
+  /** Lucene `explain()` / Solr debugQuery [8x search/Weight.java#explain,
+    * BM25Similarity.java#explain, test-framework CheckHits.java]: the
+    * per-term decomposition of every top-k doc's BM25 score — (tf, df,
+    * lossy dl, idf, term contribution) rows whose contributions sum to
+    * the doc's returned score, which CheckHits asserts on every test
+    * query. Candidate-bounded: components are computed from the same
+    * decoded posting rows the scoring pass reads, joined to the
+    * broadcast top-k — never a second corpus pass.
+    */
+  def explainTopK(spark: SparkSession, view: IndexView,
+                  terms: Seq[String], k: Int): DataFrame = {
+    val scorers = QueryScorers(view, terms, DoubleOracle)
+    import spark.implicits._
+    val infoDf = scorers.terms.toSeq
+      .map(t => (t.term, t.df, t.idfD)).toDF("term", "df", "idf")
+    val per = ExactSearch.decodedPostings(spark, view, terms)
+      .join(broadcast(infoDf), Seq("term"))
+      .withColumn("s", col("idf") * col("tf") / (col("tf") +
+        lit(scorers.k1d) * (lit(1.0) - lit(scorers.bd) +
+          lit(scorers.bd) * col("lossy_dl") / lit(scorers.avgdlD))))
+    val top = per.groupBy("doc_id").agg(sum("s").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    per.join(broadcast(top), Seq("doc_id"))
+      .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"),
+        col("df"), col("lossy_dl").cast("long").as("dl"),
+        round(col("idf") * 10000).cast("long").as("idf_q"),
+        round(col("s") * 10000).cast("long").as("contrib_q"),
+        round(col("score") * 10000).cast("long").as("score_q"))
+  }
 }

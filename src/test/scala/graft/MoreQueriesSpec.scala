@@ -483,4 +483,27 @@ class MoreQueriesSpec extends AnyFunSuite {
     assert(got.forall { case (d, s) => base(d) == s && !notDocs(d) })
     assert(got.map(_._1).toSet == base.keySet -- notDocs)
   }
+
+  test("explain decomposition: contribs sum to the returned score (CheckHits)") {
+    val terms = Seq("w0002", "w0005")
+    val k = 5
+    val rows = MoreQueries.explainTopK(spark, view, terms, k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    // per doc: quantized contribs sum to the quantized doc score (±1
+    // micro-unit per term for independent rounding) and docs equal the
+    // exact-path top-k
+    val byDoc = rows.groupBy(_._1)
+    byDoc.foreach { case (_, rs) =>
+      val sumContrib = rs.map(_._3).sum
+      val score = rs.head._4
+      assert(rs.map(_._4).distinct.size == 1)
+      assert(math.abs(sumContrib - score) <= rs.size,
+        s"contribs $sumContrib vs score $score")
+    }
+    val expectTop = graft.search.ExactSearch
+      .topK(spark, view, terms, k, DoubleOracle)
+      .collect().map(_.getLong(0)).toSet
+    assert(byDoc.keySet == expectTop)
+  }
 }
