@@ -945,20 +945,27 @@ object SparkEntry {
       // the date of their latest LARGE order; customers with none (a
       // genuinely null aggregate — 68 of 1500 at sf0.01) sort LAST, not
       // first. The rank column makes the null-placement contract
-      // hash-visible to the oracle. Heavy step = the groupBy aggregate;
-      // the rank runs over the tiny per-customer frame.
-      import org.apache.spark.sql.expressions.Window
+      // hash-visible to the oracle. Ranks come from a RANGE-PARTITIONED
+      // sort + partition-offset zipWithIndex (the index_sort_topk /
+      // docID-assignment pattern) — NO single-partition window at any
+      // customer count.
+      import s.implicits._
       val c = s.read.parquet(s"$dir/customer.parquet").select("c_custkey")
       val o = s.read.parquet(s"$dir/orders.parquet")
         .where(col("o_totalprice") > 350000.0)
         .select(col("o_custkey"), col("o_orderdate"))
       val last = c.join(o, col("c_custkey") === col("o_custkey"), "left")
         .groupBy("c_custkey").agg(max("o_orderdate").as("d"))
-      val w = Window.orderBy(col("d").desc_nulls_last, col("c_custkey").asc)
-      last.withColumn("rank", row_number().over(w))
+      last
+        .repartitionByRange(col("d").desc_nulls_last, col("c_custkey").asc)
+        .sortWithinPartitions(col("d").desc_nulls_last, col("c_custkey").asc)
+        .select(col("c_custkey").cast("long"),
+          coalesce(date_format(col("d"), "yyyy-MM-dd"), lit(""))
+            .as("last_order"))
+        .as[(Long, String)].rdd.zipWithIndex()
+        .map { case ((ck, lo), r) => (r + 1, ck, lo) }
+        .toDF("rank", "c_custkey", "last_order")
         .where(col("rank") <= 1480)
-        .select(col("rank").cast("long").as("rank"), col("c_custkey"),
-          coalesce(date_format(col("d"), "yyyy-MM-dd"), lit("")).as("last_order"))
     }),
     "func_scale" -> ((s, dir) =>
       graft.operators.Functions.funcScale(s, dir)),
