@@ -1039,4 +1039,62 @@ object OracleGen {
        |SELECT term || ' ' || nt AS shingle, count(DISTINCT doc_id) AS df,
        |  count(*) AS ctf
        |FROM sh WHERE np = pos + 1 GROUP BY 1""".stripMargin
+
+  /** FreeTextSuggester: next-word candidates after `prev` by raw
+    * corpus bigram frequency (the suggester's analyzer has no stop
+    * filter, so the RAW token stream is the right source).
+    */
+  def suggestFreeTextSql(prev: String, k: Int): String =
+    s"""WITH lists AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), tokpos AS (
+       |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+       |  FROM lists
+       |), nxt AS (
+       |  SELECT b.term AS next_term
+       |  FROM tokpos a JOIN tokpos b
+       |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |  WHERE a.term = '$prev' AND length(b.term) > 0
+       |)
+       |SELECT next_term, count(*) AS weight FROM nxt
+       |GROUP BY next_term ORDER BY weight DESC, next_term ASC LIMIT $k""".stripMargin
+
+  /** WordBreakSpellChecker.suggestWordBreaks: split non-dictionary
+    * compounds at every point where both halves are dictionary terms
+    * with df ≥ minDf; freq = min(df_left, df_right).
+    */
+  def wordBreakSql(inputs: Seq[String], minDf: Long, k: Int): String = {
+    val vals = inputs.map(i => s"('$i')").mkString(", ")
+    val maxI = inputs.map(_.length).max - 1
+    s"""WITH $tokCte, df AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM tokf GROUP BY term
+       |), ins AS (
+       |  SELECT input FROM (VALUES $vals) AS t(input)
+       |  WHERE input NOT IN (SELECT term FROM df)
+       |), sp AS (
+       |  SELECT input, substr(input, 1, i) AS l, substr(input, i + 1) AS r
+       |  FROM ins CROSS JOIN generate_series(1, $maxI) AS g(i)
+       |  WHERE i <= length(input) - 1
+       |), cand AS (
+       |  SELECT input, l, r, dl.df AS df_l, dr.df AS df_r
+       |  FROM sp JOIN df dl ON dl.term = sp.l JOIN df dr ON dr.term = sp.r
+       |  WHERE dl.df >= $minDf AND dr.df >= $minDf
+       |)
+       |SELECT input, l || ' ' || r AS suggestion, least(df_l, df_r) AS freq
+       |FROM cand ORDER BY freq DESC, suggestion ASC LIMIT $k""".stripMargin
+  }
+
+  /** FeatureField.newSaturationQuery: BM25 + weight · f/(f + pivot)
+    * with f = the n_chars docvalues column.
+    */
+  def rankFeatureSql(terms: Seq[String], weight: Double, pivot: Double,
+                     k: Int): String =
+    s"""WITH ${bm25Ctes(terms)}
+       |SELECT sc.doc_id,
+       |  CAST(round((sc.score + $weight * (d.n_chars / (d.n_chars + $pivot)))
+       |    * 10000) AS BIGINT) AS score_q
+       |FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+       |ORDER BY sc.score + $weight * (d.n_chars / (d.n_chars + $pivot)) DESC,
+       |  sc.doc_id ASC
+       |LIMIT $k""".stripMargin
 }

@@ -474,6 +474,45 @@ object SparkEntry {
       graft.search.Suggest.collate(s, IndexCache.documentsIndex(s, dir),
         dir, "sark", "jion", 2, 3, 5)
     }),
+    "suggest_freetext" -> ((s, dir) =>
+      // FreeTextSuggester analog: next-word completion after "spark",
+      // ranked by corpus bigram frequency
+      graft.search.Suggest.freeText(s,
+        s.read.parquet(s"$dir/documents.parquet"), "spark", 8)),
+    "spellcheck_wordbreak" -> ((s, dir) =>
+      // WordBreakSpellChecker: split compounds into dictionary pairs,
+      // ranked by the limiting half's df
+      graft.search.Suggest.wordBreak(s, IndexCache.documentsIndex(s, dir),
+        Seq("sparkjoin", "datatable", "rowscan"), 2L, 10)),
+    "rank_feature_topk" -> ((s, dir) =>
+      // FeatureField.newSaturationQuery: BM25 + w·f/(f+pivot) static
+      // signal boost (f = the n_chars docvalues column)
+      MoreQueries.rankFeatureTopK(s, IndexCache.documentsIndex(s, dir),
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("n_chars").cast("double").as("f")),
+        Seq("spark", "scan"), 1.8, 600.0, 10)),
+    "random_sort_topk" -> ((s, dir) =>
+      // Solr RandomSortField [8x solr/core .../schema/RandomSortField
+      // .java]: sort=random_<seed> — a deterministic pseudo-random
+      // order from hash(seed + uniqueKey); md5 is byte-stable across
+      // engines so the oracle replays the identical permutation
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          md5(concat(lit("random_1337:"), col("doc_id").cast("string")))
+            .as("rnd"))
+        .orderBy(col("rnd").asc, col("doc_id").asc)
+        .limit(20)),
+    "facet_prefix" -> ((s, dir) =>
+      // Solr facet.prefix + facet.mincount [8x solr/core .../request/
+      // SimpleFacets.java]: term facet restricted to terms starting
+      // with the prefix, count = docFreq, dictionary-side only (sum of
+      // per-segment dfs — docs live in exactly one segment)
+      IndexCache.documentsIndex(s, dir).terms
+        .where(col("term").startsWith("s"))
+        .groupBy("term").agg(sum("df").as("cnt"))
+        .where(col("cnt") >= 5)
+        .orderBy(col("cnt").desc, col("term").asc)
+        .limit(10)),
     "geo_bbox" -> ((s, dir) =>
       // {!bbox} / LatLonPoint.newBoxQuery: pure pushed range predicates
       graft.operators.Functions.geoBbox(s, dir, -30.0, 30.0, -90.0, 90.0)),
@@ -1261,6 +1300,7 @@ object SparkEntry {
     "source_cap" -> ((s, dir) => graft.operators.TrainingData.sourceCap(s, dir)),
     "pack_sequences" -> ((s, dir) => graft.operators.TrainingData.packSequences(s, dir)),
     "dup_ngram_prune" -> ((s, dir) => graft.operators.TrainingData.dupNgramPrune(s, dir)),
+    "dsir_importance" -> ((s, dir) => graft.operators.TrainingData.dsirImportance(s, dir)),
     "ann_cosine_topk" -> ((s, dir) => graft.operators.Vectors.annBruteTopK(s, dir)),
     "ann_batch_topk" -> ((s, dir) => graft.operators.Vectors.annBatchTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => graft.operators.Vectors.annLshTopK(s, dir)),
@@ -1526,6 +1566,20 @@ object SparkEntry {
     "block_join_facet" -> OracleGen.blockJoinFacetSql("spark", 10),
     "block_join_parent_facet" -> OracleGen.blockJoinParentFacetSql("dup", 10),
     "spellcheck_collate" -> OracleGen.spellcheckCollateSql("sark", "jion", 2, 3, 5),
+    "suggest_freetext" -> OracleGen.suggestFreeTextSql("spark", 8),
+    "spellcheck_wordbreak" ->
+      OracleGen.wordBreakSql(Seq("sparkjoin", "datatable", "rowscan"), 2L, 10),
+    "rank_feature_topk" ->
+      OracleGen.rankFeatureSql(Seq("spark", "scan"), 1.8, 600.0, 10),
+    "random_sort_topk" ->
+      """SELECT doc_id, md5('random_1337:' || CAST(doc_id AS VARCHAR)) AS rnd
+        |FROM documents ORDER BY rnd ASC, doc_id ASC LIMIT 20""".stripMargin,
+    "facet_prefix" ->
+      s"""WITH ${OracleGen.tokCte}
+        |SELECT term, count(DISTINCT doc_id) AS cnt FROM tokf
+        |WHERE term LIKE 's%' GROUP BY term
+        |HAVING count(DISTINCT doc_id) >= 5
+        |ORDER BY cnt DESC, term ASC LIMIT 10""".stripMargin,
     "qparse_edismax_pf" -> OracleGen.edismaxPfSql("spark", "merge", 0.3, 2.0, 1.5, 10),
     "qparse_edismax_pf2" ->
       OracleGen.edismaxPf2Sql("table", "merge", "group", 0.3, 2.0, 1.5, 10),
@@ -1923,6 +1977,7 @@ object SparkEntry {
     "source_cap" -> TrainingOracles.sourceCap(10),
     "pack_sequences" -> TrainingOracles.packSequences(512L),
     "dup_ngram_prune" -> TrainingOracles.dupNgramPrune,
+    "dsir_importance" -> TrainingOracles.dsirImportance,
     "common_terms_topk" -> OracleGen.commonTermsSql(Seq("dup", "spark", "merge"), 0.1, 10),
     "ltr_rerank" -> OracleGen.ltrRerankSql(Seq("spark", "join"), "vector", 50, 10, 0.6, 0.3, 0.5),
     "phonetic_soundex" -> OracleGen.phoneticSoundexSql,

@@ -431,6 +431,36 @@ object TrainingOracles {
       |  CAST(len(string_split(scrubbed, '<PHONE>')) - 1 AS BIGINT) AS n_phone
       |FROM scrub""".stripMargin
 
+  /** DSIR importance weights: the same md5-first-byte-mod-64 hashed
+    * unigram buckets as the Spark side ([[graft.operators.TrainingData
+    * .hashedTfVecs]]), Laplace-smoothed target (lang='en') vs raw
+    * bucket LMs, per-bucket log ratio quantized to integer micro-nats
+    * once, per-doc weight = integer dot product.
+    */
+  val dsirImportance: String =
+    """WITH tk0 AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tk AS (SELECT doc_id, term FROM tk0 WHERE length(term) > 0),
+      |buck AS (
+      |  SELECT doc_id,
+      |    ((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+      |     + strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) % 64 AS b
+      |  FROM tk),
+      |vec AS (SELECT doc_id, b, count(*) AS c FROM buck GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, (lang = 'en') AS tgt FROM documents),
+      |agg AS (
+      |  SELECT b, sum(c) AS rc,
+      |         sum(CASE WHEN dl.tgt THEN c ELSE 0 END) AS tc
+      |  FROM vec JOIN dl USING (doc_id) GROUP BY b),
+      |tot AS (SELECT sum(rc) AS rt, sum(tc) AS tt FROM agg),
+      |lr AS (
+      |  SELECT b,
+      |    CAST(round((ln((tc + 1.0) / (tt + 64.0))
+      |               - ln((rc + 1.0) / (rt + 64.0))) * 1000000) AS BIGINT) AS lrq
+      |  FROM agg CROSS JOIN tot)
+      |SELECT v.doc_id, CAST(sum(v.c * lr.lrq) AS BIGINT) AS weight_q
+      |FROM vec v JOIN lr USING (b) GROUP BY v.doc_id""".stripMargin
+
   val binaryMeta: String =
     """SELECT doc_id,
       |  CAST(strlen('<html><head><title>doc ' || CAST(doc_id AS VARCHAR)

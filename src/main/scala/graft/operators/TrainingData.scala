@@ -917,4 +917,56 @@ object TrainingData {
         concat(lit("http://"), col("host"), col("path"),
           lit("?id="), col("idv")).as("norm_url"))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — hashed n-gram
+    * importance weights for domain-targeted pretraining selection):
+    * per doc, log w(x) = Σ_b c_b(x) · (ln p_target(b) − ln p_raw(b))
+    * over hashed-unigram buckets with Laplace smoothing. The target
+    * distribution is fit on the corpus's own `lang = 'en'` slice (the
+    * "looks like the target domain" signal); raw = the whole corpus.
+    * Determinism the lm_surprisal way: the per-BUCKET log ratio is
+    * quantized to integer micro-nats ONCE ([[EmbDim]] values, gathered
+    * in one tiny aggregate and broadcast), then every per-doc weight is
+    * a pure integer dot product — summation-order-proof at any
+    * parallelism. Scale shape: one narrow hashed-count pass (the
+    * [[hashedTfVecs]] kernel) feeding (a) a 2×[[EmbDim]]-row aggregate
+    * and (b) the final narrow map — no corpus-wide shuffle at all.
+    */
+  def dsirImportance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = docs(s, dir).select("doc_id", "text", "lang")
+    val vecs = hashedTfVecs(s, corpus)
+      .join(corpus.select(col("doc_id"), (col("lang") === "en").as("tgt")),
+        Seq("doc_id"))
+    // bucket totals for raw and target in ONE pass over the vectors
+    val bt = vecs
+      .select(col("tgt"), posexplode(col("vec")).as(Seq("b", "c")))
+      .groupBy("b")
+      .agg(sum("c").as("rc"), sum(when(col("tgt"), col("c")).otherwise(0L)).as("tc"))
+      .collect()
+    val dim = EmbDim
+    val rc = new Array[Long](dim); val tc = new Array[Long](dim)
+    bt.foreach { r =>
+      rc(r.getAs[Int]("b")) = r.getAs[Long]("rc")
+      tc(r.getAs[Int]("b")) = r.getAs[Long]("tc")
+    }
+    val rt = rc.sum.toDouble; val tt = tc.sum.toDouble
+    // half-AWAY-from-zero to mirror DuckDB round(): log ratios go
+    // negative (raw-heavy buckets), where java math.round (half-up)
+    // would diverge on exact .5 boundaries
+    def rhalf(x: Double): Long =
+      (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+    val lrq: Array[Long] = Array.tabulate(dim) { b =>
+      rhalf((math.log((tc(b) + 1.0) / (tt + dim)) -
+        math.log((rc(b) + 1.0) / (rt + dim))) * 1e6)
+    }
+    val bc = s.sparkContext.broadcast(lrq)
+    vecs.select(col("doc_id"), col("vec")).as[(Long, Array[Long])]
+      .map { case (id, v) =>
+        var w = 0L; var b = 0
+        while (b < v.length) { w += v(b) * bc.value(b); b += 1 }
+        (id, w)
+      }.toDF("doc_id", "weight_q")
+  }
 }

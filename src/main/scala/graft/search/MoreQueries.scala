@@ -957,4 +957,27 @@ object MoreQueries {
         round(col("s") * 10000).cast("long").as("contrib_q"),
         round(col("score") * 10000).cast("long").as("score_q"))
   }
+
+  /** Rank-feature boost [8x lucene/core .../document/FeatureField.java,
+    * `newSaturationQuery`]: final score = BM25(query) + weight ·
+    * f/(f + pivot), where f is a per-doc static signal (the reference
+    * stores it as a feature-field term freq; here it is the docvalues
+    * column `n_chars`, per the SURVEY §1.1 docvalues-as-column
+    * mapping). The saturation term is the reference's SaturationFunction
+    * exactly. One scored pass + one equi-join against the feature
+    * column — the feature side is a two-column scan, pruned at the
+    * parquet reader, and the cut is TakeOrderedAndProject.
+    */
+  def rankFeatureTopK(spark: SparkSession, view: IndexView,
+                      feat: DataFrame, terms: Seq[String], weight: Double,
+                      pivot: Double, k: Int): DataFrame = {
+    ExactSearch.scored(spark, view, terms)
+      .join(feat, Seq("doc_id"))
+      .withColumn("score",
+        col("score") + lit(weight) * (col("f") / (col("f") + lit(pivot))))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"),
+        round(col("score") * 10000).cast("long").as("score_q"))
+  }
 }

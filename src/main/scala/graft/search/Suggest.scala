@@ -120,4 +120,61 @@ object Suggest {
         col("hits"))
       .orderBy(col("hits").desc, col("collated").asc).limit(k)
   }
+
+  /** Free-text (next-word) suggester [8x lucene/suggest .../analyzing/
+    * FreeTextSuggester.java]: given the previous word, rank candidate
+    * next words by corpus bigram frequency — the reference builds an
+    * n-gram LM FST from one analysis pass over the corpus at build
+    * time; this is that build pass cut to the queried context. The
+    * successor extraction is fully NARROW (one zip of adjacent token
+    * slots, codegen-fused) and filters to `prev`'s successors BEFORE
+    * the shuffle, so only matching bigrams — not the token stream —
+    * ever flow into the aggregate. At scale the unfiltered bigram
+    * table is materialized once per corpus like [[edgeNgramDict]].
+    */
+  def freeText(s: SparkSession, corpus: DataFrame, prev: String,
+               k: Int): DataFrame = {
+    require(prev.matches("[a-z0-9]+"), s"analyzed single word: '$prev'")
+    corpus
+      .select(split(col("text"), " ").as("w"))
+      .select(explode(expr(
+        s"""filter(
+           |  transform(sequence(1, size(w) - 1),
+           |    i -> IF(element_at(w, i) = '$prev', element_at(w, i + 1), NULL)),
+           |  x -> x IS NOT NULL AND length(x) > 0)""".stripMargin))
+        .as("next_term"))
+      .groupBy("next_term").agg(count(lit(1)).as("weight"))
+      .orderBy(col("weight").desc, col("next_term").asc)
+      .limit(k)
+  }
+
+  /** Word-break spellcheck [8x lucene/suggest .../spell/
+    * WordBreakSpellChecker.java#suggestWordBreaks; Solr
+    * WordBreakSolrSpellChecker]: for compound inputs that are NOT
+    * dictionary terms, enumerate every split point whose two halves
+    * both are (with df ≥ `minDf`), ranked by the limiting half's
+    * document frequency (freq = min(df_left, df_right)) desc,
+    * suggestion asc. The split enumeration is a tiny literal frame
+    * (#inputs × word length) broadcast against the dictionary — two
+    * dictionary joins, the corpus is never read.
+    */
+  def wordBreak(s: SparkSession, view: IndexView, inputs: Seq[String],
+                minDf: Long, k: Int): DataFrame = {
+    import s.implicits._
+    val splits = inputs.flatMap { in =>
+      (1 until in.length).map(i => (in, in.take(i), in.drop(i)))
+    }.toDF("input", "left", "right")
+    val df = view.terms.groupBy("term").agg(sum("df").as("df"))
+    val inDict = df.select(col("term").as("input"))
+    broadcast(splits)
+      .join(inDict, Seq("input"), "left_anti") // only break NON-terms
+      .join(df.select(col("term").as("left"), col("df").as("df_l")), Seq("left"))
+      .join(df.select(col("term").as("right"), col("df").as("df_r")), Seq("right"))
+      .where(col("df_l") >= minDf && col("df_r") >= minDf)
+      .select(col("input"),
+        concat_ws(" ", col("left"), col("right")).as("suggestion"),
+        least(col("df_l"), col("df_r")).as("freq"))
+      .orderBy(col("freq").desc, col("suggestion").asc)
+      .limit(k)
+  }
 }

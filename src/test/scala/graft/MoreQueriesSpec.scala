@@ -257,6 +257,59 @@ class MoreQueriesSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("free-text suggester: successor ranking equals brute-force bigrams") {
+    import spark.implicits._
+    val prev = "w0000"
+    val expect = docs.toSeq.flatMap { case (_, text) =>
+      val w = text.split(' ').filter(_.nonEmpty)
+      w.sliding(2).collect { case Array(a, b) if a == prev => b }.toSeq
+    }.groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+      .toSeq.sortBy { case (t, c) => (-c, t) }.take(6)
+    val corpus = docs.toSeq.toDF("doc_id", "text")
+    val got = graft.search.Suggest.freeText(spark, corpus, prev, 6)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(expect.nonEmpty && got == expect)
+  }
+
+  test("word-break: splits only non-dictionary compounds into dictionary halves") {
+    val dfMap: Map[String, Long] = docs.toSeq
+      .flatMap { case (id, t) => Analyzer.tokenize(t).map(tok => (tok.term, id)) }
+      .distinct.groupBy(_._1).map { case (t, xs) => (t, xs.size.toLong) }
+    val Seq(t1, t2) = Seq("w0000", "w0001")
+    assert(dfMap(t1) >= 2 && dfMap(t2) >= 2)
+    val compound = t1 + t2
+    assert(!dfMap.contains(compound))
+    val expect = (1 until compound.length).flatMap { i =>
+      val (l, r) = compound.splitAt(i)
+      for (dl <- dfMap.get(l); dr <- dfMap.get(r); if dl >= 2 && dr >= 2)
+        yield (compound, s"$l $r", math.min(dl, dr))
+    }.sortBy { case (_, sug, f) => (-f, sug) }
+    // the dictionary term t1 itself must NOT be broken
+    val got = graft.search.Suggest.wordBreak(spark, view,
+        Seq(compound, t1), 2L, 20)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(expect.nonEmpty && got == expect)
+  }
+
+  test("rank-feature saturation: BM25 + w*(f/(f+pivot)), differential") {
+    import spark.implicits._
+    import graft.search.ExactSearch
+    val terms = Seq("w0000", "w0002")
+    val weight = 2.5; val pivot = 300.0
+    val f: Map[Long, Double] =
+      docs.map { case (id, _) => (id, ((id % 7) * 100).toDouble) }.toMap
+    val expect = ExactSearch.scored(spark, view, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .map { case (id, s) => (id, s + weight * (f(id) / (f(id) + pivot))) }
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+      .map { case (id, s) => (id, math.round(s * 10000)) }.toSeq
+    val featDf = docs.map { case (id, _) => (id, f(id)) }.toSeq.toDF("doc_id", "f")
+    val got = MoreQueries.rankFeatureTopK(spark, view, featDf, terms,
+        weight, pivot, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
   test("highlight picks the BEST passage, not the first substring match") {
     import spark.implicits._
     val tiny = Seq(

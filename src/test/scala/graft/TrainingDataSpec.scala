@@ -397,4 +397,45 @@ class TrainingDataSpec extends AnyFunSuite {
     }.filter(_._2._1 > 0).toMap
     assert(got == want)
   }
+
+  test("dsir importance weights equal brute-force hashed-bucket computation") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "aaa bbb ccc aaa target target", "en"),
+      (1L, "bbb ccc ddd eee", "de"),
+      (2L, "aaa aaa fff target", "en"),
+      (3L, "ggg hhh ddd ddd noise noise", "fr"),
+      (4L, "ccc target", "en"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TrainingData.dsirImportance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // brute force: same md5-first-byte buckets, Laplace, micro-nat dot
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(t: String): Int = (md.digest(t.getBytes("UTF-8"))(0) & 0xff) % 64
+    val toks = rows.map { case (id, text, lang) =>
+      (id, text.split(' ').filter(_.nonEmpty).toSeq, lang) }
+    val rc = Array.fill(64)(0L); val tc = Array.fill(64)(0L)
+    toks.foreach { case (_, ts, lang) =>
+      ts.foreach { t => val b = bucket(t); rc(b) += 1
+        if (lang == "en") tc(b) += 1 } }
+    val rt = rc.sum.toDouble; val tt = tc.sum.toDouble
+    def rhalf(x: Double): Long =
+      (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+    val lrq = Array.tabulate(64)(b => rhalf(
+      (math.log((tc(b) + 1.0) / (tt + 64)) -
+       math.log((rc(b) + 1.0) / (rt + 64))) * 1e6))
+    val want = toks.map { case (id, ts, _) =>
+      (id, ts.map(t => lrq(bucket(t)).toLong).sum) }.toMap
+    assert(got == want)
+    // target-only vocabulary pulls en docs up: the en docs (which carry
+    // 'target') outweigh the non-en docs on average
+    val en = Set(0L, 2L, 4L)
+    val enAvg = en.toSeq.map(got).sum.toDouble / en.size
+    val otherAvg = got.filterNot(kv => en(kv._1)).values.sum.toDouble / 2
+    assert(enAvg > otherAvg)
+  }
 }
