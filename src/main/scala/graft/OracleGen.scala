@@ -1097,4 +1097,97 @@ object OracleGen {
        |ORDER BY sc.score + $weight * (d.n_chars / (d.n_chars + $pivot)) DESC,
        |  sc.doc_id ASC
        |LIMIT $k""".stripMargin
+
+  /** SpanNotQuery: ordered-near include spans (greedy-minimal chain —
+    * end = first w2 position after the anchor — within the gap budget)
+    * with NO exclude-term position inside [anchor, end].
+    */
+  def spanNotSql(w1: String, w2: String, slop: Int, excl: String): String =
+    s"""WITH lists AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), tokpos AS (
+       |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+       |  FROM lists
+       |), a AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w1'),
+       |   b AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w2'),
+       |   e AS (SELECT doc_id, pos FROM tokpos WHERE term = '$excl'),
+       |   anchors AS (
+       |  SELECT a.doc_id, a.pos, min(b.pos) AS nb
+       |  FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos > a.pos
+       |  GROUP BY a.doc_id, a.pos
+       |), ok AS (
+       |  SELECT an.doc_id FROM anchors an
+       |  WHERE an.nb - an.pos - 1 <= $slop
+       |    AND NOT EXISTS (SELECT 1 FROM e
+       |      WHERE e.doc_id = an.doc_id AND e.pos BETWEEN an.pos AND an.nb)
+       |)
+       |SELECT doc_id, count(*) AS span_tf FROM ok GROUP BY doc_id""".stripMargin
+
+  /** ComplexPhraseQParser "w0 p*": scored MultiPhraseQuery whose second
+    * slot is the dictionary expansion of the prefix — same weight rule
+    * as [[multiPhraseScoredSql]] (sum of every alternative's idf), with
+    * the alternatives coming from a LIKE predicate instead of literals
+    * (= the engine's expandTerms over the same stop-filtered dictionary).
+    */
+  def phrasePrefixScoredSql(w0: String, prefix: String, k: Int): String = {
+    val scoreExpr =
+      "widf.w * ph.ptf / (ph.ptf + 1.2 * (1 - 0.75 + 0.75 * norm.ldl / (st.sttf / CAST(st.n AS DOUBLE))))"
+    s"""WITH $tokCte, $dlCtes, pdf AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+       |  WHERE term = '$w0' OR term LIKE '$prefix%' GROUP BY term
+       |), widf AS (
+       |  SELECT sum(ln(1 + (st.n - pdf.df + 0.5) / (pdf.df + 0.5))) AS w
+       |  FROM pdf CROSS JOIN st
+       |), lists AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), tokpos AS (
+       |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+       |  FROM lists
+       |), a AS (SELECT DISTINCT doc_id, pos FROM tokpos WHERE term = '$w0'),
+       |   b AS (SELECT DISTINCT t.doc_id, t.pos FROM tokpos t
+       |         WHERE t.term IN (SELECT term FROM pdf WHERE term LIKE '$prefix%')),
+       |   ph AS (
+       |  SELECT a.doc_id, count(*) AS ptf
+       |  FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |  GROUP BY a.doc_id
+       |)
+       |SELECT ph.doc_id,
+       |  CAST(round($scoreExpr * 10000) AS BIGINT) AS score_q
+       |FROM ph JOIN norm ON ph.doc_id = norm.doc_id CROSS JOIN widf CROSS JOIN st
+       |ORDER BY $scoreExpr DESC, ph.doc_id ASC
+       |LIMIT $k""".stripMargin
+  }
+
+  /** FuzzySuggester: dictionary completions whose leading substring (at
+    * length |p|−1, |p|, or |p|+1 — an edit shifts the matched prefix by
+    * at most one) is within maxEdits Levenshtein of the typed prefix,
+    * first character exact (nonFuzzyPrefix = 1), weight = df.
+    */
+  def fuzzySuggestSql(prefix: String, maxEdits: Int, k: Int): String = {
+    val p = prefix.length
+    val first = prefix.substring(0, 1)
+    s"""WITH $tokCte, df AS (
+       |  SELECT term, count(DISTINCT doc_id) AS weight FROM tokf GROUP BY term
+       |)
+       |SELECT term, weight FROM df
+       |WHERE substr(term, 1, 1) = '$first'
+       |  AND length(term) >= ${p - maxEdits}
+       |  AND least(levenshtein(substr(term, 1, ${p - 1}), '$prefix'),
+       |            levenshtein(substr(term, 1, $p), '$prefix'),
+       |            levenshtein(substr(term, 1, ${p + 1}), '$prefix')) <= $maxEdits
+       |ORDER BY weight DESC, term ASC LIMIT $k""".stripMargin
+  }
+
+  /** docfreq()/totaltermfreq()/idf() function queries over a literal
+    * term list — dictionary stats only, idf in the 8.x shape quantized.
+    */
+  def funcIdfSql(terms: Seq[String]): String =
+    s"""WITH $tokCte, $dlCtes, d AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+       |  FROM tokf WHERE term IN (${termList(terms)}) GROUP BY term
+       |)
+       |SELECT term, df, ttf,
+       |  CAST(round(ln(1 + (st.n - df + 0.5) / (df + 0.5)) * 10000) AS BIGINT)
+       |    AS idf_q
+       |FROM d CROSS JOIN st""".stripMargin
 }

@@ -502,6 +502,62 @@ object SparkEntry {
             .as("rnd"))
         .orderBy(col("rnd").asc, col("doc_id").asc)
         .limit(20)),
+    "span_not" -> ((s, dir) =>
+      // SpanNotQuery: ordered hash..join spans (slop 2) not overlapping
+      // any 'scan' position
+      MoreQueries.spanNot(s, IndexCache.documentsIndex(s, dir),
+        "hash", "join", 2, "scan")),
+    "phrase_prefix" -> ((s, dir) => {
+      // ComplexPhraseQParser "hash s*": the prefix slot expands against
+      // the term dictionary (same sargable expansion as PrefixQuery),
+      // then the existing MultiPhraseQuery machinery scores it
+      val v = IndexCache.documentsIndex(s, dir)
+      val expanded = MoreQueries.expandTerms(v, col("term").startsWith("s"))
+      quantize(MoreQueries.multiPhraseScoredTopK(s, v,
+        Seq(Seq("hash"), expanded), 10, DoubleOracle))
+    }),
+    "geodist_sort" -> ((s, dir) =>
+      // sort=geodist() asc [8x solr .../schema/LatLonPointSpatialField
+      // .java distance sort]: nearest-first function sort, quantized to
+      // 10 m units with the key tie-break — TakeOrderedAndProject, the
+      // distance is computed per row (narrow), never materialized
+      graft.operators.Functions.geoDist(s, dir)
+        .orderBy(col("dist_10m").asc, col("c_custkey").asc).limit(20)),
+    "func_termfreq" -> ((s, dir) =>
+      // termfreq(body,'hash') function query: per-doc raw tf read from
+      // the postings (PushedFilter on the term), not from stored text
+      MoreQueries.termFreqFunc(s, IndexCache.documentsIndex(s, dir), "hash")),
+    "func_norm" -> ((s, dir) =>
+      // norm(field) function query [8x NormValueSource]: the decoded
+      // (lossy) SmallFloat length — docmeta is the docvalues view of it
+      IndexCache.documentsIndex(s, dir).docmeta.toDF()
+        .select(col("doc_id"), col("lossy_dl").cast("long").as("lossy_dl"))),
+    "func_idf" -> ((s, dir) => {
+      // docfreq()/totaltermfreq()/idf() function queries: dictionary
+      // stats only — the per-term constants every scorer broadcasts
+      val v = IndexCache.documentsIndex(s, dir)
+      val n = graft.stats.GlobalStats.collectionStats(v).docCount
+      v.terms.where(col("term").isin("spark", "join", "merge"))
+        .groupBy("term").agg(sum("df").as("df"), sum("ctf").as("ttf"))
+        .select(col("term"), col("df"), col("ttf"),
+          round(log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5)
+            / (col("df") + 0.5)) * 10000).cast("long").as("idf_q"))
+    }),
+    "facet_contains" -> ((s, dir) =>
+      // Solr facet.contains [8x SimpleFacets]: term facet restricted to
+      // terms containing a substring — dictionary-side only, like
+      // facet_prefix but with the contains predicate
+      IndexCache.documentsIndex(s, dir).terms
+        .where(col("term").contains("ar"))
+        .groupBy("term").agg(sum("df").as("cnt"))
+        .where(col("cnt") >= 5)
+        .orderBy(col("cnt").desc, col("term").asc)
+        .limit(10)),
+    "fuzzy_suggest" -> ((s, dir) =>
+      // FuzzySuggester: completions within 1 edit of the typed prefix
+      // 'sta' (first char exact), df-weighted
+      graft.search.Suggest.fuzzySuggest(s, IndexCache.documentsIndex(s, dir),
+        "sta", 1, 5)),
     "facet_prefix" -> ((s, dir) =>
       // Solr facet.prefix + facet.mincount [8x solr/core .../request/
       // SimpleFacets.java]: term facet restricted to terms starting
@@ -1301,6 +1357,9 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) => graft.operators.TrainingData.packSequences(s, dir)),
     "dup_ngram_prune" -> ((s, dir) => graft.operators.TrainingData.dupNgramPrune(s, dir)),
     "dsir_importance" -> ((s, dir) => graft.operators.TrainingData.dsirImportance(s, dir)),
+    "semdedup" -> ((s, dir) => graft.operators.TrainingData.semDedup(s, dir)),
+    "gopher_rules" -> ((s, dir) => graft.operators.TrainingData.gopherRules(s, dir)),
+    "ccnet_bucket" -> ((s, dir) => graft.operators.TrainingData.ccnetBucket(s, dir)),
     "ann_cosine_topk" -> ((s, dir) => graft.operators.Vectors.annBruteTopK(s, dir)),
     "ann_batch_topk" -> ((s, dir) => graft.operators.Vectors.annBatchTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => graft.operators.Vectors.annLshTopK(s, dir)),
@@ -1580,6 +1639,26 @@ object SparkEntry {
         |WHERE term LIKE 's%' GROUP BY term
         |HAVING count(DISTINCT doc_id) >= 5
         |ORDER BY cnt DESC, term ASC LIMIT 10""".stripMargin,
+    "span_not" -> OracleGen.spanNotSql("hash", "join", 2, "scan"),
+    "phrase_prefix" -> OracleGen.phrasePrefixScoredSql("hash", "s", 10),
+    "geodist_sort" ->
+      (graft.operators.FunctionOracles.geoDist +
+        "\nORDER BY dist_10m ASC, c_custkey ASC LIMIT 20"),
+    "func_termfreq" ->
+      s"""WITH ${OracleGen.tokCte}
+        |SELECT doc_id, count(*) AS tf FROM tokf
+        |WHERE term = 'hash' GROUP BY doc_id""".stripMargin,
+    "func_norm" ->
+      s"""WITH ${OracleGen.tokCte}, ${OracleGen.dlCtes}
+        |SELECT doc_id, CAST(ldl AS BIGINT) AS lossy_dl FROM norm""".stripMargin,
+    "func_idf" -> OracleGen.funcIdfSql(Seq("spark", "join", "merge")),
+    "facet_contains" ->
+      s"""WITH ${OracleGen.tokCte}
+        |SELECT term, count(DISTINCT doc_id) AS cnt FROM tokf
+        |WHERE term LIKE '%ar%' GROUP BY term
+        |HAVING count(DISTINCT doc_id) >= 5
+        |ORDER BY cnt DESC, term ASC LIMIT 10""".stripMargin,
+    "fuzzy_suggest" -> OracleGen.fuzzySuggestSql("sta", 1, 5),
     "qparse_edismax_pf" -> OracleGen.edismaxPfSql("spark", "merge", 0.3, 2.0, 1.5, 10),
     "qparse_edismax_pf2" ->
       OracleGen.edismaxPf2Sql("table", "merge", "group", 0.3, 2.0, 1.5, 10),
@@ -1978,6 +2057,9 @@ object SparkEntry {
     "pack_sequences" -> TrainingOracles.packSequences(512L),
     "dup_ngram_prune" -> TrainingOracles.dupNgramPrune,
     "dsir_importance" -> TrainingOracles.dsirImportance,
+    "semdedup" -> TrainingOracles.semDedup(8, 950000L),
+    "gopher_rules" -> TrainingOracles.gopherRules(10L, 100000L),
+    "ccnet_bucket" -> TrainingOracles.ccnetBucket,
     "common_terms_topk" -> OracleGen.commonTermsSql(Seq("dup", "spark", "merge"), 0.1, 10),
     "ltr_rerank" -> OracleGen.ltrRerankSql(Seq("spark", "join"), "vector", 50, 10, 0.6, 0.3, 0.5),
     "phonetic_soundex" -> OracleGen.phoneticSoundexSql,

@@ -470,4 +470,105 @@ object TrainingOracles {
       |    || '</title></head><body><p>' || text || '</p></body></html>')
       |    AS content_md5
       |FROM documents""".stripMargin
+
+  /** SemDeDup: fixed-seed cluster assignment (argmax quantized cosine
+    * to the kSeeds lowest vec_ids, tie → lowest seed), then the
+    * within-cluster lower-id cosine ≥ tauQ dup rule — pairwise dots
+    * computed ONLY for same-cluster pairs, like the engine.
+    */
+  def semDedup(kSeeds: Int, tauQ: Long): String =
+    s"""WITH ev AS (
+       |  SELECT vec_id, unnest(embedding) AS x,
+       |         generate_subscripts(embedding, 1) AS i FROM embeddings),
+       |nn AS (
+       |  SELECT vec_id, sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS n2
+       |  FROM ev GROUP BY vec_id),
+       |sdot AS (
+       |  SELECT e.vec_id, s.vec_id AS seed,
+       |    sum(CAST(e.x AS DOUBLE) * CAST(s.x AS DOUBLE)) AS dot
+       |  FROM ev e JOIN ev s ON s.i = e.i AND s.vec_id < $kSeeds
+       |  GROUP BY e.vec_id, s.vec_id),
+       |ssim AS (
+       |  SELECT d.vec_id, d.seed,
+       |    CAST(round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)) * 1e6) AS BIGINT)
+       |      AS s_sim
+       |  FROM sdot d JOIN nn na ON na.vec_id = d.vec_id
+       |  JOIN nn nb ON nb.vec_id = d.seed),
+       |assign AS (
+       |  SELECT vec_id, seed AS cluster FROM (
+       |    SELECT vec_id, seed, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY s_sim DESC, seed ASC) AS rn
+       |    FROM ssim) WHERE rn = 1),
+       |cp AS (
+       |  SELECT hi.vec_id AS va, lo.vec_id AS vb
+       |  FROM assign hi JOIN assign lo
+       |    ON lo.cluster = hi.cluster AND lo.vec_id < hi.vec_id),
+       |pd AS (
+       |  SELECT cp.va, cp.vb,
+       |    sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+       |  FROM cp JOIN ev a ON a.vec_id = cp.va
+       |  JOIN ev b ON b.vec_id = cp.vb AND b.i = a.i
+       |  GROUP BY cp.va, cp.vb),
+       |dups AS (
+       |  SELECT DISTINCT pd.va AS vec_id FROM pd
+       |  JOIN nn na ON na.vec_id = pd.va JOIN nn nb ON nb.vec_id = pd.vb
+       |  WHERE CAST(round(pd.dot / (sqrt(na.n2) * sqrt(nb.n2)) * 1e6) AS BIGINT)
+       |        >= $tauQ)
+       |SELECT a.vec_id, a.cluster,
+       |  CAST(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_dup
+       |FROM assign a LEFT JOIN dups d ON d.vec_id = a.vec_id""".stripMargin
+
+  /** Gopher rules: word count / mean word length / ≥2 distinct
+    * stopwords, per-rule flags + final keep.
+    */
+  def gopherRules(minWords: Long, maxWords: Long): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |a AS (
+       |  SELECT doc_id, count(*) AS n_words,
+       |    100 * CAST(sum(length(term)) AS BIGINT) // count(*) AS mean_c,
+       |    count(DISTINCT term) FILTER (WHERE term IN ($stopList))
+       |      AS n_stop_distinct
+       |  FROM t GROUP BY doc_id)
+       |SELECT doc_id, n_words, mean_c AS mean_wordlen_c,
+       |  CAST(n_stop_distinct AS BIGINT) AS n_stop_distinct,
+       |  CAST(n_words BETWEEN $minWords AND $maxWords AS BIGINT) AS ok_words,
+       |  CAST(mean_c BETWEEN 300 AND 1000 AS BIGINT) AS ok_wordlen,
+       |  CAST(n_stop_distinct >= 2 AS BIGINT) AS ok_stop,
+       |  CAST((n_words BETWEEN $minWords AND $maxWords)
+       |    AND (mean_c BETWEEN 300 AND 1000)
+       |    AND n_stop_distinct >= 2 AS BIGINT) AS keep
+       |FROM a""".stripMargin
+
+  /** CCNet head/middle/tail perplexity buckets per language: per-token
+    * quantized surprisal (integer floor division), exact interpolated
+    * 1/3 and 2/3 per-lang thresholds (quantile_cont = Spark percentile).
+    */
+  val ccnetBucket: String =
+    """WITH tk0 AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tk AS (SELECT doc_id, term FROM tk0 WHERE length(term) > 0),
+      |tf AS (
+      |  SELECT term, CAST(round(ln(count(*)) * 10000) AS BIGINT) AS q_ln
+      |  FROM tk GROUP BY term),
+      |tot AS (
+      |  SELECT CAST(round(ln(count(*)) * 10000) AS BIGINT) AS q_ln_n FROM tk),
+      |sur AS (
+      |  SELECT doc_id,
+      |    CAST((count(*) * q_ln_n - sum(q_ln)) // count(*) AS BIGINT) AS ppl_q
+      |  FROM tk JOIN tf USING (term) CROSS JOIN tot
+      |  GROUP BY doc_id, q_ln_n),
+      |pt AS (
+      |  SELECT s.doc_id, d.lang, s.ppl_q
+      |  FROM sur s JOIN documents d ON d.doc_id = s.doc_id),
+      |thr AS (
+      |  SELECT lang, quantile_cont(ppl_q, CAST(1 AS DOUBLE)/3) AS t1,
+      |         quantile_cont(ppl_q, CAST(2 AS DOUBLE)/3) AS t2
+      |  FROM pt GROUP BY lang)
+      |SELECT pt.doc_id, pt.lang, pt.ppl_q,
+      |  CASE WHEN pt.ppl_q <= thr.t1 THEN 'head'
+      |       WHEN pt.ppl_q <= thr.t2 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM pt JOIN thr ON pt.lang = thr.lang""".stripMargin
 }

@@ -969,4 +969,109 @@ object TrainingData {
         (id, w)
       }.toDF("doc_id", "weight_q")
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space, then mark near-duplicates WITHIN each cluster only — the
+    * clustering bounds the pairwise work that plain cosine dedup can't.
+    * Deterministic analog of the paper's k-means: the `kSeeds` lowest
+    * vec_ids are fixed centroids (k-means converges to data-dependent
+    * centroids; pinning the seeds keeps the oracle replayable while the
+    * SHAPE is identical — assignment is one broadcast-argmax narrow
+    * pass, and the dup test never crosses a cluster boundary). is_dup:
+    * a lower-id member of the same cluster has quantized cosine
+    * ≥ `tauQ` (×1e6). Scale: assignment is O(n·k) narrow; the
+    * within-cluster pair join is the hash-shuffle on cluster id, with
+    * per-cluster cost bounded by the cluster size — exactly why the
+    * paper clusters first.
+    */
+  def semDedup(s: SparkSession, dir: String, kSeeds: Int = 8,
+               tauQ: Long = 950000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    def simQ(a: Column, b: Column): Column =
+      round(dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b))) * 1e6)
+        .cast("long")
+    val seeds = e.where(col("vec_id") < kSeeds)
+      .select(col("vec_id").as("seed"), col("embedding").as("sv"))
+    val wA = Window.partitionBy("vec_id")
+      .orderBy(col("s_sim").desc, col("seed").asc)
+    val assigned = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("seed"),
+        simQ(col("embedding"), col("sv")).as("s_sim"))
+      .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("seed").as("cluster"))
+    val lo = assigned.select(col("cluster").as("lo_cluster"),
+      col("vec_id").as("lo_id"), col("embedding").as("lo_v"))
+    val dups = assigned.join(lo,
+        col("cluster") === col("lo_cluster") && col("lo_id") < col("vec_id"))
+      .where(simQ(col("embedding"), col("lo_v")) >= tauQ)
+      .select(col("vec_id")).distinct()
+      .withColumn("is_dup", lit(1L))
+    assigned.join(dups, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+  }
+
+  /** Gopher quality rules (Rae et al. 2022, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", table A1):
+    * the canonical rule-based pretraining filter — word count within
+    * [minWords, maxWords], mean word length within [3, 10], and ≥ 2
+    * distinct stopwords present (the "has real English function words"
+    * rule; the symbol-ratio/ellipsis rules are vacuous on this
+    * [a-z0-9 ] corpus and documented out). Per-rule flags are emitted
+    * alongside the final keep bit so downstream can audit WHICH rule
+    * dropped a doc. Fully narrow — one codegen'd pass, no shuffle at
+    * any corpus size; ratios in integer fixed-point (×100 floor).
+    */
+  def gopherRules(s: SparkSession, dir: String, minWords: Long = 10L,
+                  maxWords: Long = 100000L): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    val meanC = floor(lit(100L) * sumLen / nTok) // mean word length ×100
+    val nStopDistinct =
+      size(array_intersect(array_distinct(toks), stopArray)).cast("long")
+    val okWords = nTok >= minWords && nTok <= maxWords
+    val okLen = meanC >= 300L && meanC <= 1000L
+    val okStop = nStopDistinct >= 2L
+    docs(s, dir).select(
+      col("doc_id"),
+      nTok.as("n_words"),
+      meanC.as("mean_wordlen_c"),
+      nStopDistinct.as("n_stop_distinct"),
+      okWords.cast("long").as("ok_words"),
+      okLen.cast("long").as("ok_wordlen"),
+      okStop.cast("long").as("ok_stop"),
+      (okWords && okLen && okStop).cast("long").as("keep"))
+  }
+
+  /** CCNet perplexity buckets (Wenzek et al. 2020, "CCNet: Extracting
+    * high quality monolingual datasets from web crawl data"): docs are
+    * bucketed head/middle/tail by LM perplexity WITHIN each language —
+    * the head third is the curation keep-set. Perplexity proxy = the
+    * [[lmSurprisal]] per-token surprisal in integer floor-division
+    * micro-units (order-proof); thresholds = the exact interpolated
+    * 1/3 and 2/3 percentiles per language, a TINY per-stratum agg
+    * broadcast back (the [[qualityQuantile]] pattern — the corpus is
+    * never re-shuffled, the bucket map is narrow).
+    */
+  def ccnetBucket(s: SparkSession, dir: String): DataFrame = {
+    val langs = docs(s, dir).select("doc_id", "lang")
+    val perTok = lmSurprisal(s, dir)
+      .select(col("doc_id"),
+        expr("surprisal_scaled div n_tok").cast("long").as("ppl_q"))
+      .join(langs, Seq("doc_id"))
+    val thr = perTok.groupBy("lang")
+      .agg(expr("percentile(ppl_q, CAST(1 AS DOUBLE)/3)").as("t1"),
+        expr("percentile(ppl_q, CAST(2 AS DOUBLE)/3)").as("t2"))
+    perTok.join(broadcast(thr), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("ppl_q"),
+        when(col("ppl_q") <= col("t1"), lit("head"))
+          .when(col("ppl_q") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
 }

@@ -980,4 +980,59 @@ object MoreQueries {
       .select(col("doc_id"),
         round(col("score") * 10000).cast("long").as("score_q"))
   }
+
+  /** SpanNotQuery [8x search/spans/SpanNotQuery.java]: matches of the
+    * include span — the greedy-minimal ordered 2-term near within
+    * `slop` (same chain rule as [[spanNearOrdered]]) — that do NOT
+    * overlap any position of the exclude term (the reference rejects
+    * include candidates overlapping an exclude span; a single-term
+    * exclude span is one position). The exclude term is NOT a required
+    * postings group: docs without it sail through phase 1 and its
+    * positions shuffle only for docs where the include terms co-occur.
+    */
+  def spanNot(spark: SparkSession, view: IndexView, incA: String,
+              incB: String, slop: Int, excl: String): DataFrame = {
+    import spark.implicits._
+    val uniq = Seq(incA, incB, excl).distinct
+    require(uniq.size == 3, "spanNot needs three distinct terms")
+    val perDoc =
+      positionalPostings(spark, view, uniq, Seq(Seq(incA), Seq(incB)))
+        .groupByKey(_._1)
+        .mapGroups { (docId, it) =>
+          val posByTerm = it.map(t => t._2 -> t._3).toMap
+          val tf = (posByTerm.get(incA), posByTerm.get(incB)) match {
+            case (Some(as), Some(bs)) =>
+              val es = posByTerm.getOrElse(excl, Array.empty[Int])
+              as.count { p0 =>
+                val i = java.util.Arrays.binarySearch(bs, p0 + 1)
+                val at = if (i >= 0) i else -i - 1
+                at < bs.length && {
+                  val p1 = bs(at)
+                  (p1 - p0 - 1) <= slop && {
+                    // any exclude position inside [p0, p1] kills the span
+                    val j = java.util.Arrays.binarySearch(es, p0)
+                    val ej = if (j >= 0) j else -j - 1
+                    !(ej < es.length && es(ej) <= p1)
+                  }
+                }
+              }
+            case _ => 0
+          }
+          (docId, tf)
+        }
+    perDoc.filter(_._2 > 0).toDF("doc_id", "span_tf")
+  }
+
+  /** termfreq(field, term) function query [8x solr
+    * search/ValueSourceParser.java "termfreq" →
+    * lucene/queries .../function/valuesource/TermFreqValueSource.java]:
+    * the per-doc raw tf, read straight off the decoded postings of the
+    * ONE term (PushedFilter on the term dictionary — the stored text is
+    * never re-analyzed; this is the docvalues-of-the-index view every
+    * function query should take).
+    */
+  def termFreqFunc(spark: SparkSession, view: IndexView,
+                   term: String): DataFrame =
+    ExactSearch.decodedPostings(spark, view, Seq(term))
+      .select(col("doc_id"), col("tf").cast("long").as("tf"))
 }

@@ -158,6 +158,32 @@ object Suggest {
     * (#inputs × word length) broadcast against the dictionary — two
     * dictionary joins, the corpus is never read.
     */
+  /** Fuzzy completion suggester [8x lucene/suggest .../analyzing/
+    * FuzzySuggester.java]: completions whose indexed prefix is within
+    * `maxEdits` Levenshtein of the typed prefix, ranked by weight
+    * (here corpus df, like [[edgeNgramDict]]'s weighting). The
+    * reference intersects a Levenshtein automaton with the suggest
+    * FST; this analog compares the typed prefix against the term's
+    * leading substring at lengths |p|−1, |p|, |p|+1 (an edit changes
+    * the matched-prefix length by at most one), taking the minimum —
+    * a dictionary-only scan, never the corpus. nonFuzzyPrefix = 1:
+    * the first character must match exactly (the reference's default,
+    * and the index-side prefix prune at scale).
+    */
+  def fuzzySuggest(s: SparkSession, view: IndexView, prefix: String,
+                   maxEdits: Int, k: Int): DataFrame = {
+    require(prefix.length >= 2, "fuzzy suggest needs >= 2 chars")
+    val p = prefix.length
+    val lev = Seq(p - 1, p, p + 1)
+      .map(l => levenshtein(expr(s"substring(term, 1, $l)"), lit(prefix)))
+      .reduce(least(_, _))
+    view.terms.groupBy("term").agg(sum("df").as("weight"))
+      .where(expr(s"substring(term, 1, 1)") === prefix.substring(0, 1) &&
+        length(col("term")) >= p - maxEdits && lev <= maxEdits)
+      .orderBy(col("weight").desc, col("term").asc)
+      .limit(k)
+  }
+
   def wordBreak(s: SparkSession, view: IndexView, inputs: Seq[String],
                 minDf: Long, k: Int): DataFrame = {
     import s.implicits._

@@ -559,4 +559,62 @@ class MoreQueriesSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(byDoc.keySet == expectTop)
   }
+
+  test("span-not: include spans overlapping an exclude position are rejected") {
+    val (a, b, e) = ("w0000", "w0001", "w0002")
+    val slop = 4
+    val expect = docs.flatMap { case (id, text) =>
+      val toks = Analyzer.tokenize(text)
+      def pos(t: String) = toks.filter(_.term == t).map(_.pos).sorted
+      val (as, bs, es) = (pos(a), pos(b), pos(e))
+      val tf = as.count { p0 =>
+        bs.find(_ > p0).exists { p1 =>
+          (p1 - p0 - 1) <= slop && !es.exists(p => p >= p0 && p <= p1)
+        }
+      }
+      if (tf > 0) Some(id -> tf) else None
+    }.toMap
+    val got = MoreQueries.spanNot(spark, view, a, b, slop, e)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(expect.nonEmpty && got == expect)
+    // the exclusion must actually bite somewhere: the plain ordered
+    // near (no exclusion) must be a strict superset on some doc
+    val plain = MoreQueries.spanNearOrdered(spark, view, Seq(a, b), slop)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(plain.exists { case (id, tf) => expect.getOrElse(id, 0) < tf })
+  }
+
+  test("termfreq function: per-doc tf equals brute-force token count") {
+    val term = "w0003"
+    val expect = docs.flatMap { case (id, text) =>
+      val tf = Analyzer.tokenize(text).count(_.term == term)
+      if (tf > 0) Some(id -> tf.toLong) else None
+    }.toMap
+    val got = MoreQueries.termFreqFunc(spark, view, term)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(expect.nonEmpty && got == expect)
+  }
+
+  test("fuzzy suggester: prefix-edit candidates ranked by df, brute force") {
+    def lev(x: String, y: String): Int = {
+      val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    val prefix = "w01"; val maxEdits = 1; val k = 8
+    val p = prefix.length
+    val dfMap: Map[String, Long] = docs.toSeq
+      .flatMap { case (id, t) => Analyzer.tokenize(t).map(tok => (tok.term, id)) }
+      .distinct.groupBy(_._1).map { case (t, xs) => (t, xs.size.toLong) }
+    val expect = dfMap.toSeq.filter { case (t, _) =>
+      t.startsWith(prefix.take(1)) && t.length >= p - maxEdits &&
+        Seq(p - 1, p, p + 1).map(l => lev(t.take(l), prefix)).min <= maxEdits
+    }.sortBy { case (t, w) => (-w, t) }.take(k)
+    val got = graft.search.Suggest.fuzzySuggest(spark, view, prefix, maxEdits, k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(expect.nonEmpty && got == expect)
+  }
 }

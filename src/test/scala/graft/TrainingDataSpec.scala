@@ -438,4 +438,85 @@ class TrainingDataSpec extends AnyFunSuite {
     val otherAvg = got.filterNot(kv => en(kv._1)).values.sum.toDouble / 2
     assert(enAvg > otherAvg)
   }
+
+  test("semdedup: fixed-seed assignment + within-cluster cosine dup rule") {
+    import spark.implicits._
+    // dim-4 crafted geometry: seeds 0/1 span two axes; 2 and 3 are
+    // scaled copies (cosine exactly 1 → dup); 4 sits between the seeds
+    // (tie → seed 0) but below tau; 5 is orthogonal to both (tie → 0)
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(2f, 0f, 0f, 0f)), (3L, Seq(0f, 3f, 0f, 0f)),
+      (4L, Seq(1f, 1f, 0f, 0f)), (5L, Seq(0f, 0f, 1f, 0f)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-semd").toString
+    rows.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = TrainingData.semDedup(spark, dir, kSeeds = 2, tauQ = 950000L)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      0L -> (0L, 0L), 1L -> (1L, 0L),
+      2L -> (0L, 1L), 3L -> (1L, 1L),
+      4L -> (0L, 0L), 5L -> (0L, 0L)))
+  }
+
+  test("gopher rules: per-rule flags equal hand-computed values") {
+    import spark.implicits._
+    // "the"/"of" are stopwords; exactly the first doc passes all rules
+    val rows = Seq(
+      (0L, "the quality of training corpora matters very much indeed here today"),
+      (1L, "the of tiny"),                       // too few words
+      (2L, "the of aa bb cc dd ee ff gg hh ii jj"), // mean word length 220 < 300
+      (3L, "quality training corpora filtering rules applied without any function words here"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-gopher").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TrainingData.gopherRules(spark, dir).collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    val stop = graft.analysis.Analyzer.EnglishStopWords
+    val want = rows.map { case (id, text) =>
+      val w = text.split(' ').filter(_.nonEmpty)
+      val okW = if (w.length >= 10 && w.length <= 100000) 1L else 0L
+      val meanC = 100L * w.map(_.length.toLong).sum / w.length
+      val okL = if (meanC >= 300 && meanC <= 1000) 1L else 0L
+      val okS = if (w.distinct.count(stop) >= 2) 1L else 0L
+      (id, (okW, okL, okS, okW * okL * okS))
+    }.toMap
+    assert(got == want)
+    assert(got(0L) == ((1L, 1L, 1L, 1L)))       // the intended keeper
+    assert(got.values.count(_._4 == 1L) == 1)   // and only it
+  }
+
+  test("ccnet buckets: per-lang terciles of quantized per-token surprisal") {
+    val got = TrainingData.ccnetBucket(spark, corpusDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(got.length == 7) // every doc gets exactly one bucket
+    // brute force: the same integer surprisal + interpolated terciles
+    val texts = spark.read.parquet(s"$corpusDir/documents.parquet")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val toks = texts.map { case (id, t) =>
+      (id, t.split(' ').filter(_.nonEmpty).toSeq) }
+    val ctf = toks.flatMap(_._2).groupBy(identity).map { case (t, xs) =>
+      (t, xs.length.toLong) }
+    val qLn = ctf.map { case (t, c) => (t, math.round(math.log(c.toDouble) * 10000)) }
+    val total = ctf.values.sum
+    val qLnN = math.round(math.log(total.toDouble) * 10000)
+    val ppl = toks.map { case (id, ts) =>
+      (id, (ts.size * qLnN - ts.map(qLn).sum) / ts.size) }.toMap
+    def pct(vs: Seq[Long], p: Double): Double = {
+      val s = vs.sorted; val r = p * (s.length - 1)
+      val l = r.toInt; val f = r - l
+      if (l + 1 < s.length) s(l) + f * (s(l + 1) - s(l)) else s(l).toDouble
+    }
+    val vs = ppl.values.toSeq // single-lang corpus
+    val (t1, t2) = (pct(vs, 1.0 / 3), pct(vs, 2.0 / 3))
+    got.foreach { case (id, lang, pplQ, bucket) =>
+      assert(lang == "en" && pplQ == ppl(id))
+      val want = if (pplQ <= t1) "head" else if (pplQ <= t2) "middle" else "tail"
+      assert(bucket == want, s"doc $id ppl $pplQ t1=$t1 t2=$t2")
+    }
+    assert(got.map(_._4).distinct.length == 3) // all three buckets occur
+  }
 }
