@@ -1190,4 +1190,137 @@ object OracleGen {
        |  CAST(round(ln(1 + (st.n - df + 0.5) / (df + 0.5)) * 10000) AS BIGINT)
        |    AS idf_q
        |FROM d CROSS JOIN st""".stripMargin
+
+  /** ClassicSimilarity (TF-IDF) top-k, 8.x shape (LUCENE-7347: no coord,
+    * no queryNorm): per-term (ln((N+1)/(df+1)) + 1) · sqrt(tf) / sqrt(dl)
+    * over the lossy SmallFloat length, summed per doc.
+    */
+  def classicTfidfSql(terms: Seq[String], k: Int): String = {
+    val qs = termList(terms.distinct)
+    s"""WITH $tokCte, $dlCtes, df AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+       |  WHERE term IN ($qs) GROUP BY term
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tokf
+       |  WHERE term IN ($qs) GROUP BY doc_id, term
+       |), sc AS (
+       |  SELECT tf.doc_id,
+       |    sum((ln((st.n + 1.0) / (df.df + 1.0)) + 1.0)
+       |        * sqrt(CAST(tf.tf AS DOUBLE))
+       |        / sqrt(CAST(norm.ldl AS DOUBLE))) AS score
+       |  FROM tf JOIN df USING (term)
+       |  JOIN norm ON tf.doc_id = norm.doc_id CROSS JOIN st
+       |  GROUP BY tf.doc_id
+       |)
+       |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q
+       |FROM sc ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** LMDirichletSimilarity top-k (μ = reference default 2000): per-term
+    * max(0, ln(1 + tf/(μ·ctf/total)) + ln(μ/(dl + μ))), dl lossy.
+    */
+  def lmDirichletSql(terms: Seq[String], k: Int, mu: Double = 2000.0): String = {
+    val qs = termList(terms.distinct)
+    s"""WITH $tokCte, $dlCtes, ctf AS (
+       |  SELECT term, count(*) AS ctf FROM tokf
+       |  WHERE term IN ($qs) GROUP BY term
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tokf
+       |  WHERE term IN ($qs) GROUP BY doc_id, term
+       |), sc AS (
+       |  SELECT tf.doc_id,
+       |    sum(greatest(0.0,
+       |      ln(1.0 + CAST(tf.tf AS DOUBLE)
+       |          / ($mu * ctf.ctf / CAST(st.sttf AS DOUBLE)))
+       |      + ln($mu / (CAST(norm.ldl AS DOUBLE) + $mu)))) AS score
+       |  FROM tf JOIN ctf USING (term)
+       |  JOIN norm ON tf.doc_id = norm.doc_id CROSS JOIN st
+       |  GROUP BY tf.doc_id
+       |)
+       |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q
+       |FROM sc ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** SimpleNaiveBayesClassifier: add-one-smoothed multinomial NB over
+    * the analyzed term frequencies, label = documents.lang. Log-probs
+    * quantized ×10⁶ per (term, class) then pure integer sums — the
+    * argmax replays exactly (order-proof, like lm_surprisal).
+    */
+  def naiveBayesSql: String =
+    s"""WITH $tokCte, lab AS (
+       |  SELECT doc_id, lang FROM documents
+       |), dt AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tokf GROUP BY doc_id, term
+       |), v AS (SELECT count(DISTINCT term) AS v FROM tokf),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |ctc AS (
+       |  SELECT l.lang, d.term, sum(d.tf) AS ctf_tc
+       |  FROM dt d JOIN lab l USING (doc_id) GROUP BY l.lang, d.term
+       |), tc AS (
+       |  SELECT lang, sum(ctf_tc) AS tokens_c FROM ctc GROUP BY lang
+       |), pri AS (
+       |  SELECT lang, count(*) AS n_c FROM lab GROUP BY lang
+       |), cls AS (
+       |  SELECT p.lang,
+       |    CAST(round(ln(CAST(p.n_c AS DOUBLE) / nn.n) * 1000000) AS BIGINT)
+       |      AS prior_q,
+       |    CAST(round(ln(1.0 / (t.tokens_c + v.v)) * 1000000) AS BIGINT) AS q0
+       |  FROM pri p JOIN tc t USING (lang) CROSS JOIN nn CROSS JOIN v
+       |), ql AS (
+       |  SELECT c.term, c.lang,
+       |    CAST(round(ln((c.ctf_tc + 1.0) / (t.tokens_c + v.v)) * 1000000)
+       |      AS BIGINT) AS q_ln
+       |  FROM ctc c JOIN tc t USING (lang) CROSS JOIN v
+       |), contrib AS (
+       |  SELECT d.doc_id, c.lang, d.tf * coalesce(q.q_ln, c.q0) AS cb
+       |  FROM dt d CROSS JOIN cls c
+       |  LEFT JOIN ql q ON q.term = d.term AND q.lang = c.lang
+       |), sc AS (
+       |  SELECT ct.doc_id, ct.lang,
+       |    CAST(sum(ct.cb) + min(c2.prior_q) AS BIGINT) AS score_q
+       |  FROM contrib ct JOIN cls c2 USING (lang)
+       |  GROUP BY ct.doc_id, ct.lang
+       |)
+       |SELECT doc_id, lang AS pred_lang, score_q FROM (
+       |  SELECT doc_id, lang, score_q, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score_q DESC, lang ASC) AS rn
+       |  FROM sc) WHERE rn = 1""".stripMargin
+
+  /** KNearestNeighborClassifier over embeddings: k nearest by quantized
+    * cosine (self excluded) vote; most votes wins, ties by higher summed
+    * similarity then smaller label.
+    */
+  def knnClassifySql(nQueries: Int, k: Int): String =
+    s"""WITH ev AS (
+       |  SELECT vec_id, unnest(embedding) AS x,
+       |         generate_subscripts(embedding, 1) AS i FROM embeddings
+       |), nn AS (
+       |  SELECT vec_id, sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS n2
+       |  FROM ev GROUP BY vec_id
+       |), qd AS (
+       |  SELECT e.vec_id, q.vec_id AS qid,
+       |    sum(CAST(e.x AS DOUBLE) * CAST(q.x AS DOUBLE)) AS dot
+       |  FROM ev e JOIN ev q ON q.i = e.i AND q.vec_id < $nQueries
+       |    AND e.vec_id <> q.vec_id
+       |  GROUP BY e.vec_id, q.vec_id
+       |), sims AS (
+       |  SELECT qd.qid, qd.vec_id, l.label,
+       |    CAST(round(qd.dot / (sqrt(na.n2) * sqrt(nb.n2)) * 1e6) AS BIGINT)
+       |      AS sim_q
+       |  FROM qd JOIN nn na ON na.vec_id = qd.vec_id
+       |  JOIN nn nb ON nb.vec_id = qd.qid
+       |  JOIN embeddings l ON l.vec_id = qd.vec_id
+       |), top AS (
+       |  SELECT qid, label, sim_q FROM (
+       |    SELECT qid, label, sim_q, row_number() OVER (
+       |      PARTITION BY qid ORDER BY sim_q DESC, vec_id ASC) AS rn
+       |    FROM sims) WHERE rn <= $k
+       |), vote AS (
+       |  SELECT qid, label, count(*) AS votes, sum(sim_q) AS sim_sum
+       |  FROM top GROUP BY qid, label
+       |)
+       |SELECT qid AS vec_id, CAST(label AS BIGINT) AS pred_label, votes
+       |FROM (SELECT qid, label, votes, row_number() OVER (
+       |    PARTITION BY qid ORDER BY votes DESC, sim_sum DESC, label ASC) AS vr
+       |  FROM vote) WHERE vr = 1""".stripMargin
 }

@@ -59,6 +59,16 @@ object SparkEntry {
       val v = IndexCache.documentsIndex(s, dir)
       quantize(ExactSearch.topK(s, v, Seq("spark", "join"), 10, DoubleOracle))
     }),
+    "classic_tfidf_topk" -> ((s, dir) =>
+      // per-field similarity swap: the SAME index scored by the 8.x
+      // ClassicSimilarity (TF-IDF) instead of BM25
+      quantize(graft.search.Similarities.classicTfidfTopK(
+        s, IndexCache.documentsIndex(s, dir), Seq("spark", "join"), 10))),
+    "lm_dirichlet_topk" -> ((s, dir) =>
+      // language-model similarity (Dirichlet smoothing, μ=2000) over the
+      // same postings + ctf from the term dictionary
+      quantize(graft.search.Similarities.lmDirichletTopK(
+        s, IndexCache.documentsIndex(s, dir), Seq("merge", "scan"), 10))),
     "frange_filter" -> ((s, dir) => {
       // Solr {!frange l=.. u=..} over query(...): docs whose function
       // value (here the BM25 score, quantized) lies in a band — a
@@ -1360,6 +1370,18 @@ object SparkEntry {
     "semdedup" -> ((s, dir) => graft.operators.TrainingData.semDedup(s, dir)),
     "gopher_rules" -> ((s, dir) => graft.operators.TrainingData.gopherRules(s, dir)),
     "ccnet_bucket" -> ((s, dir) => graft.operators.TrainingData.ccnetBucket(s, dir)),
+    // — classification module [8x lucene/classification/
+    //   SimpleNaiveBayesClassifier.java, KNearestNeighborClassifier.java]:
+    //   trained from the index term stats / embedding column, never from
+    //   re-analyzed text —
+    "classify_nb" -> ((s, dir) =>
+      graft.search.Classify.naiveBayes(s, dir, IndexCache.documentsIndex(s, dir))),
+    "classify_knn" -> ((s, dir) => graft.search.Classify.knnClassify(s, dir)),
+    // — reverse search / percolation [8x lucene/monitor/Monitor.java]:
+    //   stored-query registry matched against the indexed corpus in one
+    //   pass over the union-of-query-terms postings —
+    "percolate_monitor" -> ((s, dir) =>
+      graft.search.Monitor.percolate(s, IndexCache.documentsIndex(s, dir))),
     "ann_cosine_topk" -> ((s, dir) => graft.operators.Vectors.annBruteTopK(s, dir)),
     "ann_batch_topk" -> ((s, dir) => graft.operators.Vectors.annBatchTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => graft.operators.Vectors.annLshTopK(s, dir)),
@@ -1467,6 +1489,8 @@ object SparkEntry {
     "tokenize_counts" -> OracleGen.tokenizeCountsSql,
     "term_df" -> OracleGen.termDfSql,
     "bm25_topk_exact" -> OracleGen.bm25TopKSql(Seq("spark", "join"), 10),
+    "classic_tfidf_topk" -> OracleGen.classicTfidfSql(Seq("spark", "join"), 10),
+    "lm_dirichlet_topk" -> OracleGen.lmDirichletSql(Seq("merge", "scan"), 10),
     "bm25_topk_bmw" -> OracleGen.bm25TopKSql(Seq("merge", "dup", "scan"), 10),
     "bm25_topk_and" -> OracleGen.bm25TopKSql(Seq("vector", "window"), 10, minShouldMatch = 2),
     "frange_filter" ->
@@ -2149,6 +2173,9 @@ object SparkEntry {
         |  CAST(round((1.0 - distinct_grams / CAST(total_grams AS DOUBLE)) * 10000)
         |    AS BIGINT) AS rep_q
         |FROM agg""".stripMargin,
+    "classify_nb" -> OracleGen.naiveBayesSql,
+    "classify_knn" -> OracleGen.knnClassifySql(20, 5),
+    "percolate_monitor" -> graft.search.Monitor.percolateSql(OracleGen.tokCte),
     "ann_cosine_topk" -> TrainingOracles.annCosineTopK,
     "ann_batch_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),

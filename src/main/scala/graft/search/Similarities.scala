@@ -1,0 +1,81 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.index.IndexView
+import graft.stats.GlobalStats
+
+/** Pluggable per-field similarities beyond BM25 — the reference lets a
+  * schema swap the scoring model per field while reusing the same index
+  * (norms store the SmallFloat-encoded doc length; each similarity
+  * decodes it its own way) [8x
+  * `lucene/core/src/java/org/apache/lucene/search/similarities/
+  * ClassicSimilarity.java`, `LMDirichletSimilarity.java`; solr
+  * `schema/SimilarityFactory.java`].
+  *
+  * Both scorers below are pure Catalyst dataflows over the SAME decoded
+  * postings the BM25 paths read: a tiny per-term stats frame (df or ctf
+  * from the term dictionary, parquet-pruned) broadcasts into a codegen'd
+  * column expression, then a per-doc hash aggregate and a
+  * TakeOrderedAndProject cut with the reference tie-break. Nothing
+  * re-reads stored text, and the per-doc work is one narrow projection —
+  * the shape survives any corpus size (the shuffle is the same
+  * doc-keyed aggregate the BM25 exact path already pays).
+  */
+object Similarities {
+
+  /** ClassicSimilarity (TF-IDF) top-k, 8.x shape (coord and queryNorm
+    * removed, LUCENE-7347):
+    *
+    *   idf(df, N)  = ln((N + 1) / (df + 1)) + 1
+    *   tf(freq)    = sqrt(freq)
+    *   lengthNorm  = 1 / sqrt(dl)   (dl = SmallFloat-decoded lossy length)
+    *   score(t, d) = idf * tf * lengthNorm, summed over query terms
+    *
+    * Double arithmetic end-to-end with a fixed expression shape the
+    * DuckDB oracle replays; quantized downstream like every scored entry.
+    */
+  def classicTfidfTopK(spark: SparkSession, view: IndexView,
+                       terms: Seq[String], k: Int): DataFrame = {
+    val n = GlobalStats.collectionStats(view).docCount
+    val df = view.terms.where(col("term").isin(terms.distinct: _*))
+      .groupBy("term").agg(sum("df").as("df"))
+    ExactSearch.decodedPostings(spark, view, terms)
+      .join(broadcast(df), Seq("term"))
+      .select(col("doc_id"),
+        ((log(lit(n + 1.0) / (col("df") + lit(1.0))) + lit(1.0))
+          * sqrt(col("tf").cast("double"))
+          / sqrt(col("lossy_dl").cast("double"))).as("s"))
+      .groupBy("doc_id").agg(sum("s").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** LMDirichletSimilarity top-k (μ = 2000, the reference default):
+    *
+    *   p(t|C)      = ctf_t / sumTotalTermFreq
+    *   score(t, d) = max(0, ln(1 + tf / (μ p(t|C))) + ln(μ / (dl + μ)))
+    *
+    * The per-term clip at 0 is the reference's non-negative-scores
+    * guarantee (a doc shorter than average can otherwise go negative).
+    * ctf comes from the term dictionary (pruned scan); dl is the decoded
+    * lossy norm — the index is the only input.
+    */
+  def lmDirichletTopK(spark: SparkSession, view: IndexView,
+                      terms: Seq[String], k: Int,
+                      mu: Double = 2000.0): DataFrame = {
+    val sttf = GlobalStats.collectionStats(view).sumTotalTermFreq
+    val ctf = view.terms.where(col("term").isin(terms.distinct: _*))
+      .groupBy("term").agg(sum("ctf").as("ctf"))
+    ExactSearch.decodedPostings(spark, view, terms)
+      .join(broadcast(ctf), Seq("term"))
+      .select(col("doc_id"),
+        greatest(lit(0.0),
+          log(lit(1.0) + col("tf").cast("double")
+            / (lit(mu) * col("ctf") / lit(sttf.toDouble)))
+          + log(lit(mu) / (col("lossy_dl").cast("double") + lit(mu)))).as("s"))
+      .groupBy("doc_id").agg(sum("s").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}
