@@ -1123,6 +1123,75 @@ object OracleGen {
        |)
        |SELECT doc_id, count(*) AS span_tf FROM ok GROUP BY doc_id""".stripMargin
 
+  /** Shared anchors CTE for the span containing/within pair: valid
+    * ordered big spans (anchor w1 → nearest following w2 within slop)
+    * plus the little term's positions.
+    */
+  private def spanBigLittleCtes(w1: String, w2: String, slop: Int,
+                                little: String): String =
+    s"""lists AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), tokpos AS (
+       |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+       |  FROM lists
+       |), a AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w1'),
+       |   b AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w2'),
+       |   e AS (SELECT doc_id, pos FROM tokpos WHERE term = '$little'),
+       |   spans AS (
+       |  SELECT doc_id, pos, nb FROM (
+       |    SELECT a.doc_id, a.pos, min(b.pos) AS nb
+       |    FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos > a.pos
+       |    GROUP BY a.doc_id, a.pos)
+       |  WHERE nb - pos - 1 <= $slop
+       |)""".stripMargin
+
+  /** SpanContainingQuery: big spans that contain a little occurrence. */
+  def spanContainingSql(w1: String, w2: String, slop: Int,
+                        little: String): String =
+    s"""WITH ${spanBigLittleCtes(w1, w2, slop, little)}
+       |SELECT doc_id, count(*) AS span_tf FROM spans s
+       |WHERE EXISTS (SELECT 1 FROM e
+       |  WHERE e.doc_id = s.doc_id AND e.pos BETWEEN s.pos AND s.nb)
+       |GROUP BY doc_id""".stripMargin
+
+  /** SpanWithinQuery: little occurrences enclosed by some big span. */
+  def spanWithinSql(w1: String, w2: String, slop: Int,
+                    little: String): String =
+    s"""WITH ${spanBigLittleCtes(w1, w2, slop, little)}
+       |SELECT doc_id, count(*) AS span_tf FROM e
+       |WHERE EXISTS (SELECT 1 FROM spans s
+       |  WHERE s.doc_id = e.doc_id AND e.pos BETWEEN s.pos AND s.nb)
+       |GROUP BY doc_id""".stripMargin
+
+  /** ScoreJoinQParserPlugin ({!join ... score=max}): outer docs score =
+    * max BM25 score of inner-query docs sharing the join key
+    * (doc_id / 100 — the synthetic stored join field).
+    */
+  def scoredJoinSql(terms: Seq[String], k: Int): String =
+    s"""WITH ${bm25Ctes(terms)}, inn AS (
+       |  SELECT CAST(floor(doc_id / 100) AS BIGINT) AS jk,
+       |         max(score) AS jscore
+       |  FROM sc GROUP BY 1
+       |)
+       |SELECT d.doc_id, CAST(round(i.jscore * 10000) AS BIGINT) AS score_q
+       |FROM documents d JOIN inn i ON CAST(floor(d.doc_id / 100) AS BIGINT) = i.jk
+       |ORDER BY i.jscore DESC, d.doc_id ASC LIMIT $k""".stripMargin
+
+  /** Multi-select faceting ({!tag}/{!ex}): per-bucket counts over the
+    * QUERY domain with the bucket filter excluded (n_ex) and applied
+    * (n_sel) — both from ONE scan of the matching docs.
+    */
+  def facetExclTagSql(term: String, lo: Long, hi: Long): String =
+    s"""WITH $tokCte, hits AS (
+       |  SELECT DISTINCT doc_id FROM tokf WHERE term = '$term'
+       |)
+       |SELECT CAST(floor(d.n_chars / 100) * 100 AS BIGINT) AS bucket,
+       |       count(*) AS n_ex,
+       |       CAST(sum(CASE WHEN d.n_chars BETWEEN $lo AND $hi
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sel
+       |FROM documents d JOIN hits USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
   /** ComplexPhraseQParser "w0 p*": scored MultiPhraseQuery whose second
     * slot is the dictionary expansion of the prefix — same weight rule
     * as [[multiPhraseScoredSql]] (sum of every alternative's idf), with

@@ -517,6 +517,38 @@ object SparkEntry {
       // any 'scan' position
       MoreQueries.spanNot(s, IndexCache.documentsIndex(s, dir),
         "hash", "join", 2, "scan")),
+    "span_containing" -> ((s, dir) =>
+      // SpanContainingQuery: ordered hash..join spans (slop 5) that
+      // CONTAIN a 'scan' occurrence; span_tf = containing big spans
+      MoreQueries.spanContaining(s, IndexCache.documentsIndex(s, dir),
+        "hash", "join", 5, "scan")),
+    "span_within" -> ((s, dir) =>
+      // SpanWithinQuery — the mirror: 'scan' occurrences enclosed by
+      // some ordered hash..join span (slop 5)
+      MoreQueries.spanWithin(s, IndexCache.documentsIndex(s, dir),
+        "hash", "join", 5, "scan")),
+    "scored_join" -> ((s, dir) =>
+      // {!join ... score=max} (ScoreJoinQParserPlugin): outer docs
+      // ranked by the best inner-query BM25 score sharing the join key
+      // (doc_id/100); inner score map aggregated once and broadcast
+      MoreQueries.scoredJoinTopK(s, IndexCache.documentsIndex(s, dir),
+        Seq("spark", "join"), 10)),
+    "facet_excl_tag" -> ((s, dir) => {
+      // Multi-select faceting ({!tag=r}fq + facet {!ex=r}) [8x solr
+      // request/SimpleFacets.java excludeTags]: n_chars range buckets
+      // over the query domain ('hash' docs) with the tagged bucket
+      // filter EXCLUDED (n_ex — what the UI shows so unselected buckets
+      // keep their counts) and APPLIED (n_sel), both from ONE scan —
+      // the selection becomes a conditional aggregate, not a re-query
+      val v = IndexCache.documentsIndex(s, dir)
+      val hits = MoreQueries.matchingDocs(s, v, Seq("hash"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .join(hits, Seq("doc_id"), "left_semi")
+        .groupBy((floor(col("n_chars") / 100) * 100).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_ex"),
+          sum(when(col("n_chars").between(100L, 299L), 1L).otherwise(0L))
+            .cast("long").as("n_sel"))
+    }),
     "phrase_prefix" -> ((s, dir) => {
       // ComplexPhraseQParser "hash s*": the prefix slot expands against
       // the term dictionary (same sargable expansion as PrefixQuery),
@@ -1664,6 +1696,10 @@ object SparkEntry {
         |HAVING count(DISTINCT doc_id) >= 5
         |ORDER BY cnt DESC, term ASC LIMIT 10""".stripMargin,
     "span_not" -> OracleGen.spanNotSql("hash", "join", 2, "scan"),
+    "span_containing" -> OracleGen.spanContainingSql("hash", "join", 5, "scan"),
+    "span_within" -> OracleGen.spanWithinSql("hash", "join", 5, "scan"),
+    "scored_join" -> OracleGen.scoredJoinSql(Seq("spark", "join"), 10),
+    "facet_excl_tag" -> OracleGen.facetExclTagSql("hash", 100L, 299L),
     "phrase_prefix" -> OracleGen.phrasePrefixScoredSql("hash", "s", 10),
     "geodist_sort" ->
       (graft.operators.FunctionOracles.geoDist +

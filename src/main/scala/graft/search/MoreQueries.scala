@@ -1023,6 +1023,99 @@ object MoreQueries {
     perDoc.filter(_._2 > 0).toDF("doc_id", "span_tf")
   }
 
+  /** Valid ordered big spans (anchor a → nearest following b within
+    * slop) plus the little term's positions, per doc — the shared
+    * enumeration for the SpanContaining/SpanWithin pair. Docs are
+    * pre-filtered to those containing ALL three terms (bitmask in
+    * [[positionalPostings]]), so the per-doc work is bounded by the
+    * terms' tfs, never the doc length.
+    */
+  private def bigLittleSpans(spark: SparkSession, view: IndexView,
+                             incA: String, incB: String, slop: Int,
+                             little: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[(Int, Int)], Array[Int])] = {
+    import spark.implicits._
+    val uniq = Seq(incA, incB, little).distinct
+    require(uniq.size == 3, "containing/within need three distinct terms")
+    positionalPostings(spark, view, uniq,
+        Seq(Seq(incA), Seq(incB), Seq(little)))
+      .groupByKey(_._1)
+      .mapGroups { (docId, it) =>
+        val posByTerm = it.map(t => t._2 -> t._3).toMap
+        val spans = (posByTerm.get(incA), posByTerm.get(incB)) match {
+          case (Some(as), Some(bs)) =>
+            as.flatMap { p0 =>
+              val i = java.util.Arrays.binarySearch(bs, p0 + 1)
+              val at = if (i >= 0) i else -i - 1
+              if (at < bs.length && (bs(at) - p0 - 1) <= slop)
+                Some((p0, bs(at)))
+              else None
+            }
+          case _ => Array.empty[(Int, Int)]
+        }
+        (docId, spans, posByTerm.getOrElse(little, Array.empty[Int]))
+      }
+  }
+
+  /** SpanContainingQuery [8x lucene/core/src/java/org/apache/lucene/
+    * search/spans/SpanContainingQuery.java]: big spans (ordered near
+    * a→b within slop) that CONTAIN an occurrence of the little term;
+    * span_tf = the number of containing big spans per doc.
+    */
+  def spanContaining(spark: SparkSession, view: IndexView, incA: String,
+                     incB: String, slop: Int, little: String): DataFrame = {
+    import spark.implicits._
+    bigLittleSpans(spark, view, incA, incB, slop, little)
+      .map { case (docId, spans, es) =>
+        val tf = spans.count { case (p0, p1) =>
+          val j = java.util.Arrays.binarySearch(es, p0)
+          val ej = if (j >= 0) j else -j - 1
+          ej < es.length && es(ej) <= p1
+        }
+        (docId, tf)
+      }
+      .filter(_._2 > 0).toDF("doc_id", "span_tf")
+  }
+
+  /** SpanWithinQuery [8x search/spans/SpanWithinQuery.java] — the
+    * mirror: occurrences of the little term that sit WITHIN some big
+    * span; span_tf = the number of enclosed little occurrences per doc.
+    */
+  def spanWithin(spark: SparkSession, view: IndexView, incA: String,
+                 incB: String, slop: Int, little: String): DataFrame = {
+    import spark.implicits._
+    bigLittleSpans(spark, view, incA, incB, slop, little)
+      .map { case (docId, spans, es) =>
+        val tf = es.count(q =>
+          spans.exists { case (p0, p1) => p0 <= q && q <= p1 })
+        (docId, tf)
+      }
+      .filter(_._2 > 0).toDF("doc_id", "span_tf")
+  }
+
+  /** Scored cross-collection join ({!join ... score=max}) [8x solr/core
+    * .../search/join/ScoreJoinQParserPlugin.java]: outer docs score by
+    * the BEST (max) BM25 score among inner-query matches sharing the
+    * join key — here the synthetic stored field doc_id/100. The inner
+    * aggregate is a map-side-combinable groupBy whose output is
+    * key-cardinality-sized, then BROADCAST onto the outer side (the
+    * reference builds the fromIndex score map once and probes it per
+    * outer doc) — never an all-docs shuffle.
+    */
+  def scoredJoinTopK(spark: SparkSession, view: IndexView,
+                     terms: Seq[String], k: Int): DataFrame = {
+    val inn = ExactSearch.scored(spark, view, terms, graft.search.DoubleOracle)
+      .groupBy(floor(col("doc_id") / 100).cast("long").as("jk"))
+      .agg(max(col("score")).as("jscore"))
+    view.docmeta.toDF()
+      .select(col("doc_id"), floor(col("doc_id") / 100).cast("long").as("jk"))
+      .join(broadcast(inn), Seq("jk"))
+      .orderBy(col("jscore").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"),
+        round(col("jscore") * 10000).cast("long").as("score_q"))
+  }
+
   /** termfreq(field, term) function query [8x solr
     * search/ValueSourceParser.java "termfreq" →
     * lucene/queries .../function/valuesource/TermFreqValueSource.java]:

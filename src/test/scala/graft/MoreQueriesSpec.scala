@@ -584,6 +584,50 @@ class MoreQueriesSpec extends AnyFunSuite {
     assert(plain.exists { case (id, tf) => expect.getOrElse(id, 0) < tf })
   }
 
+  test("span containing/within equal brute-force span enumeration") {
+    val (a, b, e) = ("w0000", "w0001", "w0002")
+    val slop = 6
+    val brute = docs.map { case (id, text) =>
+      val toks = Analyzer.tokenize(text)
+      def pos(t: String) = toks.filter(_.term == t).map(_.pos).sorted
+      val (as, bs, es) = (pos(a), pos(b), pos(e))
+      val spans = as.flatMap { p0 =>
+        bs.find(_ > p0).filter(p1 => (p1 - p0 - 1) <= slop).map(p1 => (p0, p1))
+      }
+      val cTf = spans.count { case (p0, p1) => es.exists(p => p >= p0 && p <= p1) }
+      val wTf = es.count(p => spans.exists { case (p0, p1) => p0 <= p && p <= p1 })
+      (id, cTf, wTf)
+    }
+    val expectC = brute.collect { case (id, c, _) if c > 0 => id -> c }.toMap
+    val expectW = brute.collect { case (id, _, w) if w > 0 => id -> w }.toMap
+    val gotC = MoreQueries.spanContaining(spark, view, a, b, slop, e)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val gotW = MoreQueries.spanWithin(spark, view, a, b, slop, e)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(expectC.nonEmpty && gotC == expectC)
+    assert(expectW.nonEmpty && gotW == expectW)
+    // the two views must diverge somewhere (several littles in one big
+    // span, or one little inside several bigs) — else the test is weak
+    assert(expectC != expectW || expectC.values.sum != expectW.values.sum ||
+      brute.exists { case (_, c, w) => c != w })
+  }
+
+  test("scored join ranks outer docs by best inner score per join key") {
+    val terms = Seq("w0002", "w0005")
+    val k = 15
+    val inner = graft.search.ExactSearch.scored(spark, view, terms, DoubleOracle)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val best = inner.groupBy(t => t._1 / 100).map { case (jk, xs) =>
+      jk -> xs.map(_._2).max }
+    val expect = docs.map(_._1)
+      .flatMap(id => best.get(id / 100).map(s => (id, s)))
+      .sortBy { case (id, s) => (-s, id) }.take(k)
+      .map { case (id, s) => (id, math.round(s * 10000)) }
+    val got = MoreQueries.scoredJoinTopK(spark, view, terms, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(expect.nonEmpty && got == expect.toList)
+  }
+
   test("termfreq function: per-doc tf equals brute-force token count") {
     val term = "w0003"
     val expect = docs.flatMap { case (id, text) =>

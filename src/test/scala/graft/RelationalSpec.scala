@@ -35,6 +35,25 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("facet_excl_tag: excluded counts partition independently of the selection") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("facet_excl_tag")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val hits = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"n_chars", $"text").as[(Long, Long, String)].collect()
+      .filter(_._3.toLowerCase.split("\\s+").contains("hash"))
+    assert(rows.nonEmpty && rows.map(_._2).sum == hits.length.toLong)
+    rows.foreach { case (bucket, nEx, nSel) =>
+      val inBucket = hits.filter(h => h._2 / 100 * 100 == bucket)
+      assert(nEx == inBucket.length.toLong)
+      assert(nSel == inBucket.count(h => h._2 >= 100 && h._2 <= 299).toLong)
+      assert(nSel <= nEx)
+    }
+    // the tagged-filter exclusion must bite: some bucket keeps count
+    // despite being entirely outside the selection range
+    assert(rows.exists { case (_, nEx, nSel) => nSel == 0 && nEx > 0 })
+  }
+
   test("rollup_agg matches brute force") {
     import spark.implicits._
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
