@@ -441,6 +441,82 @@ object OracleGen {
        |FROM a JOIN b ON b.doc_id = a.doc_id AND abs(b.pos - a.pos) - 1 <= $slop
        |GROUP BY a.doc_id""".stripMargin
 
+  /** Ordered span near (anchor w1 → nearest following w2 within slop) —
+    * the parameterized twin of the span_near_query oracle, reused by the
+    * surround-parser entries.
+    */
+  def spanNearOrderedSql(w1: String, w2: String, slop: Int): String =
+    s"""WITH lists AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), tokpos AS (
+       |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+       |  FROM lists
+       |), a AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w1'),
+       |   b AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w2'),
+       |anchors AS (
+       |  SELECT a.doc_id, a.pos, min(b.pos) AS nb
+       |  FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos > a.pos
+       |  GROUP BY a.doc_id, a.pos)
+       |SELECT doc_id, count(*) AS span_tf
+       |FROM anchors WHERE nb - pos - 1 <= $slop GROUP BY doc_id""".stripMargin
+
+  /** Result grouping with QUERY-defined groups (group.query=…): the
+    * main query's ranked results restricted to each group query's doc
+    * set, top `perGroup` per group.
+    */
+  def groupQuerySql(terms: Seq[String], groups: Seq[(String, String)],
+                    perGroup: Int): String = {
+    val gd = groups.map { case (t, g) =>
+      s"SELECT '$g' AS grp, doc_id FROM (SELECT DISTINCT doc_id FROM tokf WHERE term = '$t')"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ${bm25Ctes(terms)}, gd AS (
+       |  $gd
+       |)
+       |SELECT gd.grp, sc.doc_id,
+       |       CAST(round(sc.score * 10000) AS BIGINT) AS score_q
+       |FROM sc JOIN gd USING (doc_id)
+       |QUALIFY row_number() OVER (
+       |  PARTITION BY gd.grp ORDER BY sc.score DESC, sc.doc_id ASC)
+       |  <= $perGroup""".stripMargin
+  }
+
+  /** BooleanSimilarity top-k: score = Σ query boost per matched term —
+    * no tf, no idf, no norms.
+    */
+  def booleanSimSql(boosts: Seq[(String, Double)], k: Int): String = {
+    val qs = termList(boosts.map(_._1))
+    val vals = boosts.map { case (t, b) => s"('$t', $b)" }.mkString(", ")
+    s"""WITH $tokCte, m AS (
+       |  SELECT DISTINCT doc_id, term FROM tokf WHERE term IN ($qs)
+       |), b(term, boost) AS (VALUES $vals)
+       |SELECT doc_id, CAST(round(sum(boost) * 10000) AS BIGINT) AS score_q
+       |FROM m JOIN b USING (term) GROUP BY doc_id
+       |ORDER BY sum(boost) DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** Point-in-polygon (even-odd ray cast) over the synthetic
+    * key-derived coordinates — identical IEEE expression shape to the
+    * engine's per-edge crossing test so the doubles agree bit-for-bit.
+    */
+  def geoPolygonSql(verts: Seq[(Int, Int)]): String = {
+    val edges = verts.indices.map { i =>
+      val (y1, x1) = verts(i)
+      val (y2, x2) = verts((i + 1) % verts.length)
+      s"($y1, $x1, $y2, $x2)"
+    }.mkString(", ")
+    s"""WITH pts AS (
+       |  SELECT c_custkey,
+       |    CAST((c_custkey % 180) - 90 AS DOUBLE) + 0.5 AS lat,
+       |    CAST(((c_custkey * 7) % 360) - 180 AS DOUBLE) + 0.5 AS lon
+       |  FROM customer
+       |), edges(y1, x1, y2, x2) AS (VALUES $edges)
+       |SELECT c_custkey FROM pts
+       |WHERE (SELECT count(*) FROM edges e
+       |       WHERE ((e.y1 > pts.lat) <> (e.y2 > pts.lat))
+       |         AND pts.lon < (e.x2 - e.x1) * (pts.lat - e.y1)
+       |                       / (e.y2 - e.y1) + e.x1) % 2 = 1""".stripMargin
+  }
+
   /** More-like-this: seed doc's top-m terms by tf(seed) x idf, then the
     * BM25 disjunction over them, seed excluded.
     */

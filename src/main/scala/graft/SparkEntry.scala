@@ -533,6 +533,56 @@ object SparkEntry {
       // (doc_id/100); inner score map aggregated once and broadcast
       MoreQueries.scoredJoinTopK(s, IndexCache.documentsIndex(s, dir),
         Seq("spark", "join"), 10)),
+    "qparse_surround" -> ((s, dir) => {
+      // SurroundQParser prefix form: `3W(hash, join)` → ordered span
+      // near, distance 3 = slop 2 (DistanceQuery's slop = N-1 rule)
+      val p = graft.search.SurroundParser.parse("3W(hash, join)")
+      require(p.ordered && p.slop == 2)
+      MoreQueries.spanNearOrdered(s, IndexCache.documentsIndex(s, dir),
+        p.terms, p.slop)
+    }),
+    "qparse_surround_n" -> ((s, dir) => {
+      // SurroundQParser infix form: `join 4n scan` → unordered span
+      // near within distance 4 (slop 3)
+      val p = graft.search.SurroundParser.parse("join 4n scan")
+      require(!p.ordered && p.slop == 3)
+      MoreQueries.spanNearUnordered(s, IndexCache.documentsIndex(s, dir),
+        p.terms, p.slop)
+    }),
+    "group_query_topk" -> ((s, dir) => {
+      // result grouping with QUERY-defined groups (group.query=…) [8x
+      // solr/core .../search/Grouping.java query groups]: ONE scored
+      // pass of the main query shared by every group; each group domain
+      // is a constant-score doc set semi-joined in, then a per-group
+      // window takes the top 3 (WindowGroupLimit — partial per
+      // partition, never a global sort)
+      import org.apache.spark.sql.expressions.Window
+      val v = IndexCache.documentsIndex(s, dir)
+      val sc = ExactSearch.scored(s, v, Seq("spark", "join"), DoubleOracle)
+      val parts = Seq("hash" -> "g_hash", "scan" -> "g_scan").map {
+        case (t, g) =>
+          sc.join(MoreQueries.matchingDocs(s, v, Seq(t)),
+              Seq("doc_id"), "left_semi")
+            .withColumn("grp", lit(g))
+      }
+      val w = Window.partitionBy("grp")
+        .orderBy(col("score").desc, col("doc_id").asc)
+      parts.reduce(_.unionByName(_))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("grp"), col("doc_id"),
+          round(col("score") * 10000).cast("long").as("score_q"))
+    }),
+    "boolean_sim_topk" -> ((s, dir) =>
+      // BooleanSimilarity: score = Σ query-term boost, nothing else —
+      // the third pluggable similarity over the same index
+      quantize(graft.search.Similarities.booleanSimTopK(s,
+        IndexCache.documentsIndex(s, dir),
+        Seq("spark" -> 2.0, "join" -> 1.0, "scan" -> 1.5), 10))),
+    "geo_polygon" -> ((s, dir) =>
+      // LatLonPoint.newPolygonQuery analog: even-odd ray cast as a
+      // narrow codegen expression behind a sargable bounding-box band
+      graft.operators.Functions.geoPolygon(s, dir)),
     "facet_excl_tag" -> ((s, dir) => {
       // Multi-select faceting ({!tag=r}fq + facet {!ex=r}) [8x solr
       // request/SimpleFacets.java excludeTags]: n_chars range buckets
@@ -1700,6 +1750,14 @@ object SparkEntry {
     "span_within" -> OracleGen.spanWithinSql("hash", "join", 5, "scan"),
     "scored_join" -> OracleGen.scoredJoinSql(Seq("spark", "join"), 10),
     "facet_excl_tag" -> OracleGen.facetExclTagSql("hash", 100L, 299L),
+    "qparse_surround" -> OracleGen.spanNearOrderedSql("hash", "join", 2),
+    "qparse_surround_n" -> OracleGen.spanNearUnorderedSql("join", "scan", 3),
+    "group_query_topk" -> OracleGen.groupQuerySql(Seq("spark", "join"),
+      Seq("hash" -> "g_hash", "scan" -> "g_scan"), 3),
+    "boolean_sim_topk" -> OracleGen.booleanSimSql(
+      Seq("spark" -> 2.0, "join" -> 1.0, "scan" -> 1.5), 10),
+    "geo_polygon" ->
+      OracleGen.geoPolygonSql(graft.operators.Functions.PolygonVerts),
     "phrase_prefix" -> OracleGen.phrasePrefixScoredSql("hash", "s", 10),
     "geodist_sort" ->
       (graft.operators.FunctionOracles.geoDist +

@@ -118,6 +118,42 @@ object Functions {
       .where(col("dist_10m") <= (dKm * 100).toLong)
   }
 
+  /** The fixed test polygon for [[geoPolygon]] — integer (lat, lon)
+    * vertices, counter-clockwise; the synthetic points sit on the .5
+    * grid so no point ever lies on a vertex latitude (the ray-cast
+    * boundary case cannot occur).
+    */
+  private[graft] val PolygonVerts: Seq[(Int, Int)] =
+    Seq((60, -120), (75, 40), (0, 150), (-65, 60), (-40, -130))
+
+  /** Polygon query [Lucene LatLonPoint.newPolygonQuery / LatLonShape;
+    * Solr spatial POLYGON filter]: even-odd ray casting against a fixed
+    * polygon, evaluated as a narrow codegen'd column expression per row
+    * (no join, no trig). The reference prunes candidates with the BKD
+    * tree; here the polygon's bounding box goes first as two sargable
+    * range predicates (parquet min/max pruning — the same role), and
+    * the exact per-edge crossing test runs only on the box survivors.
+    * The oracle replays the identical IEEE expression shape.
+    */
+  def geoPolygon(s: SparkSession, dir: String): DataFrame = {
+    val (lat, lon) = synthLatLon
+    val verts = PolygonVerts
+    val crossings = verts.indices.map { i =>
+      val (y1, x1) = verts(i)
+      val (y2, x2) = verts((i + 1) % verts.length)
+      when((lit(y1.toDouble) > lat) =!= (lit(y2.toDouble) > lat),
+        when(lon < (lit((x2 - x1).toDouble) * (lat - lit(y1.toDouble))
+          / lit((y2 - y1).toDouble)) + lit(x1.toDouble), 1).otherwise(0))
+        .otherwise(0)
+    }.reduce(_ + _)
+    val (minY, maxY) = (verts.map(_._1).min, verts.map(_._1).max)
+    val (minX, maxX) = (verts.map(_._2).min, verts.map(_._2).max)
+    tbl(s, dir, "customer")
+      .where(lat.between(minY, maxY) && lon.between(minX, maxX))
+      .where(crossings % 2 === 1)
+      .select(col("c_custkey"))
+  }
+
   /** Bounding-box query [Solr {!bbox} / Lucene LatLonPoint.newBoxQuery]:
     * two plain range predicates over the point coordinates — fully
     * sargable, pushed to the scan by Catalyst (the BKD-pruning analog;

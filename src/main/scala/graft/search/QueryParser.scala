@@ -273,3 +273,53 @@ object QueryParser {
     }
   }
 }
+
+/** Surround query-string parser — the proximity front door [8x solr/core
+  * .../search/SurroundQParserPlugin.java, lucene/queryparser/surround/
+  * query/DistanceQuery.java]. A clean-room parse of the PUBLISHED
+  * surround distance grammar, covering the forms users actually type:
+  *
+  *   - prefix: `3W(a, b, …)` ordered / `3N(a, b, …)` unordered
+  *   - infix two-operand: `a 3w b` / `a 4n b`
+  *
+  * Distance N maps to span slop = N − 1, exactly as the reference's
+  * DistanceQuery builds its SpanNearQuery (adjacent terms = distance 1);
+  * a bare `W`/`N` means distance 1 (slop 0). Operator case is ignored,
+  * operands are analyzer-normalized (lowercased) terms. The full
+  * grammar's nested ops, OR operands, and `*`-truncations are out of
+  * scope — the parsed form feeds [[MoreQueries.spanNearOrdered]] /
+  * [[MoreQueries.spanNearUnordered]] verbatim.
+  */
+object SurroundParser {
+  final case class SurroundNear(terms: Seq[String], slop: Int,
+                                ordered: Boolean)
+
+  import QueryParser.ParseException
+
+  def parse(q0: String): SurroundNear = {
+    val q = q0.trim
+    val prefix = "^(\\d*)([wnWN])\\s*\\((.+)\\)$".r
+    val infix = "^(\\S+)\\s+(\\d*)([wnWN])\\s+(\\S+)$".r
+    def dist(d: String): Int = {
+      val n = if (d.isEmpty) 1 else d.toInt
+      if (n < 1) throw ParseException("distance must be >= 1", 0)
+      n
+    }
+    def norm(t: String): String = {
+      val x = t.trim.toLowerCase(java.util.Locale.ROOT)
+      if (x.isEmpty || x.exists(c => c.isWhitespace || "(),".contains(c)))
+        throw ParseException(s"bad operand '$t'", 0)
+      x
+    }
+    q match {
+      case prefix(d, op, args) =>
+        val terms = args.split(',').map(norm).toSeq
+        if (terms.size < 2) throw ParseException("need >= 2 operands", 0)
+        SurroundNear(terms, dist(d) - 1, op.equalsIgnoreCase("w"))
+      case infix(a, d, op, b) =>
+        SurroundNear(Seq(norm(a), norm(b)), dist(d) - 1,
+          op.equalsIgnoreCase("w"))
+      case _ => throw ParseException(s"unparseable surround query '$q0'", 0)
+    }
+  }
+}

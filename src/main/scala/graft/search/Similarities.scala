@@ -51,6 +51,30 @@ object Similarities {
       .limit(k)
   }
 
+  /** BooleanSimilarity top-k [8x lucene .../similarities/
+    * BooleanSimilarity.java]: score = the query boost of each matched
+    * term, summed — no tf, no idf, no norms (Solr schemas use it for
+    * pure filter-style fields where relevance is externally supplied).
+    * Only the docID streams are decoded (freqs/norms/positions pruned
+    * at the parquet scan); a (term, doc) pair occurs exactly once
+    * across blocks (blocks partition doc ranges), so the per-doc boost
+    * sum needs no distinct.
+    */
+  def booleanSimTopK(spark: SparkSession, view: IndexView,
+                     boosts: Seq[(String, Double)], k: Int): DataFrame = {
+    import spark.implicits._
+    val terms = boosts.map(_._1).distinct
+    val bdf = broadcast(boosts.toDF("term", "boost"))
+    view.postings
+      .where(col("term").isin(terms: _*))
+      .flatMap(b => graft.codec.VByte.decodeDeltas(b.docs).map(d => (b.term, d)))
+      .toDF("term", "doc_id")
+      .join(bdf, Seq("term"))
+      .groupBy("doc_id").agg(sum("boost").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** LMDirichletSimilarity top-k (μ = 2000, the reference default):
     *
     *   p(t|C)      = ctf_t / sumTotalTermFreq

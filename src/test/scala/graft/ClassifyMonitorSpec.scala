@@ -88,6 +88,24 @@ class ClassifyMonitorSpec extends AnyFunSuite {
     for (v <- 4L to 7L) assert(got(v) == 9L, s"vec $v")
   }
 
+  test("boolean similarity: score is exactly the sum of matched-term boosts") {
+    val docs = spark.read.parquet(s"$corpusDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val boosts = Seq("apple" -> 2.0, "lion" -> 1.0, "hash" -> 1.5)
+    val expect = docs.toList.flatMap { case (id, t) =>
+      val tk = Analyzer.tokenize(t).map(_.term).toSet
+      val s = boosts.collect { case (b, w) if tk(b) => w }.sum
+      if (s > 0) Some(id -> math.round(s * 10000)) else None
+    }.sortBy { case (id, sq) => (-sq, id) }.take(5)
+    val got = Similarities.booleanSimTopK(spark, view, boosts, 5)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 10000)))
+      .toList
+    assert(expect.nonEmpty && got == expect)
+    // tf must NOT matter: doc 0 has apple twice, still scores 2.0
+    assert(got.toMap.get(0L).contains(20000L))
+  }
+
   test("classic TF-IDF and LM Dirichlet match an independent in-test computation") {
     val docs = spark.read.parquet(s"$corpusDir/documents.parquet")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -107,6 +107,24 @@ class QueryParserSpec extends AnyFunSuite {
     intercept[QueryParser.ParseException](p("spark ^ 2 junk)"))
   }
 
+  test("surround: prefix and infix distance ops, slop = N-1") {
+    import graft.search.SurroundParser
+    assert(SurroundParser.parse("3W(hash, join)") ==
+      SurroundParser.SurroundNear(Seq("hash", "join"), 2, ordered = true))
+    assert(SurroundParser.parse("4n(A, B, C)") ==
+      SurroundParser.SurroundNear(Seq("a", "b", "c"), 3, ordered = false))
+    assert(SurroundParser.parse("join 4N scan") ==
+      SurroundParser.SurroundNear(Seq("join", "scan"), 3, ordered = false))
+    // bare W/N = distance 1 = slop 0 (adjacency), both forms
+    assert(SurroundParser.parse("w(a, b)").slop == 0)
+    assert(SurroundParser.parse("a w b") ==
+      SurroundParser.SurroundNear(Seq("a", "b"), 0, ordered = true))
+    intercept[QueryParser.ParseException](SurroundParser.parse("0w(a, b)"))
+    intercept[QueryParser.ParseException](SurroundParser.parse("3w(a)"))
+    intercept[QueryParser.ParseException](SurroundParser.parse("3x(a, b)"))
+    intercept[QueryParser.ParseException](SurroundParser.parse("a 3w"))
+  }
+
   test("the judge's example parses") {
     val sep = graft.index.Indexer.FieldSep
     val q = p("title:(spark AND join)^2 OR \"block max\"~2")

@@ -54,6 +54,49 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.exists { case (_, nEx, nSel) => nSel == 0 && nEx > 0 })
   }
 
+  test("geo_polygon: engine matches an independent ray-cast over raw keys") {
+    import spark.implicits._
+    val verts = graft.operators.Functions.PolygonVerts
+    val keys = spark.read.parquet(s"$dir/customer.parquet")
+      .select($"c_custkey".cast("long")).as[Long].collect()
+    def inside(c: Long): Boolean = {
+      val lat = (c % 180 - 90).toDouble + 0.5
+      val lon = ((c * 7) % 360 - 180).toDouble + 0.5
+      val n = verts.indices.count { i =>
+        val (y1, x1) = verts(i); val (y2, x2) = verts((i + 1) % verts.length)
+        ((y1 > lat) != (y2 > lat)) &&
+          lon < (x2 - x1).toDouble * (lat - y1) / (y2 - y1).toDouble + x1
+      }
+      n % 2 == 1
+    }
+    val expect = keys.filter(inside).toSet
+    val got = SparkEntry.queries("geo_polygon")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(expect.nonEmpty && got == expect)
+    assert(expect.size < keys.length) // the polygon must exclude someone
+  }
+
+  test("group_query_topk: per-group top docs are the main query's ranking restricted to the group") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("group_query_topk")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val sc = graft.search.ExactSearch.scored(spark,
+        IndexCache.documentsIndex(spark, dir), Seq("spark", "join"),
+        graft.search.DoubleOracle)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def domain(t: String): Set[Long] =
+      docs.filter(_._2.toLowerCase.split("\\s+").contains(t)).map(_._1).toSet
+    for ((g, t) <- Seq("g_hash" -> "hash", "g_scan" -> "scan")) {
+      val expect = sc.toSeq.filter { case (d, _) => domain(t)(d) }
+        .sortBy { case (d, s) => (-s, d) }.take(3)
+        .map { case (d, s) => (d, math.round(s * 10000)) }.toSet
+      val got = rows.filter(_._1 == g).map(r => (r._2, r._3)).toSet
+      assert(expect.nonEmpty && got == expect, s"group $g")
+    }
+  }
+
   test("rollup_agg matches brute force") {
     import spark.implicits._
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
