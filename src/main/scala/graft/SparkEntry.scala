@@ -1464,6 +1464,16 @@ object SparkEntry {
     //   pass over the union-of-query-terms postings —
     "percolate_monitor" -> ((s, dir) =>
       graft.search.Monitor.percolate(s, IndexCache.documentsIndex(s, dir))),
+    "percolate_phrase" -> ((s, dir) =>
+      // stored PHRASE queries matched in one pass (positions decoded
+      // for the union of registry slots only — the presearcher pruning)
+      graft.search.Monitor.percolatePhrases(s,
+        IndexCache.documentsIndex(s, dir))),
+    "text_tagger" -> ((s, dir) =>
+      // Tagger handler (ex-SolrTextTagger): dictionary-phrase
+      // occurrence counts per doc — the entity-tagging read of the
+      // same one-pass kernel
+      graft.search.Monitor.tagText(s, IndexCache.documentsIndex(s, dir))),
     "ann_cosine_topk" -> ((s, dir) => graft.operators.Vectors.annBruteTopK(s, dir)),
     "ann_batch_topk" -> ((s, dir) => graft.operators.Vectors.annBatchTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => graft.operators.Vectors.annLshTopK(s, dir)),
@@ -2270,6 +2280,10 @@ object SparkEntry {
     "classify_nb" -> OracleGen.naiveBayesSql,
     "classify_knn" -> OracleGen.knnClassifySql(20, 5),
     "percolate_monitor" -> graft.search.Monitor.percolateSql(OracleGen.tokCte),
+    "percolate_phrase" ->
+      graft.search.Monitor.phraseOccurrencesSql(withCounts = false),
+    "text_tagger" ->
+      graft.search.Monitor.phraseOccurrencesSql(withCounts = true),
     "ann_cosine_topk" -> TrainingOracles.annCosineTopK,
     "ann_batch_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),

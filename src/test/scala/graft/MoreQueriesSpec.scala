@@ -628,6 +628,27 @@ class MoreQueriesSpec extends AnyFunSuite {
     assert(expect.nonEmpty && got == expect.toList)
   }
 
+  test("phrase-occurrence kernel (percolator/tagger): counts equal brute-force adjacency") {
+    val dict = Seq(0L -> Seq("w0000", "w0001"),
+      1L -> Seq("w0002", "w0003"),
+      2L -> Seq("w0000", "w0002", "w0001"))
+    val expect = (for {
+      (id, text) <- docs
+      toks = Analyzer.tokenize(text)
+      posOf = toks.groupBy(_.term).map { case (t, xs) => t -> xs.map(_.pos).sorted }
+      (qid, slots) <- dict
+      if slots.forall(posOf.contains)
+      n = posOf(slots.head).count(p => slots.zipWithIndex.drop(1)
+        .forall { case (t, i) => posOf(t).contains(p + i) })
+      if n > 0
+    } yield ((qid, id), n)).toMap
+    val got = graft.search.Monitor.phraseOccurrences(spark, view, dict)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(expect.nonEmpty && got == expect)
+    // at least one multi-occurrence count, else the tagger read is weak
+    assert(expect.values.exists(_ > 1) || expect.size > 3)
+  }
+
   test("termfreq function: per-doc tf equals brute-force token count") {
     val term = "w0003"
     val expect = docs.flatMap { case (id, text) =>
