@@ -517,6 +517,24 @@ object OracleGen {
        |                       / (e.y2 - e.y1) + e.x1) % 2 = 1""".stripMargin
   }
 
+  /** Context-filtered prefix suggester: context-df-weighted dictionary
+    * terms under a prefix, context = a stored-field predicate.
+    */
+  def suggestContextSql(prefix: String, lang: String, k: Int): String =
+    s"""WITH $tokCte, m AS (
+       |  SELECT DISTINCT t.doc_id, t.term
+       |  FROM tokf t JOIN documents d USING (doc_id)
+       |  WHERE d.lang = '$lang' AND t.term LIKE '$prefix%'
+       |)
+       |SELECT term, count(*) AS weight FROM m GROUP BY term
+       |ORDER BY weight DESC, term ASC LIMIT $k""".stripMargin
+
+  /** Per-lang-bucket exact median (JSON facet percentile agg). */
+  val facetPercentileSql: String =
+    """SELECT lang, quantile_cont(n_chars, 0.5) AS p50_chars,
+      |       count(*) AS n
+      |FROM documents GROUP BY lang""".stripMargin
+
   /** More-like-this: seed doc's top-m terms by tf(seed) x idf, then the
     * BM25 disjunction over them, seed excluded.
     */

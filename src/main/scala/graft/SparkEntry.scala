@@ -1474,6 +1474,12 @@ object SparkEntry {
       // occurrence counts per doc — the entity-tagging read of the
       // same one-pass kernel
       graft.search.Monitor.tagText(s, IndexCache.documentsIndex(s, dir))),
+    "suggest_context" -> ((s, dir) =>
+      // context-filtered suggester: prefix 's' suggestions weighted by
+      // df within lang='en' docs only (suggester contextField)
+      graft.search.Suggest.suggestContext(s,
+        IndexCache.documentsIndex(s, dir), dir, "s", "en", 8)),
+    "facet_percentile" -> (graft.operators.Relational.facetPercentile _),
     "ann_cosine_topk" -> ((s, dir) => graft.operators.Vectors.annBruteTopK(s, dir)),
     "ann_batch_topk" -> ((s, dir) => graft.operators.Vectors.annBatchTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => graft.operators.Vectors.annLshTopK(s, dir)),
@@ -2284,6 +2290,8 @@ object SparkEntry {
       graft.search.Monitor.phraseOccurrencesSql(withCounts = false),
     "text_tagger" ->
       graft.search.Monitor.phraseOccurrencesSql(withCounts = true),
+    "suggest_context" -> OracleGen.suggestContextSql("s", "en", 8),
+    "facet_percentile" -> OracleGen.facetPercentileSql,
     "ann_cosine_topk" -> TrainingOracles.annCosineTopK,
     "ann_batch_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),

@@ -280,6 +280,19 @@ object Relational {
     tbl(s, dir, "orders")
       .agg(percentile(cents(col("o_totalprice")), lit(0.5)).as("p50_cents"))
 
+  /** JSON facet percentile agg INSIDE buckets [8x solr .../search/facet/
+    * PercentileAgg.java]: median n_chars per lang bucket. The reference
+    * merges per-shard t-digests; Catalyst's partial+final aggregate
+    * carries the same per-bucket state and this exact variant is a
+    * semantic improvement (like the facet-refinement note in SURVEY
+    * §2.7) — the bucket dataflow is identical.
+    */
+  def facetPercentile(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .groupBy("lang")
+      .agg(percentile(col("n_chars"), lit(0.5)).as("p50_chars"),
+        count(lit(1)).as("n"))
+
   /** CollapsingQParserPlugin: top-1 row per group (window collapse). */
   def windowCollapse(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")

@@ -26,6 +26,32 @@ object Suggest {
       .orderBy(col("weight").desc, col("term").asc)
       .limit(k)
 
+  /** Context-filtered prefix suggester [8x lucene/suggest .../document/
+    * ContextQuery.java; Solr suggester contextField]: suggestions for
+    * `prefix` restricted to a context (here lang), weighted by the
+    * term's doc frequency WITHIN the context. The prefix predicate
+    * prunes the posting blocks (sargable on the sorted term column);
+    * only their docID streams are decoded and semi-joined against the
+    * context doc set (a two-column docvalues read of the stored
+    * fields) — the corpus text is never touched and the expensive side
+    * is bounded by the prefix's postings, not the corpus.
+    */
+  def suggestContext(s: SparkSession, view: IndexView, dir: String,
+                     prefix: String, lang: String, k: Int): DataFrame = {
+    import s.implicits._
+    val ctx = s.read.parquet(s"$dir/documents.parquet")
+      .where(col("lang") === lang).select("doc_id")
+    view.postings
+      .where(col("term").startsWith(prefix))
+      .flatMap(b => graft.codec.VByte.decodeDeltas(b.docs)
+        .map(d => (b.term, d)))
+      .toDF("term", "doc_id")
+      .join(ctx, Seq("doc_id"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("weight"))
+      .orderBy(col("weight").desc, col("term").asc)
+      .limit(k)
+  }
+
   /** Edge-n-gram completion dictionary [8x analysis/common
     * EdgeNGramTokenFilter.java; Solr FreeTextSuggester-style lookup]:
     * every 2..maxGram prefix of every dictionary term, weighted by the

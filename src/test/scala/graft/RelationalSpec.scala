@@ -97,6 +97,46 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("facet_percentile: per-lang median equals exact in-memory interpolation") {
+    import spark.implicits._
+    val rows = Relational.facetPercentile(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2))))
+      .toMap
+    val byLang = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"lang", $"n_chars".cast("long")).as[(String, Long)].collect()
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sorted }
+    assert(rows.keySet == byLang.keySet && rows.nonEmpty)
+    byLang.foreach { case (l, xs) =>
+      val h = (xs.length - 1) * 0.5
+      val (lo, hi) = (xs(h.toInt), xs(math.ceil(h).toInt))
+      val want = lo + (h - h.toInt) * (hi - lo)
+      assert(rows(l)._1 == want && rows(l)._2 == xs.length.toLong, s"lang $l")
+    }
+  }
+
+  test("suggest_context: weights are dfs within the context docs only") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text", $"lang").as[(Long, String, String)].collect()
+    val dfAll = scala.collection.mutable.Map.empty[String, Int]
+    val dfEn = scala.collection.mutable.Map.empty[String, Int]
+    docs.foreach { case (_, t, lang) =>
+      val terms = graft.analysis.Analyzer.tokenize(t).map(_.term).distinct
+        .filter(_.startsWith("s"))
+      terms.foreach { w =>
+        dfAll(w) = dfAll.getOrElse(w, 0) + 1
+        if (lang == "en") dfEn(w) = dfEn.getOrElse(w, 0) + 1
+      }
+    }
+    val expect = dfEn.toSeq.sortBy { case (t, w) => (-w, t) }.take(8)
+      .map { case (t, w) => (t, w.toLong) }.toList
+    val got = SparkEntry.queries("suggest_context")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(expect.nonEmpty && got == expect)
+    // the context must bite: some prefix term's context df < global df
+    assert(dfEn.exists { case (t, w) => w < dfAll(t) })
+  }
+
   test("rollup_agg matches brute force") {
     import spark.implicits._
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
