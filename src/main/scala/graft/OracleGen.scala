@@ -529,9 +529,13 @@ object OracleGen {
        |SELECT term, count(*) AS weight FROM m GROUP BY term
        |ORDER BY weight DESC, term ASC LIMIT $k""".stripMargin
 
-  /** Per-lang-bucket exact median (JSON facet percentile agg). */
+  /** Per-lang-bucket exact median (JSON facet percentile agg),
+    * quantized like every float output (driver-contract rule).
+    */
   val facetPercentileSql: String =
-    """SELECT lang, quantile_cont(n_chars, 0.5) AS p50_chars,
+    """SELECT lang,
+      |       CAST(round(quantile_cont(n_chars, 0.5) * 10000) AS BIGINT)
+      |         AS p50_chars_q,
       |       count(*) AS n
       |FROM documents GROUP BY lang""".stripMargin
 

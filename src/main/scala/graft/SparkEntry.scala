@@ -559,15 +559,16 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val v = IndexCache.documentsIndex(s, dir)
       val sc = ExactSearch.scored(s, v, Seq("spark", "join"), DoubleOracle)
-      val parts = Seq("hash" -> "g_hash", "scan" -> "g_scan").map {
+      // label the group domains FIRST and join the scored frame once —
+      // the scoring subtree appears a single time in the plan (a union
+      // of per-group semi-joins would re-execute it per group)
+      val domains = Seq("hash" -> "g_hash", "scan" -> "g_scan").map {
         case (t, g) =>
-          sc.join(MoreQueries.matchingDocs(s, v, Seq(t)),
-              Seq("doc_id"), "left_semi")
-            .withColumn("grp", lit(g))
-      }
+          MoreQueries.matchingDocs(s, v, Seq(t)).withColumn("grp", lit(g))
+      }.reduce(_.unionByName(_))
       val w = Window.partitionBy("grp")
         .orderBy(col("score").desc, col("doc_id").asc)
-      parts.reduce(_.unionByName(_))
+      sc.join(domains, Seq("doc_id"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("grp"), col("doc_id"),
@@ -1612,20 +1613,7 @@ object SparkEntry {
     "phrase_scored_topk" -> OracleGen.phraseScoredSql("hash", "join", 10),
     "multi_phrase_topk" ->
       OracleGen.multiPhraseScoredSql(Seq("hash"), Seq("join", "merge"), 10),
-    "span_near_query" ->
-      """WITH lists AS (
-        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
-        |), tokpos AS (
-        |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
-        |  FROM lists
-        |), a AS (SELECT doc_id, pos FROM tokpos WHERE term = 'hash'),
-        |   b AS (SELECT doc_id, pos FROM tokpos WHERE term = 'join'),
-        |anchors AS (
-        |  SELECT a.doc_id, a.pos, min(b.pos) AS nb
-        |  FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos > a.pos
-        |  GROUP BY a.doc_id, a.pos)
-        |SELECT doc_id, count(*) AS span_tf
-        |FROM anchors WHERE nb - pos - 1 <= 3 GROUP BY doc_id""".stripMargin,
+    "span_near_query" -> OracleGen.spanNearOrderedSql("hash", "join", 3),
     "prefix_query" -> OracleGen.docsWithTermWhereSql("term LIKE 'sl%'"),
     "wildcard_query" -> OracleGen.docsWithTermWhereSql("regexp_matches(term, '^s.an$')"),
     "leading_wildcard" -> OracleGen.docsWithTermWhereSql("term LIKE '%er'"),

@@ -290,7 +290,8 @@ object Relational {
   def facetPercentile(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
       .groupBy("lang")
-      .agg(percentile(col("n_chars"), lit(0.5)).as("p50_chars"),
+      .agg(round(percentile(col("n_chars"), lit(0.5)) * 10000)
+        .cast("long").as("p50_chars_q"),
         count(lit(1)).as("n"))
 
   /** CollapsingQParserPlugin: top-1 row per group (window collapse). */

@@ -301,19 +301,24 @@ object SurroundParser {
     val prefix = "^(\\d*)([wnWN])\\s*\\((.+)\\)$".r
     val infix = "^(\\S+)\\s+(\\d*)([wnWN])\\s+(\\S+)$".r
     def dist(d: String): Int = {
-      val n = if (d.isEmpty) 1 else d.toInt
-      if (n < 1) throw ParseException("distance must be >= 1", 0)
-      n
+      val n = if (d.isEmpty) Some(1) else d.toIntOption
+      n.filter(_ >= 1)
+        .getOrElse(throw ParseException(s"bad distance '$d'", 0))
     }
     def norm(t: String): String = {
       val x = t.trim.toLowerCase(java.util.Locale.ROOT)
-      if (x.isEmpty || x.exists(c => c.isWhitespace || "(),".contains(c)))
+      // reject the full grammar's truncation syntax rather than
+      // silently matching '*'/'?' as literal characters
+      if (x.isEmpty || x.exists(c =>
+          c.isWhitespace || "(),*?".contains(c)))
         throw ParseException(s"bad operand '$t'", 0)
       x
     }
     q match {
       case prefix(d, op, args) =>
-        val terms = args.split(',').map(norm).toSeq
+        // -1 keeps trailing empty fields so "w(a, b,)" is an error,
+        // not a silently-dropped operand
+        val terms = args.split(",", -1).map(norm).toSeq
         if (terms.size < 2) throw ParseException("need >= 2 operands", 0)
         SurroundNear(terms, dist(d) - 1, op.equalsIgnoreCase("w"))
       case infix(a, d, op, b) =>

@@ -123,6 +123,13 @@ class QueryParserSpec extends AnyFunSuite {
     intercept[QueryParser.ParseException](SurroundParser.parse("3w(a)"))
     intercept[QueryParser.ParseException](SurroundParser.parse("3x(a, b)"))
     intercept[QueryParser.ParseException](SurroundParser.parse("a 3w"))
+    // overlong distance stays inside the parser's error contract
+    intercept[QueryParser.ParseException](
+      SurroundParser.parse("99999999999w(a, b)"))
+    // truncation syntax is rejected, not silently matched literally
+    intercept[QueryParser.ParseException](SurroundParser.parse("3w(spar*, b)"))
+    // trailing comma is an error, not a dropped operand
+    intercept[QueryParser.ParseException](SurroundParser.parse("3w(a, b,)"))
   }
 
   test("the judge's example parses") {

@@ -100,7 +100,7 @@ class RelationalSpec extends AnyFunSuite {
   test("facet_percentile: per-lang median equals exact in-memory interpolation") {
     import spark.implicits._
     val rows = Relational.facetPercentile(spark, dir)
-      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2))))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
       .toMap
     val byLang = spark.read.parquet(s"$dir/documents.parquet")
       .select($"lang", $"n_chars".cast("long")).as[(String, Long)].collect()
@@ -109,7 +109,7 @@ class RelationalSpec extends AnyFunSuite {
     byLang.foreach { case (l, xs) =>
       val h = (xs.length - 1) * 0.5
       val (lo, hi) = (xs(h.toInt), xs(math.ceil(h).toInt))
-      val want = lo + (h - h.toInt) * (hi - lo)
+      val want = math.round((lo + (h - h.toInt) * (hi - lo)) * 10000)
       assert(rows(l)._1 == want && rows(l)._2 == xs.length.toLong, s"lang $l")
     }
   }
