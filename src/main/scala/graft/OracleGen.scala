@@ -494,6 +494,150 @@ object OracleGen {
        |ORDER BY sum(boost) DESC, doc_id ASC LIMIT $k""".stripMargin
   }
 
+  /** CoveringQuery: per-doc minimum-match threshold from the uniqueKey
+    * docvalue (1 + doc_id % 3); score = sum of matching clause scores.
+    * Ordered by the quantized score so both engines break ties the same
+    * way inside a quantization bucket.
+    */
+  def coveringQuerySql(terms: Seq[String], k: Int): String =
+    s"""WITH ${bm25Ctes(terms)}
+       |SELECT doc_id, n_matched,
+       |  CAST(round(score * 10000) AS BIGINT) AS score_q
+       |FROM sc WHERE n_matched >= 1 + doc_id % 3
+       |ORDER BY score_q DESC, doc_id ASC LIMIT $k""".stripMargin
+
+  /** TopTermsScoringRewrite: expansion = the n highest-df dictionary
+    * terms under the prefix (df desc, term asc — the reference's
+    * priority-queue order made total), each scored as a TermQuery.
+    */
+  def wildcardScoredSql(prefix: String, n: Int, k: Int): String =
+    s"""WITH $tokCte, $dlCtes, alldf AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+       |  WHERE term LIKE '$prefix%' GROUP BY term
+       |), exp AS (
+       |  SELECT term, df FROM alldf ORDER BY df DESC, term ASC LIMIT $n
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tokf
+       |  WHERE term IN (SELECT term FROM exp) GROUP BY doc_id, term
+       |), persc AS (
+       |  SELECT tf.doc_id,
+       |    ln(1 + (st.n - exp.df + 0.5) / (exp.df + 0.5))
+       |      * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * norm.ldl / (st.sttf / CAST(st.n AS DOUBLE)))) AS s
+       |  FROM tf JOIN exp USING (term)
+       |  JOIN norm ON tf.doc_id = norm.doc_id CROSS JOIN st
+       |), sc AS (SELECT doc_id, sum(s) AS score FROM persc GROUP BY doc_id)
+       |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q
+       |FROM sc ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+
+  /** LMJelinekMercerSimilarity top-k (λ = Solr factory default 0.7):
+    * ln(1 + ((1−λ)·tf/dl) / (λ·ctf/total)), dl lossy. The λ-products
+    * are forced to DOUBLE so both engines run identical IEEE ops
+    * (DuckDB would otherwise do DECIMAL×BIGINT exactly).
+    */
+  def lmJelinekMercerSql(terms: Seq[String], k: Int,
+                         lambda: Double = 0.7): String = {
+    val qs = termList(terms.distinct)
+    s"""WITH $tokCte, $dlCtes, ctf AS (
+       |  SELECT term, count(*) AS ctf FROM tokf
+       |  WHERE term IN ($qs) GROUP BY term
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tokf
+       |  WHERE term IN ($qs) GROUP BY doc_id, term
+       |), sc AS (
+       |  SELECT tf.doc_id,
+       |    sum(ln(1.0 + (${1.0 - lambda} * CAST(tf.tf AS DOUBLE)
+       |                   / CAST(norm.ldl AS DOUBLE))
+       |                 / ($lambda * CAST(ctf.ctf AS DOUBLE)
+       |                   / CAST(st.sttf AS DOUBLE)))) AS score
+       |  FROM tf JOIN ctf USING (term)
+       |  JOIN norm ON tf.doc_id = norm.doc_id CROSS JOIN st
+       |  GROUP BY tf.doc_id
+       |)
+       |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q
+       |FROM sc ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** spanNear([spanOr(or-predicate), anchor], slop, ordered): the
+    * or-side positions are the union (one term per position, so
+    * DISTINCT suffices); the near walk is the two-term ordered rule.
+    * `orPred` is a SQL predicate over `term` — an IN list for an
+    * explicit SpanOrQuery, a LIKE prefix for SpanMultiTermQueryWrapper.
+    */
+  def spanOrNearSql(orPred: String, anchor: String, slop: Int): String =
+    s"""WITH lists AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), tokpos AS (
+       |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+       |  FROM lists
+       |), a AS (SELECT DISTINCT doc_id, pos FROM tokpos WHERE $orPred),
+       |   b AS (SELECT doc_id, pos FROM tokpos WHERE term = '$anchor'),
+       |anchors AS (
+       |  SELECT a.doc_id, a.pos, min(b.pos) AS nb
+       |  FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos > a.pos
+       |  GROUP BY a.doc_id, a.pos)
+       |SELECT doc_id, count(*) AS span_tf
+       |FROM anchors WHERE nb - pos - 1 <= $slop GROUP BY doc_id""".stripMargin
+
+  /** LimitTokenCountFilter: dictionary of the corpus truncated to the
+    * first `maxTokens` tokens per doc (stopwords count toward the
+    * budget — the filter sits right after the tokenizer).
+    */
+  def limitTokenCountSql(maxTokens: Int): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+       |    generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents)
+       |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ctf
+       |FROM tok
+       |WHERE pos <= $maxTokens AND length(term) > 0
+       |  AND term NOT IN ($stopList)
+       |GROUP BY term""".stripMargin
+
+  /** PathHierarchyTokenizer: every ancestor prefix of the synthesized
+    * /source/lang/bucket path is one token; df per prefix.
+    */
+  val pathHierarchySql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    '/' || source || '/' || lang || '/'
+      |      || CAST(doc_id % 10 AS VARCHAR) AS p
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_slice(string_split(p, '/'), 1, k), '/') AS path
+      |  FROM p, LATERAL unnest(generate_series(2,
+      |    len(string_split(p, '/')))) AS t(k))
+      |SELECT path, count(*) AS df FROM toks GROUP BY path""".stripMargin
+
+  /** UAX29URLEmailTokenizer twin: the same alternation regex (RE2 ∩
+    * java.util.regex subset) over the synthesized contact lines, token
+    * type from the same prefix/contains rules.
+    */
+  def urlEmailSql(pattern: String): String =
+    s"""WITH lines AS (
+       |  SELECT doc_id,
+       |    'contact admin@' || source || '.example.com or see https://www.'
+       |      || source || '.org/' || lang || ' for details' AS line
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(line, '$pattern')) AS token
+       |  FROM lines)
+       |SELECT token,
+       |  CASE WHEN token LIKE 'http%' THEN 'URL'
+       |       WHEN contains(token, '@') THEN 'EMAIL'
+       |       ELSE 'ALPHANUM' END AS ttype,
+       |  count(DISTINCT doc_id) AS df
+       |FROM toks GROUP BY token, ttype""".stripMargin
+
+  /** JSON facet sorted by a nested stat: top-3 langs by integer-grid
+    * average n_chars.
+    */
+  val facetSortStatSql: String =
+    """SELECT lang, count(*) AS n,
+      |  CAST((sum(n_chars) * 10000) // count(*) AS BIGINT) AS avg_chars_q
+      |FROM documents GROUP BY lang
+      |ORDER BY avg_chars_q DESC, lang ASC LIMIT 3""".stripMargin
+
   /** Point-in-polygon (even-odd ray cast) over the synthetic
     * key-derived coordinates — identical IEEE expression shape to the
     * engine's per-edge crossing test so the doubles agree bit-for-bit.

@@ -64,6 +64,11 @@ object SparkEntry {
       // ClassicSimilarity (TF-IDF) instead of BM25
       quantize(graft.search.Similarities.classicTfidfTopK(
         s, IndexCache.documentsIndex(s, dir), Seq("spark", "join"), 10))),
+    "lm_jelinek_mercer_topk" -> ((s, dir) =>
+      // fourth pluggable similarity: Jelinek-Mercer smoothing (λ=0.7,
+      // the Solr factory default) over the same postings + ctf
+      quantize(graft.search.Similarities.lmJelinekMercerTopK(
+        s, IndexCache.documentsIndex(s, dir), Seq("spark", "join"), 10))),
     "lm_dirichlet_topk" -> ((s, dir) =>
       // language-model similarity (Dirichlet smoothing, μ=2000) over the
       // same postings + ctf from the term dictionary
@@ -527,6 +532,26 @@ object SparkEntry {
       // some ordered hash..join span (slop 5)
       MoreQueries.spanWithin(s, IndexCache.documentsIndex(s, dir),
         "hash", "join", 5, "scan")),
+    "span_or_near" -> ((s, dir) =>
+      // spanNear([spanOr([spark, merge]), join], 2, ordered): the
+      // or-clause's spans are the union of its terms' position lists
+      MoreQueries.spanOrNear(s, IndexCache.documentsIndex(s, dir),
+        Seq("spark", "merge"), "join", 2)),
+    "span_multiterm" -> ((s, dir) =>
+      // SpanMultiTermQueryWrapper: spanNear([spanOr(sp*), join], 2) —
+      // the prefix expands on the dictionary, then the spanOr walk
+      MoreQueries.spanMultiTermNear(s, IndexCache.documentsIndex(s, dir),
+        "sp", "join", 2)),
+    "covering_query" -> ((s, dir) =>
+      // CoveringQuery: ≥ minimumNumberMatch(doc) of the clauses must
+      // match, threshold = a per-doc docvalues read (1 + doc_id % 3)
+      MoreQueries.coveringQuery(s, IndexCache.documentsIndex(s, dir),
+        Seq("spark", "join", "merge"), 10)),
+    "wildcard_scored_topk" -> ((s, dir) =>
+      // TopTermsScoringRewrite: sp* expands to the 4 highest-df terms,
+      // each scored as a real TermQuery (not constant-score)
+      quantize(MoreQueries.wildcardScoredTopK(
+        s, IndexCache.documentsIndex(s, dir), "sp", 4, 10))),
     "scored_join" -> ((s, dir) =>
       // {!join ... score=max} (ScoreJoinQParserPlugin): outer docs
       // ranked by the best inner-query BM25 score sharing the join key
@@ -1117,6 +1142,18 @@ object SparkEntry {
       graft.operators.AnalysisOps.shingleDf(s, dir)),
     "char_ngram_df" -> ((s, dir) =>
       graft.operators.AnalysisOps.charNgramDf(s, dir)),
+    "limit_token_count" -> ((s, dir) =>
+      // LimitTokenCountFilter / maxFieldLength: only the first 40
+      // tokens per doc are indexed; output = the truncated dictionary
+      graft.operators.AnalysisOps.limitTokenCount(s, dir, 40)),
+    "path_hierarchy_df" -> ((s, dir) =>
+      // PathHierarchyTokenizer: /source/lang/bucket paths emit every
+      // ancestor prefix as a token (subtree-match fields)
+      graft.operators.AnalysisOps.pathHierarchyDf(s, dir)),
+    "uax_url_email" -> ((s, dir) =>
+      // UAX29URLEmailTokenizer: URLs and e-mails stay single tokens,
+      // with the reference's token-type attribute
+      graft.operators.AnalysisOps.urlEmailTokens(s, dir)),
     "terms_regex" -> ((s, dir) => {
       // TermsComponent terms.regex [8x solr/core .../handler/component/
       // TermsComponent.java]: dictionary enumeration by whole-term
@@ -1451,6 +1488,17 @@ object SparkEntry {
     "dup_ngram_prune" -> ((s, dir) => graft.operators.TrainingData.dupNgramPrune(s, dir)),
     "dsir_importance" -> ((s, dir) => graft.operators.TrainingData.dsirImportance(s, dir)),
     "semdedup" -> ((s, dir) => graft.operators.TrainingData.semDedup(s, dir)),
+    "text_profile_sig" -> ((s, dir) =>
+      // SignatureUpdateProcessor TextProfileSignature: the fuzzy
+      // ingest-dedup signature (quantized token counts, md5)
+      graft.operators.TrainingData.textProfileSignature(s, dir)),
+    "url_dedup_best" -> ((s, dir) =>
+      // canonical-URL keep-best collapse (the CC re-crawl dedup)
+      graft.operators.TrainingData.urlDedupBest(s, dir)),
+    "stream_kmeans" -> ((s, dir) =>
+      // Solr kmeans() stream evaluator: integer-grid Lloyd over the
+      // embedding column, 2 rounds from first-k seeds
+      graft.operators.Vectors.streamKmeans(s, dir, 4, 2)),
     "gopher_rules" -> ((s, dir) => graft.operators.TrainingData.gopherRules(s, dir)),
     "ccnet_bucket" -> ((s, dir) => graft.operators.TrainingData.ccnetBucket(s, dir)),
     // — classification module [8x lucene/classification/
@@ -1481,6 +1529,7 @@ object SparkEntry {
       graft.search.Suggest.suggestContext(s,
         IndexCache.documentsIndex(s, dir), dir, "s", "en", 8)),
     "facet_percentile" -> (graft.operators.Relational.facetPercentile _),
+    "facet_sort_stat" -> (graft.operators.Relational.facetSortStat _),
     "ann_cosine_topk" -> ((s, dir) => graft.operators.Vectors.annBruteTopK(s, dir)),
     "ann_batch_topk" -> ((s, dir) => graft.operators.Vectors.annBatchTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => graft.operators.Vectors.annLshTopK(s, dir)),
@@ -1590,6 +1639,8 @@ object SparkEntry {
     "bm25_topk_exact" -> OracleGen.bm25TopKSql(Seq("spark", "join"), 10),
     "classic_tfidf_topk" -> OracleGen.classicTfidfSql(Seq("spark", "join"), 10),
     "lm_dirichlet_topk" -> OracleGen.lmDirichletSql(Seq("merge", "scan"), 10),
+    "lm_jelinek_mercer_topk" ->
+      OracleGen.lmJelinekMercerSql(Seq("spark", "join"), 10),
     "bm25_topk_bmw" -> OracleGen.bm25TopKSql(Seq("merge", "dup", "scan"), 10),
     "bm25_topk_and" -> OracleGen.bm25TopKSql(Seq("vector", "window"), 10, minShouldMatch = 2),
     "frange_filter" ->
@@ -1752,6 +1803,13 @@ object SparkEntry {
     "span_not" -> OracleGen.spanNotSql("hash", "join", 2, "scan"),
     "span_containing" -> OracleGen.spanContainingSql("hash", "join", 5, "scan"),
     "span_within" -> OracleGen.spanWithinSql("hash", "join", 5, "scan"),
+    "span_or_near" -> OracleGen.spanOrNearSql(
+      "term IN ('spark', 'merge')", "join", 2),
+    "span_multiterm" -> OracleGen.spanOrNearSql(
+      "term LIKE 'sp%'", "join", 2),
+    "covering_query" -> OracleGen.coveringQuerySql(
+      Seq("spark", "join", "merge"), 10),
+    "wildcard_scored_topk" -> OracleGen.wildcardScoredSql("sp", 4, 10),
     "scored_join" -> OracleGen.scoredJoinSql(Seq("spark", "join"), 10),
     "facet_excl_tag" -> OracleGen.facetExclTagSql("hash", 100L, 299L),
     "qparse_surround" -> OracleGen.spanNearOrderedSql("hash", "join", 2),
@@ -1815,6 +1873,10 @@ object SparkEntry {
     "ascii_folding" -> OracleGen.asciiFoldingSql,
     "text_en_chain" -> OracleGen.textEnChainSql,
     "shingle_df" -> OracleGen.shingleDfSql,
+    "limit_token_count" -> OracleGen.limitTokenCountSql(40),
+    "path_hierarchy_df" -> OracleGen.pathHierarchySql,
+    "uax_url_email" ->
+      OracleGen.urlEmailSql(graft.operators.AnalysisOps.UrlEmailPattern),
     "char_ngram_df" -> OracleGen.charNgramSql,
     "minimal_stem_df" ->
       s"""WITH ${OracleGen.tokCte}
@@ -2180,6 +2242,9 @@ object SparkEntry {
     "dup_ngram_prune" -> TrainingOracles.dupNgramPrune,
     "dsir_importance" -> TrainingOracles.dsirImportance,
     "semdedup" -> TrainingOracles.semDedup(8, 950000L),
+    "text_profile_sig" -> TrainingOracles.textProfileSignature,
+    "url_dedup_best" -> TrainingOracles.urlDedupBest,
+    "stream_kmeans" -> TrainingOracles.streamKmeans(4, 2),
     "gopher_rules" -> TrainingOracles.gopherRules(10L, 100000L),
     "ccnet_bucket" -> TrainingOracles.ccnetBucket,
     "common_terms_topk" -> OracleGen.commonTermsSql(Seq("dup", "spark", "merge"), 0.1, 10),
@@ -2280,6 +2345,7 @@ object SparkEntry {
       graft.search.Monitor.phraseOccurrencesSql(withCounts = true),
     "suggest_context" -> OracleGen.suggestContextSql("s", "en", 8),
     "facet_percentile" -> OracleGen.facetPercentileSql,
+    "facet_sort_stat" -> OracleGen.facetSortStatSql,
     "ann_cosine_topk" -> TrainingOracles.annCosineTopK,
     "ann_batch_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),

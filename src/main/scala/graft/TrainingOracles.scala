@@ -571,4 +571,77 @@ object TrainingOracles {
       |       WHEN pt.ppl_q <= thr.t2 THEN 'middle'
       |       ELSE 'tail' END AS bucket
       |FROM pt JOIN thr ON pt.lang = thr.lang""".stripMargin
+
+  /** TextProfileSignature replay: integer quant rule, quantized counts,
+    * (count desc, token asc) serialization, md5 — all byte-stable.
+    */
+  val textProfileSignature: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |cnt AS (
+      |  SELECT doc_id, term, count(*) AS cnt FROM tok
+      |  WHERE length(term) >= 2 GROUP BY doc_id, term),
+      |q AS (
+      |  SELECT doc_id,
+      |    CASE WHEN (max(cnt) + 50) // 100 >= 2 THEN (max(cnt) + 50) // 100
+      |         WHEN max(cnt) > 4 THEN 2 ELSE 1 END AS quant
+      |  FROM cnt GROUP BY doc_id),
+      |p AS (
+      |  SELECT c.doc_id, q.quant, c.term, (c.cnt // q.quant) * q.quant AS qcnt
+      |  FROM cnt c JOIN q USING (doc_id))
+      |SELECT doc_id, quant,
+      |  md5(string_agg(term || ' ' || CAST(qcnt AS VARCHAR), ' '
+      |      ORDER BY qcnt DESC, term ASC)) AS signature
+      |FROM p WHERE qcnt >= quant GROUP BY doc_id, quant""".stripMargin
+
+  /** URL keep-best dedup: canonical key replayed with the urlNormalize
+    * string rules, keeper = argmax (n_chars, -doc_id) per key.
+    */
+  val urlDedupBest: String =
+    """WITH c AS (
+      |  SELECT doc_id, n_chars,
+      |    'http://example' || CAST(doc_id % 50 AS VARCHAR) || '.com/p/'
+      |      || CAST(doc_id % 100 AS VARCHAR) AS canon_url
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, canon_url, row_number() OVER (
+      |    PARTITION BY canon_url ORDER BY n_chars DESC, doc_id ASC) AS rn
+      |  FROM c)
+      |SELECT canon_url, count(*) AS n_dups,
+      |  min(CASE WHEN rn = 1 THEN doc_id END) AS keeper
+      |FROM r GROUP BY canon_url""".stripMargin
+
+  /** kmeans stream evaluator replay: integer-milli coordinates, exact
+    * integer squared distances, floor-gridded centroid means, `iters`
+    * Lloyd rounds from the first-k seeds — every step order-proof.
+    */
+  def streamKmeans(k: Int, iters: Int): String = {
+    require(iters == 2, "oracle replays exactly 2 Lloyd rounds")
+    s"""WITH eq AS (
+       |  SELECT vec_id, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS x, i
+       |  FROM (SELECT vec_id, unnest(embedding) AS x,
+       |          generate_subscripts(embedding, 1) AS i FROM embeddings)),
+       |init AS (SELECT vec_id AS cid, x AS cx, i FROM eq WHERE vec_id < $k),
+       |d1 AS (
+       |  SELECT e.vec_id, c.cid,
+       |    CAST(sum((e.x - c.cx) * (e.x - c.cx)) AS BIGINT) AS dist
+       |  FROM eq e JOIN init c ON c.i = e.i GROUP BY e.vec_id, c.cid),
+       |a1 AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM d1)
+       |  WHERE rn = 1),
+       |c1 AS (
+       |  SELECT a1.cluster AS cid, eq.i,
+       |    CAST(floor(sum(eq.x) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cx
+       |  FROM a1 JOIN eq ON eq.vec_id = a1.vec_id GROUP BY a1.cluster, eq.i),
+       |d2 AS (
+       |  SELECT e.vec_id, c.cid,
+       |    CAST(sum((e.x - c.cx) * (e.x - c.cx)) AS BIGINT) AS dist
+       |  FROM eq e JOIN c1 c ON c.i = e.i GROUP BY e.vec_id, c.cid)
+       |SELECT vec_id, cid AS cluster, dist AS dist_q FROM (
+       |  SELECT vec_id, cid, dist, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM d2)
+       |WHERE rn = 1""".stripMargin
+  }
 }

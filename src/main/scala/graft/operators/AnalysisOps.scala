@@ -131,4 +131,76 @@ object AnalysisOps {
       .groupBy(concat_ws(" ", col("term"), col("nt")).as("shingle"))
       .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("ctf"))
   }
+
+  /** LimitTokenCountFilter [8x lucene/analysis/common .../miscellaneous/
+    * LimitTokenCountFilter.java; Solr's old `maxFieldLength`]: only the
+    * first `maxTokens` tokens a document emits are indexed — the
+    * index-time truncation every large-document schema applies. The
+    * filter sits right after the tokenizer (so stopwords count toward
+    * the budget, matching the chain position Solr configures), then the
+    * stop filter runs. Output: the truncated corpus's term dictionary
+    * (df + ctf), which downstream differs from the full dictionary
+    * exactly on the tail tokens. Fully narrow until the dictionary-
+    * sized aggregate — no corpus-wide shuffle beyond the df count.
+    */
+  def limitTokenCount(s: SparkSession, dir: String,
+                      maxTokens: Int = 40): DataFrame = {
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .where(col("pos") < maxTokens && length(col("col")) > 0 &&
+        !col("col").isin(graft.analysis.Analyzer.EnglishStopWords.toSeq: _*))
+      .groupBy(col("col").as("term"))
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("ctf"))
+  }
+
+  /** PathHierarchyTokenizer [8x lucene/analysis/common .../path/
+    * PathHierarchyTokenizer.java]: a path field emits every ancestor
+    * prefix as a token (`/a/b/c` → `/a`, `/a/b`, `/a/b/c`) so a prefix
+    * filter on the tokenized field matches whole subtrees — the
+    * canonical faceted-navigation / URL-path field for a web corpus.
+    * Paths are synthesized deterministically from the stored fields
+    * (source/lang/doc_id — the corpus has no real URL column,
+    * TESTDATA.md); the tokenizer itself is the published prefix rule.
+    * One narrow transform + explode, then a dictionary-sized count.
+    */
+  def pathHierarchyDf(s: SparkSession, dir: String): DataFrame = {
+    val path = concat(lit("/"), col("source"), lit("/"), col("lang"),
+      lit("/"), (col("doc_id") % 10).cast("string"))
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), path.as("p"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(split(p, '/'))), " +
+          "k -> array_join(slice(split(p, '/'), 1, k), '/'))")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("df"))
+  }
+
+  /** UAX29URLEmailTokenizer [8x lucene/analysis/common .../standard/
+    * UAX29URLEmailTokenizer.java]: the StandardTokenizer variant that
+    * keeps URLs and e-mail addresses as SINGLE tokens instead of
+    * splitting on punctuation — the web-corpus analysis front door.
+    * The full UAX#29+RFC grammar is reduced to the alternation that is
+    * total on this corpus's synthesized contact lines (scheme://…,
+    * local@domain, else alphanumeric runs) — the same
+    * restricted-input-twin honesty as `word_delimiter_parts`. The
+    * token-type attribute (<URL>/<EMAIL>/<ALPHANUM>) is emitted like
+    * the reference's TypeAttribute. Narrow regexp pass + small agg.
+    */
+  val UrlEmailPattern = "(https?://[a-z0-9./]+|[a-z0-9.]+@[a-z0-9.]+|[a-z0-9]+)"
+
+  def urlEmailTokens(s: SparkSession, dir: String): DataFrame = {
+    val line = concat(lit("contact admin@"), col("source"),
+      lit(".example.com or see https://www."), col("source"),
+      lit(".org/"), col("lang"), lit(" for details"))
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), line.as("line"))
+      .select(col("doc_id"),
+        explode(expr(s"regexp_extract_all(line, '$UrlEmailPattern', 0)"))
+          .as("token"))
+      .select(col("doc_id"), col("token"),
+        when(col("token").startsWith("http"), lit("URL"))
+          .when(col("token").contains("@"), lit("EMAIL"))
+          .otherwise(lit("ALPHANUM")).as("ttype"))
+      .groupBy("token", "ttype")
+      .agg(countDistinct("doc_id").as("df"))
+  }
 }

@@ -294,6 +294,24 @@ object Relational {
         .cast("long").as("p50_chars_q"),
         count(lit(1)).as("n"))
 
+  /** JSON facet bucket sort by a NESTED stat (`sort: {avg_chars: desc},
+    * limit: 3` [8x solr/core .../search/facet/FacetField.java sort
+    * handling]): buckets ordered by an aggregate computed inside each
+    * bucket, not by count — the "top categories by average" query. The
+    * mean is kept on the integer grid ((sum × 10⁴) div n) so bucket
+    * order is a pure function of the data. One partial+final hash agg +
+    * a k-bucket sort — the bucket frame is facet-cardinality-sized, so
+    * the final sort is trivial at any corpus size.
+    */
+  def facetSortStat(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .select(col("lang"), col("n"),
+        expr("(sum_chars * 10000) div n").as("avg_chars_q"))
+      .orderBy(col("avg_chars_q").desc, col("lang").asc)
+      .limit(3)
+
   /** CollapsingQParserPlugin: top-1 row per group (window collapse). */
   def windowCollapse(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")

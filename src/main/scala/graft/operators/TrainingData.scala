@@ -1074,4 +1074,74 @@ object TrainingData {
           .when(col("ppl_q") <= col("t2"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
   }
+
+  /** TextProfileSignature [8x solr/core .../update/processor/
+    * TextProfileSignature.java, from Nutch]: the fuzzy ingest-dedup
+    * signature — per document, token counts quantized to multiples of
+    * `quant` (quant = round(maxFreq/100), floored to 2 when maxFreq > 4
+    * else 1, the published QUANT_RATE=0.01 rule), tokens shorter than 2
+    * chars and tokens whose count rounds to zero dropped, profile
+    * serialized in (count desc, token asc) order and MD5-hashed.
+    * Two pinned details the reference leaves unspecified: the tie order
+    * inside equal counts (its sort is by count only, HashMap order
+    * otherwise) and the exact separator — both are fixed here
+    * ((count desc, token asc), single space) so the signature is a pure
+    * function of content and the oracle replays it. All arithmetic is
+    * integer (quant via (maxFreq+50) div 100 = round-half-up), so the
+    * signature is identical at any parallelism. Narrow per-doc
+    * aggregation — the one shuffle is the (doc, term) count.
+    */
+  def textProfileSignature(s: SparkSession, dir: String): DataFrame = {
+    val cnt = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) >= 2)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+    val quant = cnt.groupBy("doc_id").agg(max("cnt").as("maxfreq"))
+      .select(col("doc_id"),
+        when(expr("(maxfreq + 50) div 100") >= 2, expr("(maxfreq + 50) div 100"))
+          .otherwise(when(col("maxfreq") > 4, lit(2L)).otherwise(lit(1L)))
+          .as("quant"))
+    cnt.join(quant, Seq("doc_id"))
+      .select(col("doc_id"), col("quant"), col("term"),
+        (expr("cnt div quant") * col("quant")).as("qcnt"))
+      .where(col("qcnt") >= col("quant"))
+      .groupBy("doc_id", "quant")
+      .agg(md5(array_join(expr(
+        "transform(array_sort(collect_list(struct(-qcnt AS negc, term, qcnt))), " +
+          "x -> concat(x.term, ' ', x.qcnt))"), " ")).as("signature"))
+      .select("doc_id", "quant", "signature")
+  }
+
+  /** URL-keyed keep-best dedup — the Common-Crawl re-crawl collapse:
+    * canonicalize each page's URL (the [[urlNormalize]] rules), then
+    * keep ONE page per canonical URL, the "best" by a deterministic
+    * quality key (longest content, doc_id tiebreak — the reference
+    * pipeline uses fetch recency; the corpus has no crawl timestamp).
+    * Raw URLs are synthesized with colliding canonical forms
+    * (host = doc_id%50, path = doc_id%100) so the collapse is real.
+    * Shape: one narrow canonicalization + one window over the URL key —
+    * the same partitioned WindowGroupLimit as `source_cap`, no global
+    * sort at any corpus size.
+    */
+  def urlDedupBest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = concat(
+      lit("HTTP://Example"), (col("doc_id") % 50).cast("string"),
+      lit(".COM:80/p/"), (col("doc_id") % 100).cast("string"),
+      lit("/?utm_source=x&id="), (col("doc_id") % 7).cast("string"),
+      lit("#frag"))
+    val canon = docs(s, dir)
+      .select(col("doc_id"), col("n_chars"), raw.as("raw_url"))
+      .select(col("doc_id"), col("n_chars"),
+        concat(lit("http://"),
+          lower(parse_url(col("raw_url"), lit("HOST"))),
+          expr("trim(TRAILING '/' FROM parse_url(raw_url, 'PATH'))"))
+          .as("canon_url"))
+    val w = Window.partitionBy("canon_url")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    canon.withColumn("rn", row_number().over(w))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_dups"),
+        min(when(col("rn") === 1, col("doc_id"))).as("keeper"))
+  }
 }

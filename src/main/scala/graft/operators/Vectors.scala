@@ -489,4 +489,50 @@ object Vectors {
       (-d, c)
     }
   }
+
+  /** Solr `kmeans()` streaming evaluator [8x solr/solrj .../io/eval/
+    * KmeansEvaluator.java]: Lloyd's algorithm over the embedding
+    * column — here the distributed twin, with every step made
+    * order-proof: coordinates quantized to integer milli-units once,
+    * distances are exact integer sums of squares, assignment ties break
+    * to the lowest cluster id, and each centroid update floors the
+    * per-dimension mean back to the integer grid (the reference's
+    * double means made replayable — same honesty note as the quantized
+    * NB log-probs). Fixed `iters` Lloyd rounds from pinned seeds (the
+    * first k vectors; the reference seeds from the input order too).
+    * Scale shape: centroids are a k×dim frame broadcast to a narrow
+    * distance map; the update is one (cluster, dim) partial+final
+    * aggregate — nothing quadratic, no driver loop over rows.
+    */
+  def streamKmeans(s: SparkSession, dir: String, k: Int = 4,
+                   iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        .as("q"))
+    def assigned(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("dist").asc, col("cid").asc)
+      pts.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("q"), col("cid"), expr(
+          "aggregate(zip_with(q, cq, (a, b) -> (a - b) * (a - b)), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("dist"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    }
+    var cents = pts.where(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+    var a = assigned(cents)
+    for (_ <- 1 until iters) {
+      cents = a.select(col("cid"), posexplode(col("q")))
+        .groupBy("cid", "pos")
+        .agg(expr("CAST(floor(sum(col) / CAST(count(1) AS DOUBLE)) AS BIGINT)")
+          .as("cx"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), " +
+          "x -> x.cx)").as("cq"))
+      a = assigned(cents)
+    }
+    a.select(col("vec_id"), col("cid").as("cluster"), col("dist").as("dist_q"))
+  }
 }

@@ -722,6 +722,49 @@ object MoreQueries {
       .select(col("url").cast("long").as("doc_id"), col("parent_score"))
   }
 
+  /** ToParentBlockJoin ScoreMode.Total + ScoreMode.Avg [8x join/
+    * ToParentBlockJoinQuery.java, ScoreMode]: the other two aggregation
+    * modes over the same matching-children frame — parent score = the
+    * SUM of its matching children's scores, and the integer-grid mean
+    * ((total × 10⁴) div n, the reference's float avg made order-proof).
+    * Identical dataflow to the Max mode: one decoded-postings pass,
+    * per-child conjunction check, one per-parent aggregate.
+    */
+  def blockJoinScoredAvg(spark: SparkSession, view: IndexView,
+                         t1: String, t2: String): DataFrame = {
+    val parents = parentDocSet(spark, view)
+    val need = Seq(t1, t2).distinct.size
+    val childScores = ExactSearch.decodedPostings(spark, view, Seq(t1, t2))
+      .groupBy("doc_id")
+      .agg(countDistinct("term").as("nt"), sum("tf").as("cscore"))
+      .where(col("nt") === need)
+      .join(parents, col("doc_id") === col("parent_id"), "left_anti")
+    childScores
+      .select(parentOf(col("doc_id")).as("parent_id"), col("cscore"))
+      .groupBy("parent_id")
+      .agg(count(lit(1)).as("n_children"), sum("cscore").as("total_score"))
+      .join(parents, Seq("parent_id"))
+      .join(parentUrlLookup(view), Seq("parent_id"))
+      .select(col("url").cast("long").as("doc_id"),
+        col("n_children"), col("total_score"),
+        expr("(total_score * 10000) div n_children").as("avg_score_q"))
+  }
+
+  /** SpanPositionRangeQuery [8x search/spans/SpanPositionRangeQuery
+    * .java]: keep spans whose start ≥ `start` and end ≤ `end` —
+    * SpanFirst is the `start = 0` special case. For single-term spans
+    * that is positions in [start, end); count per doc.
+    */
+  def spanPositionRange(spark: SparkSession, view: IndexView,
+                        term: String, start: Int, end: Int): DataFrame = {
+    import spark.implicits._
+    positionalPostings(spark, view, Seq(term), Seq(Seq(term)))
+      .map { case (docId, _, ps) =>
+        (docId, ps.count(p => p >= start && p + 1 <= end))
+      }
+      .filter(_._2 > 0).toDF("doc_id", "span_tf")
+  }
+
   /** ToChildBlockJoinQuery [8x search/join/ToChildBlockJoinQuery.java]:
     * all CHILD docs of parents matching the parent query — the inverse
     * direction of [[blockJoinParents]]. Parent matches come from the
@@ -1128,4 +1171,143 @@ object MoreQueries {
                    term: String): DataFrame =
     ExactSearch.decodedPostings(spark, view, Seq(term))
       .select(col("doc_id"), col("tf").cast("long").as("tf"))
+
+  /** CoveringQuery [8x lucene/sandbox .../search/CoveringQuery.java]: a
+    * document matches when at least `minimumNumberMatch(doc)` of the N
+    * sub-queries match it, where the threshold is a per-document
+    * LongValuesSource (a docvalues read — here `1 + doc_id % 3`, the
+    * uniqueKey docvalue, like the reference's long-field source); the
+    * score is the sum of the matching sub-scores. One decoded-postings
+    * pass: the per-doc hash aggregate that sums scores also counts
+    * matched clauses, and the per-doc threshold is a narrow expression
+    * on the grouping key — no second pass, no join.
+    */
+  def coveringQuery(spark: SparkSession, view: IndexView,
+                    terms: Seq[String], k: Int): DataFrame = {
+    val scorers = QueryScorers(view, terms, DoubleOracle)
+    import spark.implicits._
+    val infoDf = scorers.terms.toSeq
+      .map(t => (t.term, t.df, t.idfD)).toDF("term", "df", "idf")
+    ExactSearch.decodedPostings(spark, view, terms)
+      .join(broadcast(infoDf), Seq("term"))
+      .withColumn("s", col("idf") * col("tf") / (col("tf") +
+        lit(scorers.k1d) * (lit(1.0) - lit(scorers.bd) +
+          lit(scorers.bd) * col("lossy_dl") / lit(scorers.avgdlD))))
+      .groupBy("doc_id")
+      .agg(sum("s").as("score"), count(lit(1)).as("n_matched"))
+      .where(col("n_matched") >= lit(1L) + pmod(col("doc_id"), lit(3L)))
+      .select(col("doc_id"), col("n_matched"),
+        round(col("score") * 10000).cast("long").as("score_q"))
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** TopTermsScoringRewrite for multi-term queries [8x lucene/core
+    * .../search/MultiTermQuery.java `TOP_TERMS_SCORING_BOOLEAN_REWRITE`,
+    * TopTermsRewrite.java]: instead of the constant-score default, a
+    * wildcard/prefix query expands to the `n` highest-docFreq matching
+    * terms (the reference's priority queue over the TermsEnum — here a
+    * dictionary-only aggregate, parquet-prefix-pruned) and scores each
+    * as a full TermQuery with its own idf. The expansion is a
+    * driver-side rewrite of a dictionary-sized frame, exactly where the
+    * reference rewrites; the scored pass is the ordinary BM25 dataflow.
+    */
+  def topTermsByDf(view: IndexView, prefix: String, n: Int): Seq[String] =
+    view.terms.where(col("term").startsWith(prefix))
+      .groupBy("term").agg(sum("df").as("df"))
+      .orderBy(col("df").desc, col("term").asc).limit(n)
+      .collect().map(_.getString(0)).toSeq
+
+  def wildcardScoredTopK(spark: SparkSession, view: IndexView,
+                         prefix: String, n: Int, k: Int): DataFrame =
+    ExactSearch.topK(spark, view, topTermsByDf(view, prefix, n), k,
+      DoubleOracle)
+
+  /** FuzzyQuery's default scoring rewrite [8x lucene/core .../search/
+    * MultiTermQuery.java `TOP_TERMS_BLENDED_FREQ_SCORING_REWRITE`,
+    * FuzzyTermsEnum.java (BoostAttribute), BlendedTermQuery.java]:
+    * expanded terms within `maxEdits` carry boost
+    * 1 − ed / min(|query|, |term|) (the FuzzyTermsEnum boost) and are
+    * scored as TermQueries whose docFreq is BLENDED to the maximum df
+    * across the expansion (BlendedTermQuery), so a rare misspelling
+    * cannot outrank the common form on idf alone. The expansion is the
+    * usual dictionary rewrite; the scored pass is one decoded-postings
+    * aggregate with the (term, boost) frame broadcast.
+    */
+  def fuzzyScoredTopK(spark: SparkSession, view: IndexView,
+                      query: String, maxEdits: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val cs = GlobalStats.collectionStats(view)
+    val avgdlD = cs.sumTotalTermFreq.toDouble / cs.docCount.toDouble
+    val exp = view.terms
+      .groupBy("term").agg(sum("df").as("df"))
+      .where(levenshtein(col("term"), lit(query)) <= maxEdits)
+      .select(col("term"), col("df"),
+        levenshtein(col("term"), lit(query)).as("ed"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    require(exp.nonEmpty, s"no terms within $maxEdits of '$query'")
+    val dfBlended = exp.map(_._2).max
+    val idfB = math.log(1d +
+      (cs.docCount - dfBlended + 0.5d) / (dfBlended + 0.5d))
+    val info = exp.toSeq.map { case (t, _, ed) =>
+      (t, 1.0 - ed.toDouble / math.min(t.length, query.length).toDouble)
+    }.toDF("term", "boost")
+    ExactSearch.decodedPostings(spark, view, exp.map(_._1).toSeq)
+      .join(broadcast(info), Seq("term"))
+      .select(col("doc_id"),
+        (col("boost") * lit(idfB) * col("tf") / (col("tf") +
+          lit(graft.spec.LuceneSpec.K1d) *
+            (lit(1.0) - lit(graft.spec.LuceneSpec.Bd) +
+              lit(graft.spec.LuceneSpec.Bd) * col("lossy_dl")
+                / lit(avgdlD)))).as("s"))
+      .groupBy("doc_id").agg(sum("s").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+
+  /** SpanOrQuery inside SpanNearQuery [8x lucene/core
+    * .../search/spans/SpanOrQuery.java]: spanNear([spanOr(orTerms),
+    * anchor], slop, inOrder=true). The or-clause's spans are the merged
+    * sorted union of its terms' position lists (disjoint — one term per
+    * position); the near walk is then identical to the two-term ordered
+    * case (closest following anchor occurrence within slop). Docs are
+    * pre-filtered to (any orTerm) AND anchor by the postings bitmask
+    * before positions are decoded.
+    */
+  def spanOrNear(spark: SparkSession, view: IndexView,
+                 orTerms: Seq[String], anchor: String,
+                 slop: Int): DataFrame = {
+    import spark.implicits._
+    val uniq = (orTerms :+ anchor).distinct
+    val perDoc = positionalPostings(spark, view, uniq,
+        Seq(orTerms, Seq(anchor)))
+      .groupByKey(_._1)
+      .mapGroups { (docId, it) =>
+        val posByTerm = it.map(t => t._2 -> t._3).toMap
+        val orPos = orTerms.flatMap(posByTerm.get).flatten.distinct
+          .sorted.toArray
+        val tf = posByTerm.get(anchor) match {
+          case None => 0
+          case Some(aps) =>
+            orPos.count { p0 =>
+              val i = java.util.Arrays.binarySearch(aps, p0 + 1)
+              val at = if (i >= 0) i else -i - 1
+              at < aps.length && (aps(at) - p0 - 1) <= slop
+            }
+        }
+        (docId, tf)
+      }
+    perDoc.filter(_._2 > 0).toDF("doc_id", "span_tf")
+  }
+
+  /** SpanMultiTermQueryWrapper [8x lucene/core .../search/spans/
+    * SpanMultiTermQueryWrapper.java]: a prefix/wildcard query lifted
+    * into span position — `spanNear([spanOr(prefix-expansion), anchor],
+    * slop)`. The expansion is the same dictionary rewrite every
+    * multi-term query uses; the span walk is [[spanOrNear]].
+    */
+  def spanMultiTermNear(spark: SparkSession, view: IndexView,
+                        prefix: String, anchor: String,
+                        slop: Int): DataFrame =
+    spanOrNear(spark, view,
+      expandTerms(view, col("term").startsWith(prefix)), anchor, slop)
 }

@@ -102,4 +102,34 @@ object Similarities {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** LMJelinekMercerSimilarity top-k (λ = 0.7, the Solr factory default
+    * [8x lucene .../similarities/LMJelinekMercerSimilarity.java; solr
+    * schema/LMJelinekMercerSimilarityFactory.java]):
+    *
+    *   p(t|C)      = ctf_t / sumTotalTermFreq
+    *   score(t, d) = ln(1 + ((1−λ) · tf / dl) / (λ · p(t|C)))
+    *
+    * Always ≥ 0 (log1p of a non-negative ratio) so no clip is needed —
+    * the fourth pluggable similarity over the same index (dl = decoded
+    * lossy norm, ctf from the dictionary; index-only inputs and the
+    * same broadcast-stats + hash-agg shape as the Dirichlet path).
+    */
+  def lmJelinekMercerTopK(spark: SparkSession, view: IndexView,
+                          terms: Seq[String], k: Int,
+                          lambda: Double = 0.7): DataFrame = {
+    val sttf = GlobalStats.collectionStats(view).sumTotalTermFreq
+    val ctf = view.terms.where(col("term").isin(terms.distinct: _*))
+      .groupBy("term").agg(sum("ctf").as("ctf"))
+    ExactSearch.decodedPostings(spark, view, terms)
+      .join(broadcast(ctf), Seq("term"))
+      .select(col("doc_id"),
+        log(lit(1.0)
+          + (lit(1.0 - lambda) * col("tf").cast("double")
+              / col("lossy_dl").cast("double"))
+            / (lit(lambda) * col("ctf") / lit(sttf.toDouble))).as("s"))
+      .groupBy("doc_id").agg(sum("s").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

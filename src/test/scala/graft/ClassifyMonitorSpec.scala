@@ -148,6 +148,24 @@ class ClassifyMonitorSpec extends AnyFunSuite {
       }.sortBy { case (id, sq) => (-sq, id) }.take(k)
     }
 
+    def expectedJm(terms: Seq[String], k: Int, lambda: Double): List[(Long, Long)] = {
+      val ctfm = terms.distinct.map(t =>
+        t -> toks.values.map(_.count(_ == t).toLong).sum).toMap
+      toks.toList.flatMap { case (id, tk) =>
+        val dl = SmallFloat.lossyLength(tk.length)
+        val present = terms.distinct.filter(t => tk.contains(t) && ctfm(t) > 0)
+        if (present.isEmpty) None
+        else {
+          val s = present.map { t =>
+            val tf = tk.count(_ == t).toDouble
+            math.log(1.0 + ((1.0 - lambda) * tf / dl)
+              / (lambda * ctfm(t) / sttf.toDouble))
+          }.sum
+          Some(id -> math.round(s * 10000))
+        }
+      }.sortBy { case (id, sq) => (-sq, id) }.take(k)
+    }
+
     def q(df: org.apache.spark.sql.DataFrame): List[(Long, Long)] =
       df.collect().map(r =>
         (r.getLong(0), math.round(r.getDouble(1) * 10000))).toList
@@ -157,6 +175,8 @@ class ClassifyMonitorSpec extends AnyFunSuite {
         == expectedClassic(terms, 5), s"classic $terms")
       assert(q(Similarities.lmDirichletTopK(spark, view, terms, 5))
         == expectedLm(terms, 5, 2000.0), s"lm $terms")
+      assert(q(Similarities.lmJelinekMercerTopK(spark, view, terms, 5))
+        == expectedJm(terms, 5, 0.7), s"jm $terms")
     }
   }
 }

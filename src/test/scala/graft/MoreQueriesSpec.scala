@@ -682,4 +682,60 @@ class MoreQueriesSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(expect.nonEmpty && got == expect)
   }
+
+  test("spanOr-near equals brute force over the union of or-term positions") {
+    val orTerms = Seq("w0000", "w0002"); val anchor = "w0001"
+    for (slop <- Seq(0, 2, 5)) {
+      val got = MoreQueries.spanOrNear(spark, view, orTerms, anchor, slop)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      val expected = docs.flatMap { case (id, text) =>
+        val toks = Analyzer.tokenize(text)
+        val pOr = toks.filter(t => orTerms.contains(t.term)).map(_.pos).distinct
+        val pA = toks.filter(_.term == anchor).map(_.pos)
+        val tf = pOr.count(a => pA.exists(b => b > a && b - a - 1 <= slop))
+        if (tf > 0) Some(id -> tf) else None
+      }.toMap
+      assert(got == expected, s"slop=$slop")
+    }
+    // multi-term wrapper: prefix expansion feeds the same walk
+    val byPrefix = MoreQueries.spanMultiTermNear(spark, view, "w000", "w0001", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val exp = docs.flatMap { case (id, text) =>
+      val toks = Analyzer.tokenize(text)
+      val pOr = toks.filter(_.term.startsWith("w000")).map(_.pos).distinct
+      val pA = toks.filter(_.term == "w0001").map(_.pos)
+      val tf = pOr.count(a => pA.exists(b => b > a && b - a - 1 <= 3))
+      if (tf > 0) Some(id -> tf) else None
+    }.toMap
+    assert(byPrefix.nonEmpty && byPrefix == exp)
+  }
+
+  test("covering query: per-doc minimum-match threshold from the docvalue") {
+    val terms = Seq("w0000", "w0001", "w0002")
+    val got = MoreQueries.coveringQuery(spark, view, terms, 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.nonEmpty)
+    val nmAll = docs.flatMap { case (id, text) =>
+      val tk = Analyzer.tokenize(text).map(_.term).toSet
+      val nm = terms.count(tk)
+      if (nm > 0) Some(id -> nm.toLong) else None
+    }.toMap
+    got.foreach { case (id, nm) =>
+      assert(nm == nmAll(id))
+      assert(nm >= 1 + id % 3, s"doc $id matched $nm < ${1 + id % 3}")
+    }
+    // docs matching fewer than their threshold must be absent
+    nmAll.foreach { case (id, nm) =>
+      if (nm < 1 + id % 3) assert(!got.contains(id), s"doc $id leaked")
+    }
+  }
+
+  test("top-terms rewrite picks the n highest-df terms under the prefix") {
+    val dfMap: Map[String, Long] = docs.toSeq
+      .flatMap { case (id, t) => Analyzer.tokenize(t).map(tok => (tok.term, id)) }
+      .distinct.groupBy(_._1).map { case (t, xs) => (t, xs.size.toLong) }
+    val expect = dfMap.toSeq.filter(_._1.startsWith("w01"))
+      .sortBy { case (t, df) => (-df, t) }.take(5).map(_._1)
+    assert(MoreQueries.topTermsByDf(view, "w01", 5) == expect)
+  }
 }

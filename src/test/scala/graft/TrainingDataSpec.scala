@@ -519,4 +519,48 @@ class TrainingDataSpec extends AnyFunSuite {
     }
     assert(got.map(_._4).distinct.length == 3) // all three buckets occur
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("text profile signature: quant rule, serialization order, dup detection") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "x1 x2 x3"),                         // maxfreq 1 -> quant 1
+      (1L, "x1 x2 x3"),                         // exact dup of 0
+      (2L, "x1 x2 x9"),                         // near dup, must differ
+      (3L, "b1 b1 b1 b1 b1 b1 c1 c1 d1"),       // maxfreq 6 > 4 -> quant 2
+      (4L, "z w9 q")                            // 1-char tokens dropped
+    )
+    val dir = java.nio.file.Files.createTempDirectory("graft-tps").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TrainingData.textProfileSignature(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got(0L) == ((1L, md5hex("x1 1 x2 1 x3 1"))))
+    assert(got(1L) == got(0L))                  // exact dup -> same signature
+    assert(got(2L)._2 != got(0L)._2)            // near dup -> different
+    // quant 2: b1 keeps 6, c1 keeps 2, d1 (count 1 < quant) drops
+    assert(got(3L) == ((2L, md5hex("b1 6 c1 2"))))
+    assert(got(4L) == ((1L, md5hex("w9 1"))))   // 1-char tokens never counted
+  }
+
+  test("url keep-best dedup keeps the longest page per canonical URL") {
+    import spark.implicits._
+    // doc_ids 0/100/200 share host doc_id%50=0 and path doc_id%100=0
+    val rows = Seq((0L, "short"), (100L, "the longest text wins here"),
+      (200L, "mid length"), (7L, "alone"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-udb").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TrainingData.urlDedupBest(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("http://example0.com/p/0") == ((3L, 100L)))
+    assert(got("http://example7.com/p/7") == ((1L, 7L)))
+  }
 }

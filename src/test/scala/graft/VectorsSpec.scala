@@ -115,4 +115,34 @@ class VectorsSpec extends AnyFunSuite {
     // antipodal vector flips every sign bit
     assert(Vectors.hamming(Vectors.sketchOf(v), Vectors.sketchOf(w)) == Vectors.SketchBits)
   }
+
+  test("stream kmeans equals a driver-side integer-grid Lloyd replay") {
+    import spark.implicits._
+    val k = 4
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, v) =>
+        id -> v.map(x => math.round(x.toDouble * 1000)) }
+      .sortBy(_._1)
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    def assign(cents: Seq[(Long, Array[Long])]): Map[Long, (Long, Long)] =
+      vecs.map { case (id, v) =>
+        val (cid, d) = cents.map { case (c, cv) => (c, dist(v, cv)) }
+          .minBy { case (c, d) => (d, c) }
+        id -> ((cid, d))
+      }.toMap
+    val init = vecs.filter(_._1 < k).map { case (id, v) => (id, v) }.toSeq
+    val a1 = assign(init)
+    val c1 = a1.toSeq.groupBy(_._2._1).map { case (cid, members) =>
+      val vs = members.map(m => vecs(m._1.toInt)._2)
+      cid -> Array.tabulate(vs.head.length)(i =>
+        math.floor(vs.map(_(i)).sum / vs.size.toDouble).toLong)
+    }.toSeq
+    val expect = assign(c1)
+    val got = Vectors.streamKmeans(spark, dir, k, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+    assert(got.values.map(_._1).toSet.size > 1) // real multi-cluster split
+  }
 }
