@@ -638,6 +638,63 @@ object OracleGen {
       |FROM documents GROUP BY lang
       |ORDER BY avg_chars_q DESC, lang ASC LIMIT 3""".stripMargin
 
+  /** Blended-freq fuzzy scoring rewrite: expansion + per-term edit
+    * distance in SQL (DuckDB levenshtein = the unit-cost algorithm the
+    * dictionary rewrite uses), boost 1 − ed/min(|term|, |query|),
+    * docFreq blended to the expansion max.
+    */
+  def fuzzyScoredSql(query: String, maxEdits: Int, k: Int): String =
+    s"""WITH $tokCte, $dlCtes, dfm AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df,
+       |    levenshtein(term, '$query') AS ed
+       |  FROM tokf GROUP BY term
+       |), exp AS (SELECT term, df, ed FROM dfm WHERE ed <= $maxEdits),
+       |bl AS (SELECT max(df) AS dfb FROM exp),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tokf
+       |  WHERE term IN (SELECT term FROM exp) GROUP BY doc_id, term
+       |), persc AS (
+       |  SELECT tf.doc_id,
+       |    (1.0 - CAST(exp.ed AS DOUBLE)
+       |        / CAST(least(length(exp.term), ${query.length}) AS DOUBLE))
+       |      * ln(1 + (st.n - bl.dfb + 0.5) / (bl.dfb + 0.5))
+       |      * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * norm.ldl / (st.sttf / CAST(st.n AS DOUBLE)))) AS s
+       |  FROM tf JOIN exp USING (term)
+       |  JOIN norm ON tf.doc_id = norm.doc_id CROSS JOIN st CROSS JOIN bl
+       |), sc AS (SELECT doc_id, sum(s) AS score FROM persc GROUP BY doc_id)
+       |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q
+       |FROM sc ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+
+  /** SpanPositionRangeQuery: single-term spans with start ≥ a and
+    * end ≤ b — raw 1-based positions in [a+1, b].
+    */
+  def spanPositionRangeSql(term: String, start: Int, end: Int): String =
+    s"""WITH lists AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), tokpos AS (
+       |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+       |  FROM lists)
+       |SELECT doc_id, CAST(count(*) AS INT) AS span_tf FROM tokpos
+       |WHERE term = '$term' AND pos >= ${start + 1} AND pos <= $end
+       |GROUP BY doc_id""".stripMargin
+
+  /** BlendedInfixSuggester: bigram suggestions with the position-linear
+    * weight discount on the integer grid.
+    */
+  def suggestBlendedSql(fragment: String, k: Int): String =
+    s"""WITH base AS ($shingleDfSql),
+       |posed AS (
+       |  SELECT shingle AS suggestion, ctf AS weight,
+       |    CASE WHEN contains(string_split(shingle, ' ')[1], '$fragment') THEN 0
+       |         WHEN contains(string_split(shingle, ' ')[2], '$fragment') THEN 1
+       |         ELSE -1 END AS pos
+       |  FROM base)
+       |SELECT suggestion, CAST(weight AS BIGINT) AS weight,
+       |  CAST(pos AS BIGINT) AS pos,
+       |  CAST((weight * (10 - pos)) // 10 AS BIGINT) AS blended_q
+       |FROM posed WHERE pos >= 0
+       |ORDER BY blended_q DESC, suggestion ASC LIMIT $k""".stripMargin
+
   /** Point-in-polygon (even-odd ray cast) over the synthetic
     * key-derived coordinates — identical IEEE expression shape to the
     * engine's per-edge crossing test so the doubles agree bit-for-bit.

@@ -256,6 +256,40 @@ object SparkEntry {
       MoreQueries.blockJoinScored(s,
         graft.index.NestedBlocks.nestedIndex(s, dir), "spark", "join")
     }),
+    "block_join_scored_avg" -> ((s, dir) =>
+      // ToParentBlockJoin ScoreMode.Total + Avg: parent score = sum of
+      // matching children / integer-grid mean — the other two modes
+      MoreQueries.blockJoinScoredAvg(s,
+        graft.index.NestedBlocks.nestedIndex(s, dir), "spark", "join")),
+    "fuzzy_scored_topk" -> ((s, dir) =>
+      // FuzzyQuery's TopTermsBlendedFreqScoringRewrite: hask~2 expands
+      // to {hash, fast} with FuzzyTermsEnum boosts and a blended df
+      quantize(MoreQueries.fuzzyScoredTopK(
+        s, IndexCache.documentsIndex(s, dir), "hask", 2, 10))),
+    "span_position_range" -> ((s, dir) =>
+      // SpanPositionRangeQuery: 'hash' spans starting in [5, 15)
+      MoreQueries.spanPositionRange(s, IndexCache.documentsIndex(s, dir),
+        "hash", 5, 15)),
+    "suggest_blended" -> ((s, dir) =>
+      // BlendedInfixSuggester (POSITION_LINEAR): bigram suggestions,
+      // weight discounted 10% per matched-token position
+      graft.search.Suggest.suggestBlended(s, dir, "jo", 10)),
+    "func_def_if" -> ((s, dir) => {
+      // Solr def()/if()/exists() function queries [8x solr/core
+      // .../search/ValueSourceParser.java "def"/"if"/"exists"]:
+      // v = if(exists(last_large_order), year-1990, -1) over a
+      // genuinely null aggregate (68 of 1500 customers at sf0.01)
+      val c = s.read.parquet(s"$dir/customer.parquet").select("c_custkey")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_totalprice") > 350000.0)
+        .select(col("o_custkey"), col("o_orderdate"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(max("o_orderdate").as("d"))
+        .select(col("c_custkey"),
+          col("d").isNotNull.cast("int").as("has_order"),
+          when(col("d").isNotNull, year(col("d")) - 1990)
+            .otherwise(lit(-1)).cast("int").as("v"))
+    }),
     "sharded_topk" -> ((s, dir) => {
       // distributed search, two-phase [Solr distributed search /
       // TopDocs.merge]: doc-range shards each produce a LOCAL top-k
@@ -1803,6 +1837,19 @@ object SparkEntry {
     "span_not" -> OracleGen.spanNotSql("hash", "join", 2, "scan"),
     "span_containing" -> OracleGen.spanContainingSql("hash", "join", 5, "scan"),
     "span_within" -> OracleGen.spanWithinSql("hash", "join", 5, "scan"),
+    "fuzzy_scored_topk" -> OracleGen.fuzzyScoredSql("hask", 2, 10),
+    "span_position_range" -> OracleGen.spanPositionRangeSql("hash", 5, 15),
+    "suggest_blended" -> OracleGen.suggestBlendedSql("jo", 10),
+    "func_def_if" ->
+      """WITH lo AS (
+        |  SELECT c.c_custkey, max(o.o_orderdate) AS d
+        |  FROM customer c LEFT JOIN orders o
+        |    ON o.o_custkey = c.c_custkey AND o.o_totalprice > 350000
+        |  GROUP BY 1)
+        |SELECT c_custkey, CAST(d IS NOT NULL AS INT) AS has_order,
+        |  CAST(CASE WHEN d IS NOT NULL
+        |    THEN year(CAST(d AS DATE)) - 1990 ELSE -1 END AS INT) AS v
+        |FROM lo""".stripMargin,
     "span_or_near" -> OracleGen.spanOrNearSql(
       "term IN ('spark', 'merge')", "join", 2),
     "span_multiterm" -> OracleGen.spanOrNearSql(
@@ -2318,6 +2365,34 @@ object SparkEntry {
         |  FROM halves)
         |SELECT doc_id, CAST(greatest(s0, s1) AS BIGINT) AS parent_score
         |FROM scored WHERE greatest(s0, s1) >= 0""".stripMargin,
+    "block_join_scored_avg" ->
+      """WITH lists AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), halves AS (
+        |  SELECT doc_id, l[1:(len(l)+1)//2] AS c0,
+        |         l[(len(l)+1)//2+1:len(l)] AS c1 FROM lists
+        |), scored AS (
+        |  SELECT doc_id,
+        |    CASE WHEN list_contains(c0, 'spark') AND list_contains(c0, 'join')
+        |      THEN CAST(len(list_filter(c0, x -> x = 'spark')) +
+        |                len(list_filter(c0, x -> x = 'join')) AS BIGINT)
+        |      ELSE -1 END AS s0,
+        |    CASE WHEN list_contains(c1, 'spark') AND list_contains(c1, 'join')
+        |      THEN CAST(len(list_filter(c1, x -> x = 'spark')) +
+        |                len(list_filter(c1, x -> x = 'join')) AS BIGINT)
+        |      ELSE -1 END AS s1
+        |  FROM halves
+        |), m AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN s0 >= 0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN s1 >= 0 THEN 1 ELSE 0 END) AS n_children,
+        |    (CASE WHEN s0 >= 0 THEN s0 ELSE 0 END)
+        |      + (CASE WHEN s1 >= 0 THEN s1 ELSE 0 END) AS total_score
+        |  FROM scored)
+        |SELECT doc_id, CAST(n_children AS BIGINT) AS n_children,
+        |  CAST(total_score AS BIGINT) AS total_score,
+        |  CAST((total_score * 10000) // n_children AS BIGINT) AS avg_score_q
+        |FROM m WHERE n_children > 0""".stripMargin,
     "chunk_documents" -> TrainingOracles.chunkDocuments(40, 10),
     "repetition_ratio" ->
       """WITH tp AS (

@@ -1237,7 +1237,7 @@ object MoreQueries {
   def fuzzyScoredTopK(spark: SparkSession, view: IndexView,
                       query: String, maxEdits: Int, k: Int): DataFrame = {
     import spark.implicits._
-    val cs = GlobalStats.collectionStats(view)
+    val cs = graft.stats.GlobalStats.collectionStats(view)
     val avgdlD = cs.sumTotalTermFreq.toDouble / cs.docCount.toDouble
     val exp = view.terms
       .groupBy("term").agg(sum("df").as("df"))

@@ -229,4 +229,30 @@ object Suggest {
       .orderBy(col("freq").desc, col("suggestion").asc)
       .limit(k)
   }
+
+  /** BlendedInfixSuggester [8x lucene/suggest .../analyzing/
+    * BlendedInfixSuggester.java, BlenderType.POSITION_LINEAR]: infix
+    * suggestions whose weight is DISCOUNTED by how deep into the
+    * suggestion the matched token sits — coefficient 0.10 per position,
+    * the reference's linear blender, on the integer grid
+    * (w·(10−pos) div 10) so ranking is data-pure. The suggestion set is
+    * the corpus bigram table (the index-positions shingle kernel —
+    * dictionary-sized, corpus text never read); the matched position is
+    * the first token containing the fragment.
+    */
+  def suggestBlended(s: SparkSession, dir: String, fragment: String,
+                     k: Int): DataFrame = {
+    val sh = graft.operators.AnalysisOps.shingleDf(s, dir)
+    val w0 = element_at(split(col("shingle"), " "), 1)
+    val w1 = element_at(split(col("shingle"), " "), 2)
+    sh.select(col("shingle").as("suggestion"), col("ctf").as("weight"),
+        when(w0.contains(fragment), lit(0L))
+          .when(w1.contains(fragment), lit(1L))
+          .otherwise(lit(-1L)).as("pos"))
+      .where(col("pos") >= 0)
+      .select(col("suggestion"), col("weight"), col("pos"),
+        expr("(weight * (10 - pos)) div 10").as("blended_q"))
+      .orderBy(col("blended_q").desc, col("suggestion").asc)
+      .limit(k)
+  }
 }

@@ -208,20 +208,31 @@ class MoreQueriesSpec extends AnyFunSuite {
       (5L, "1", s"alpha $pt"),            // parent 1 contains alpha; kids don't
       (6L, "2:0", "alpha"),               // block 2: alpha and beta split
       (7L, "2:1", "beta"),                //   across two children
-      (8L, "2", s"alpha beta $pt")        // parent 2 has BOTH at parent level
+      (8L, "2", s"alpha beta $pt"),       // parent 2 has BOTH at parent level
+      (9L, "3:0", "alpha beta beta"),     // block 3: BOTH children match
+      (10L, "3:1", "beta alpha"),
+      (11L, "3", s"x $pt")
     ).toDF("doc_id", "url", "text")
     val v = Indexer.buildTables(spark, Indexer.asDocInput(spark, nested), 3L * 16)
 
-    // {!parent}: only block 0 has a CHILD containing both terms; block 2's
-    // parent-level match must NOT count (children split the conjunction)
+    // {!parent}: blocks 0 and 3 have a CHILD containing both terms;
+    // block 2's parent-level match must NOT count (children split the
+    // conjunction)
     val par = MoreQueries.blockJoinParents(spark, v, "alpha", "beta")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(par == Set((0L, 1L)))
+    assert(par == Set((0L, 1L), (3L, 2L)))
 
-    // ScoreMode.Max: the matching child's tf-sum
+    // ScoreMode.Max: the best matching child's tf-sum per block
     val sc = MoreQueries.blockJoinScored(spark, v, "alpha", "beta")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(sc == Set((0L, 2L)))
+    assert(sc == Set((0L, 2L), (3L, 3L)))
+
+    // ScoreMode.Total + Avg: block 3 aggregates BOTH children (3 + 2)
+    val sa = MoreQueries.blockJoinScoredAvg(spark, v, "alpha", "beta")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(sa == Set((0L, 1L, 2L, 20000L), (3L, 2L, 5L, 25000L)))
 
     // {!child}: parents CONTAINING alpha are 1 and 2 (parent-text match,
     // independent of child text); their children come back with their own
@@ -231,11 +242,12 @@ class MoreQueriesSpec extends AnyFunSuite {
     assert(kids == Set((1L, 0, 2), (1L, 1, 1), (2L, 0, 1), (2L, 1, 1)))
 
     // toParent facet domain: every block has a child containing 'beta'
-    // (docs 0, 3, 7) → facet the three parents' OWN terms (zeta / alpha /
-    // alpha beta), sentinel excluded, ranked by parent df then term
+    // (docs 0, 3, 7, 9) → facet the four parents' OWN terms (zeta /
+    // alpha / alpha beta / x), sentinel excluded, ranked by parent df
+    // then term
     val pf = MoreQueries.blockJoinParentFacet(spark, v, "beta", 10)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    assert(pf == Seq(("alpha", 2L), ("beta", 1L), ("zeta", 1L)))
+    assert(pf == Seq(("alpha", 2L), ("beta", 1L), ("x", 1L), ("zeta", 1L)))
   }
 
   test("leading wildcard: reversed-dictionary prefix == brute-force suffix") {
@@ -728,6 +740,84 @@ class MoreQueriesSpec extends AnyFunSuite {
     nmAll.foreach { case (id, nm) =>
       if (nm < 1 + id % 3) assert(!got.contains(id), s"doc $id leaked")
     }
+  }
+
+  test("span position range equals brute force; spanFirst is the a=0 case") {
+    val term = "w0000"; val (a, b) = (3, 20)
+    val got = MoreQueries.spanPositionRange(spark, view, term, a, b)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val expected = docs.flatMap { case (id, text) =>
+      val tf = Analyzer.tokenize(text)
+        .count(t => t.term == term && t.pos >= a && t.pos + 1 <= b)
+      if (tf > 0) Some(id -> tf) else None
+    }.toMap
+    assert(expected.nonEmpty && got == expected)
+  }
+
+  test("blended fuzzy rewrite equals brute force with max-df blending") {
+    import graft.codec.SmallFloat
+    val query = "w0100"; val maxEdits = 1; val k = 10
+    def lev(x: String, y: String): Int = {
+      val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    val toks: Map[Long, Array[String]] =
+      docs.map { case (id, t) => id -> Analyzer.tokenize(t).map(_.term) }.toMap
+    val n = toks.size
+    val sttf = toks.values.map(_.length.toLong).sum
+    val avgdl = sttf.toDouble / n.toDouble
+    val dfMap = toks.toSeq.flatMap { case (id, tk) => tk.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (t, xs) => (t, xs.size.toLong) }
+    val exp = dfMap.keys.filter(t => lev(t, query) <= maxEdits).toSeq.sorted
+    assert(exp.size > 1, s"want a multi-term expansion, got $exp")
+    val dfB = exp.map(dfMap).max
+    val idfB = math.log(1d + (n - dfB + 0.5d) / (dfB + 0.5d))
+    val boost = exp.map(t =>
+      t -> (1.0 - lev(t, query).toDouble /
+        math.min(t.length, query.length).toDouble)).toMap
+    val expect = toks.toList.flatMap { case (id, tk) =>
+      val dl = SmallFloat.lossyLength(tk.length)
+      val present = exp.filter(tk.contains)
+      if (present.isEmpty) None
+      else {
+        val s = present.map { t =>
+          val tf = tk.count(_ == t).toDouble
+          boost(t) * idfB * tf /
+            (tf + graft.spec.LuceneSpec.K1d *
+              (1 - graft.spec.LuceneSpec.Bd +
+                graft.spec.LuceneSpec.Bd * dl / avgdl))
+        }.sum
+        Some(id -> math.round(s * 10000))
+      }
+    }.sortBy { case (id, sq) => (-sq, id) }.take(k)
+    val got = MoreQueries.fuzzyScoredTopK(spark, view, query, maxEdits, k)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 10000)))
+      .toList
+    assert(got == expect)
+  }
+
+  test("blended infix suggest applies the position-linear discount") {
+    val dir = "/root/testdata/sf0.001"
+    val frag = "jo"
+    val sh = graft.operators.AnalysisOps.shingleDf(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val expect = sh.flatMap { case (s, ctf) =>
+      val ws = s.split(" ")
+      val pos = if (ws(0).contains(frag)) 0L
+        else if (ws(1).contains(frag)) 1L else -1L
+      if (pos < 0) None else Some((s, ctf, pos, ctf * (10 - pos) / 10))
+    }.sortBy { case (s, _, _, bq) => (-bq, s) }.take(10).toSeq
+    val got = graft.search.Suggest.suggestBlended(spark, dir, frag, 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got.nonEmpty && got == expect)
+    // a position-1 match is discounted 10%
+    got.find(_._3 == 1L).foreach { case (_, w, _, bq) => assert(bq == w * 9 / 10) }
   }
 
   test("top-terms rewrite picks the n highest-df terms under the prefix") {
