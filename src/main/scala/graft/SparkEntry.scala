@@ -1281,6 +1281,10 @@ object SparkEntry {
     "significant_terms" -> ((s, dir) =>
       graft.operators.Relational.significantTerms(s, dir)),
     "gather_nodes" -> (graft.operators.Relational.gatherNodes _),
+    "graph_query" -> ((s, dir) =>
+      // {!graph from=parent to=doc_id maxDepth=2}: iterative
+      // same-collection traversal from roots {1, 2}
+      graft.operators.Relational.graphQuery(s, dir, 2)),
     "shortest_path" -> ((s, dir) => {
       // BFS shortest paths over the customer→order→part edge relation;
       // target = the smallest part on the seed customer's orders (the
@@ -2179,6 +2183,14 @@ object SparkEntry {
           |)) * 1000000) AS BIGINT) AS ig_q
           |FROM cnt CROSS JOIN tot
           |ORDER BY ig_q DESC, term ASC LIMIT 20""".stripMargin),
+    "graph_query" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id, 0 AS depth FROM documents WHERE doc_id IN (1, 2)
+        |  UNION ALL
+        |  SELECT d.doc_id, g.depth + 1 FROM documents d
+        |  JOIN g ON d.doc_id // 10 = g.doc_id WHERE g.depth < 2)
+        |SELECT doc_id, CAST(min(depth) AS INT) AS depth
+        |FROM g GROUP BY doc_id""".stripMargin,
     "gather_nodes" ->
       """SELECT DISTINCT l_partkey AS node FROM lineitem
         |WHERE l_orderkey IN (

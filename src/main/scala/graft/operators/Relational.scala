@@ -567,6 +567,37 @@ object Relational {
       .select(col("l_partkey").as("node")).distinct()
   }
 
+  /** {!graph} query parser [8x solr/core .../search/join/
+    * GraphQueryParser.java, GraphQuery.java]: iterative same-collection
+    * traversal — start from the root query's doc set, repeatedly follow
+    * from-field → to-field edges up to maxDepth, return every reachable
+    * doc (here with its discovery depth, which makes the traversal
+    * order hash-visible). The edge relation is the synthesized
+    * containment hierarchy parent = doc_id div 10 (the corpus has no
+    * native graph column). Each level is ONE equi-join against the
+    * frontier + an anti-join against the accumulated set — the
+    * reference's per-level docset expansion; levels are the only serial
+    * dimension, like shortest_path/dedup_clusters.
+    */
+  def graphQuery(s: SparkSession, dir: String,
+                 maxDepth: Int = 2): DataFrame = {
+    val d = tbl(s, dir, "documents")
+      .select(col("doc_id"), expr("doc_id div 10").as("parent"))
+    var frontier = d.where(col("doc_id").isin(1L, 2L))
+      .select(col("doc_id")).withColumn("depth", lit(0))
+    var acc = frontier
+    for (dep <- 1 to maxDepth) {
+      frontier = d
+        .join(frontier.select(col("doc_id").as("p")),
+          col("parent") === col("p"), "left_semi")
+        .select(col("doc_id")).withColumn("depth", lit(dep))
+        .join(acc.select(col("doc_id").as("seen")),
+          col("doc_id") === col("seen"), "left_anti")
+      acc = acc.union(frontier)
+    }
+    acc.groupBy("doc_id").agg(min("depth").as("depth"))
+  }
+
   /** ShortestPathStream analog [Solr solrj io.graph
     * ShortestPathStream]: iterative breadth-first search over an edge
     * relation, returning ALL shortest paths from `from` to `to` (as

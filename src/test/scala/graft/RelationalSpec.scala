@@ -243,4 +243,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("graph query traverses the parent edge to the depth bound") {
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def reach(roots: Set[Long], maxDepth: Int): Map[Long, Int] = {
+      var acc = roots.map(_ -> 0).toMap
+      var frontier = roots
+      for (d <- 1 to maxDepth) {
+        frontier = ids.filter(id => frontier.contains(id / 10)) -- acc.keySet
+        acc = acc ++ frontier.map(_ -> d)
+      }
+      acc
+    }
+    for (depth <- Seq(1, 2)) {
+      val got = Relational.graphQuery(spark, dir, depth).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == reach(Set(1L, 2L), depth), s"maxDepth=$depth")
+    }
+  }
 }
