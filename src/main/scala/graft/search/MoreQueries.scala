@@ -705,17 +705,26 @@ object MoreQueries {
     * variant shares the same shape). Children are genuinely indexed docs
     * of the nested index — the score comes from THEIR postings' freqs.
     */
-  def blockJoinScored(spark: SparkSession, view: IndexView,
-                      t1: String, t2: String): DataFrame = {
-    val parents = parentDocSet(spark, view)
+  /** (parent_id, cscore) per CHILD matching the t1 AND t2 conjunction —
+    * the shared matching-children frame every block-join ScoreMode
+    * aggregates over (Max / Total / Avg differ only in the final agg).
+    */
+  private def matchingChildScores(spark: SparkSession, view: IndexView,
+                                  t1: String, t2: String,
+                                  parents: DataFrame): DataFrame = {
     val need = Seq(t1, t2).distinct.size
-    val childScores = ExactSearch.decodedPostings(spark, view, Seq(t1, t2))
+    ExactSearch.decodedPostings(spark, view, Seq(t1, t2))
       .groupBy("doc_id")
       .agg(countDistinct("term").as("nt"), sum("tf").as("cscore"))
       .where(col("nt") === need)
       .join(parents, col("doc_id") === col("parent_id"), "left_anti")
-    childScores
       .select(parentOf(col("doc_id")).as("parent_id"), col("cscore"))
+  }
+
+  def blockJoinScored(spark: SparkSession, view: IndexView,
+                      t1: String, t2: String): DataFrame = {
+    val parents = parentDocSet(spark, view)
+    matchingChildScores(spark, view, t1, t2, parents)
       .groupBy("parent_id").agg(max("cscore").as("parent_score"))
       .join(parents, Seq("parent_id"))
       .join(parentUrlLookup(view), Seq("parent_id"))
@@ -733,14 +742,7 @@ object MoreQueries {
   def blockJoinScoredAvg(spark: SparkSession, view: IndexView,
                          t1: String, t2: String): DataFrame = {
     val parents = parentDocSet(spark, view)
-    val need = Seq(t1, t2).distinct.size
-    val childScores = ExactSearch.decodedPostings(spark, view, Seq(t1, t2))
-      .groupBy("doc_id")
-      .agg(countDistinct("term").as("nt"), sum("tf").as("cscore"))
-      .where(col("nt") === need)
-      .join(parents, col("doc_id") === col("parent_id"), "left_anti")
-    childScores
-      .select(parentOf(col("doc_id")).as("parent_id"), col("cscore"))
+    matchingChildScores(spark, view, t1, t2, parents)
       .groupBy("parent_id")
       .agg(count(lit(1)).as("n_children"), sum("cscore").as("total_score"))
       .join(parents, Seq("parent_id"))
@@ -980,18 +982,44 @@ object MoreQueries {
     * decoded posting rows the scoring pass reads, joined to the
     * broadcast top-k — never a second corpus pass.
     */
-  def explainTopK(spark: SparkSession, view: IndexView,
-                  terms: Seq[String], k: Int): DataFrame = {
-    val scorers = QueryScorers(view, terms, DoubleOracle)
+  /** Per-(doc, term) BM25 frame: decoded postings joined to the
+    * broadcast per-term stats with the score expression applied —
+    * shared by [[explainTopK]] and [[coveringQuery]] so the expression
+    * can never drift between them. Columns: doc_id, term, tf, df,
+    * lossy_dl, idf, s.
+    */
+  private def perTermScored(spark: SparkSession, view: IndexView,
+                            terms: Seq[String],
+                            scorers: QueryScorers): DataFrame = {
     import spark.implicits._
     val infoDf = scorers.terms.toSeq
       .map(t => (t.term, t.df, t.idfD)).toDF("term", "df", "idf")
-    val per = ExactSearch.decodedPostings(spark, view, terms)
+    ExactSearch.decodedPostings(spark, view, terms)
       .join(broadcast(infoDf), Seq("term"))
       .withColumn("s", col("idf") * col("tf") / (col("tf") +
         lit(scorers.k1d) * (lit(1.0) - lit(scorers.bd) +
           lit(scorers.bd) * col("lossy_dl") / lit(scorers.avgdlD))))
-    val top = per.groupBy("doc_id").agg(sum("s").as("score"))
+  }
+
+  /** Per-doc sum of the per-term scores in ASCENDING TERM ORDER — the
+    * same deterministic-summation rule as ExactSearch.scoredWith (rows
+    * sorted before adding), so the float result is a pure function of
+    * the data, never of partial-aggregate merge order. Emits
+    * (doc_id, score, n_matched).
+    */
+  private def sumScoresDeterministic(per: DataFrame): DataFrame =
+    per.groupBy("doc_id")
+      .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("term"), col("s")))),
+            x => x.getField("s")),
+          lit(0.0), (a, x) => a + x).as("score"),
+        count(lit(1)).as("n_matched"))
+
+  def explainTopK(spark: SparkSession, view: IndexView,
+                  terms: Seq[String], k: Int): DataFrame = {
+    val scorers = QueryScorers(view, terms, DoubleOracle)
+    val per = perTermScored(spark, view, terms, scorers)
+    val top = sumScoresDeterministic(per).select("doc_id", "score")
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
     per.join(broadcast(top), Seq("doc_id"))
       .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"),
@@ -1185,16 +1213,7 @@ object MoreQueries {
   def coveringQuery(spark: SparkSession, view: IndexView,
                     terms: Seq[String], k: Int): DataFrame = {
     val scorers = QueryScorers(view, terms, DoubleOracle)
-    import spark.implicits._
-    val infoDf = scorers.terms.toSeq
-      .map(t => (t.term, t.df, t.idfD)).toDF("term", "df", "idf")
-    ExactSearch.decodedPostings(spark, view, terms)
-      .join(broadcast(infoDf), Seq("term"))
-      .withColumn("s", col("idf") * col("tf") / (col("tf") +
-        lit(scorers.k1d) * (lit(1.0) - lit(scorers.bd) +
-          lit(scorers.bd) * col("lossy_dl") / lit(scorers.avgdlD))))
-      .groupBy("doc_id")
-      .agg(sum("s").as("score"), count(lit(1)).as("n_matched"))
+    sumScoresDeterministic(perTermScored(spark, view, terms, scorers))
       .where(col("n_matched") >= lit(1L) + pmod(col("doc_id"), lit(3L)))
       .select(col("doc_id"), col("n_matched"),
         round(col("score") * 10000).cast("long").as("score_q"))
@@ -1241,9 +1260,9 @@ object MoreQueries {
     val avgdlD = cs.sumTotalTermFreq.toDouble / cs.docCount.toDouble
     val exp = view.terms
       .groupBy("term").agg(sum("df").as("df"))
-      .where(levenshtein(col("term"), lit(query)) <= maxEdits)
       .select(col("term"), col("df"),
         levenshtein(col("term"), lit(query)).as("ed"))
+      .where(col("ed") <= maxEdits) // ed computed once, filtered after
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
     require(exp.nonEmpty, s"no terms within $maxEdits of '$query'")
     val dfBlended = exp.map(_._2).max
@@ -1252,15 +1271,15 @@ object MoreQueries {
     val info = exp.toSeq.map { case (t, _, ed) =>
       (t, 1.0 - ed.toDouble / math.min(t.length, query.length).toDouble)
     }.toDF("term", "boost")
-    ExactSearch.decodedPostings(spark, view, exp.map(_._1).toSeq)
+    val per = ExactSearch.decodedPostings(spark, view, exp.map(_._1).toSeq)
       .join(broadcast(info), Seq("term"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("term"),
         (col("boost") * lit(idfB) * col("tf") / (col("tf") +
           lit(graft.spec.LuceneSpec.K1d) *
             (lit(1.0) - lit(graft.spec.LuceneSpec.Bd) +
               lit(graft.spec.LuceneSpec.Bd) * col("lossy_dl")
                 / lit(avgdlD)))).as("s"))
-      .groupBy("doc_id").agg(sum("s").as("score"))
+    sumScoresDeterministic(per).select("doc_id", "score")
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
@@ -1308,6 +1327,5 @@ object MoreQueries {
   def spanMultiTermNear(spark: SparkSession, view: IndexView,
                         prefix: String, anchor: String,
                         slop: Int): DataFrame =
-    spanOrNear(spark, view,
-      expandTerms(view, col("term").startsWith(prefix)), anchor, slop)
+    spanOrNear(spark, view, prefixTerms(view, prefix), anchor, slop)
 }

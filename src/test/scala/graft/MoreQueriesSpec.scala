@@ -820,6 +820,23 @@ class MoreQueriesSpec extends AnyFunSuite {
     got.find(_._3 == 1L).foreach { case (_, w, _, bq) => assert(bq == w * 9 / 10) }
   }
 
+  test("covering query is bit-identical across shuffle-partition counts") {
+    // the sorted-sum rule makes the double score a pure function of the
+    // data — partial-aggregate merge order must not leak into score_q
+    val terms = Seq("w0000", "w0001", "w0002")
+    def run(): List[(Long, Long, Long)] =
+      MoreQueries.coveringQuery(spark, view, terms, 40)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val conf = spark.conf.get("spark.sql.shuffle.partitions")
+    val base = run()
+    try {
+      for (p <- Seq("1", "7", "29")) {
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        assert(run() == base, s"shuffle.partitions=$p diverged")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", conf)
+  }
+
   test("top-terms rewrite picks the n highest-df terms under the prefix") {
     val dfMap: Map[String, Long] = docs.toSeq
       .flatMap { case (id, t) => Analyzer.tokenize(t).map(tok => (tok.term, id)) }

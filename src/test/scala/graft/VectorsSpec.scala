@@ -119,11 +119,14 @@ class VectorsSpec extends AnyFunSuite {
   test("stream kmeans equals a driver-side integer-grid Lloyd replay") {
     import spark.implicits._
     val k = 4
+    // half-away-from-zero like SQL round() (math.round is half-to-+inf)
+    def q1000(x: Double): Long =
+      if (x >= 0) math.floor(x * 1000 + 0.5).toLong
+      else -math.floor(-x * 1000 + 0.5).toLong
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
       .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
-      .map { case (id, v) =>
-        id -> v.map(x => math.round(x.toDouble * 1000)) }
-      .sortBy(_._1)
+      .map { case (id, v) => id -> v.map(x => q1000(x.toDouble)) }
+    val byId = vecs.toMap
     def dist(a: Array[Long], b: Array[Long]): Long =
       a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
     def assign(cents: Seq[(Long, Array[Long])]): Map[Long, (Long, Long)] =
@@ -135,7 +138,7 @@ class VectorsSpec extends AnyFunSuite {
     val init = vecs.filter(_._1 < k).map { case (id, v) => (id, v) }.toSeq
     val a1 = assign(init)
     val c1 = a1.toSeq.groupBy(_._2._1).map { case (cid, members) =>
-      val vs = members.map(m => vecs(m._1.toInt)._2)
+      val vs = members.map(m => byId(m._1))
       cid -> Array.tabulate(vs.head.length)(i =>
         math.floor(vs.map(_(i)).sum / vs.size.toDouble).toLong)
     }.toSeq
