@@ -1119,29 +1119,28 @@ object TrainingData {
     * pipeline uses fetch recency; the corpus has no crawl timestamp).
     * Raw URLs are synthesized with colliding canonical forms
     * (host = doc_id%50, path = doc_id%100) so the collapse is real.
-    * Shape: one narrow canonicalization + one window over the URL key —
-    * the same partitioned WindowGroupLimit as `source_cap`, no global
-    * sort at any corpus size.
+    * Shape: one narrow canonicalization + ONE hash aggregate over the
+    * URL key (argmax as min-over-struct — no window, no sort at any
+    * corpus size).
     */
   def urlDedupBest(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val raw = concat(
       lit("HTTP://Example"), (col("doc_id") % 50).cast("string"),
       lit(".COM:80/p/"), (col("doc_id") % 100).cast("string"),
       lit("/?utm_source=x&id="), (col("doc_id") % 7).cast("string"),
       lit("#frag"))
-    val canon = docs(s, dir)
+    docs(s, dir)
       .select(col("doc_id"), col("n_chars"), raw.as("raw_url"))
       .select(col("doc_id"), col("n_chars"),
         concat(lit("http://"),
           lower(parse_url(col("raw_url"), lit("HOST"))),
           expr("trim(TRAILING '/' FROM parse_url(raw_url, 'PATH'))"))
           .as("canon_url"))
-    val w = Window.partitionBy("canon_url")
-      .orderBy(col("n_chars").desc, col("doc_id").asc)
-    canon.withColumn("rn", row_number().over(w))
+      // argmax (n_chars desc, doc_id asc) as ONE hash aggregate —
+      // min over struct(-n_chars, doc_id); no window, no sort
       .groupBy("canon_url")
       .agg(count(lit(1)).as("n_dups"),
-        min(when(col("rn") === 1, col("doc_id"))).as("keeper"))
+        min(struct((-col("n_chars")).as("neg"), col("doc_id")))
+          .getField("doc_id").as("keeper"))
   }
 }

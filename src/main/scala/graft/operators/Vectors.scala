@@ -506,20 +506,24 @@ object Vectors {
     */
   def streamKmeans(s: SparkSession, dir: String, k: Int = 4,
                    iters: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pts = s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
         .as("q"))
-    def assigned(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("dist").asc, col("cid").asc)
+    def assigned(cents: DataFrame): DataFrame =
+      // argmin as ONE hash aggregate: min over struct(dist, cid) picks
+      // the closest centroid with ties to the lowest cid — no window,
+      // no sort exchange (q is constant per vec_id, so first() is a
+      // pure value)
       pts.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("q"), col("cid"), expr(
           "aggregate(zip_with(q, cq, (a, b) -> (a - b) * (a - b)), " +
             "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("dist"))
-        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-    }
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("best"),
+          first(col("q")).as("q"))
+        .select(col("vec_id"), col("q"),
+          col("best.cid").as("cid"), col("best.dist").as("dist"))
     var cents = pts.where(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("q").as("cq"))
     var a = assigned(cents)
