@@ -557,6 +557,33 @@ object OracleGen {
        |FROM sc ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
   }
 
+  /** DFR I(n)·L·H2 (c = 1): tfn = tf·log2(1 + avgdl/dl);
+    * score = tfn/(1+tfn) · log2((N+1)/(df+0.5)).
+    */
+  def dfrSql(terms: Seq[String], k: Int, c: Double = 1.0): String = {
+    val qs = termList(terms.distinct)
+    s"""WITH $tokCte, $dlCtes, df AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+       |  WHERE term IN ($qs) GROUP BY term
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tokf
+       |  WHERE term IN ($qs) GROUP BY doc_id, term
+       |), persc AS (
+       |  SELECT tf.doc_id,
+       |    CAST(tf.tf AS DOUBLE)
+       |      * log2(1.0 + $c * (st.sttf / CAST(st.n AS DOUBLE))
+       |                    / CAST(norm.ldl AS DOUBLE)) AS tfn,
+       |    log2((st.n + 1.0) / (df.df + 0.5)) AS inf
+       |  FROM tf JOIN df USING (term)
+       |  JOIN norm ON tf.doc_id = norm.doc_id CROSS JOIN st
+       |), sc AS (
+       |  SELECT doc_id, sum(tfn / (1.0 + tfn) * inf) AS score
+       |  FROM persc GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q
+       |FROM sc ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** spanNear([spanOr(or-predicate), anchor], slop, ordered): the
     * or-side positions are the union (one term per position, so
     * DISTINCT suffices); the near walk is the two-term ordered rule.

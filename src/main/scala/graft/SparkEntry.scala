@@ -64,6 +64,11 @@ object SparkEntry {
       // ClassicSimilarity (TF-IDF) instead of BM25
       quantize(graft.search.Similarities.classicTfidfTopK(
         s, IndexCache.documentsIndex(s, dir), Seq("spark", "join"), 10))),
+    "dfr_topk" -> ((s, dir) =>
+      // sixth pluggable similarity: DFR I(n)·L·H2 (divergence from
+      // randomness) over the same postings + dictionary df
+      quantize(graft.search.Similarities.dfrTopK(
+        s, IndexCache.documentsIndex(s, dir), Seq("spark", "join"), 10))),
     "lm_jelinek_mercer_topk" -> ((s, dir) =>
       // fourth pluggable similarity: Jelinek-Mercer smoothing (λ=0.7,
       // the Solr factory default) over the same postings + ctf
@@ -1679,6 +1684,7 @@ object SparkEntry {
     "lm_dirichlet_topk" -> OracleGen.lmDirichletSql(Seq("merge", "scan"), 10),
     "lm_jelinek_mercer_topk" ->
       OracleGen.lmJelinekMercerSql(Seq("spark", "join"), 10),
+    "dfr_topk" -> OracleGen.dfrSql(Seq("spark", "join"), 10),
     "bm25_topk_bmw" -> OracleGen.bm25TopKSql(Seq("merge", "dup", "scan"), 10),
     "bm25_topk_and" -> OracleGen.bm25TopKSql(Seq("vector", "window"), 10, minShouldMatch = 2),
     "frange_filter" ->

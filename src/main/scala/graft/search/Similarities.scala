@@ -115,6 +115,38 @@ object Similarities {
     * lossy norm, ctf from the dictionary; index-only inputs and the
     * same broadcast-stats + hash-agg shape as the Dirichlet path).
     */
+  /** DFRSimilarity, the I(n) · L · H2 composition [8x lucene
+    * .../similarities/DFRSimilarity.java, BasicModelIn.java,
+    * AfterEffectL.java, NormalizationH2.java — the divergence-from-
+    * randomness framework of Amati & van Rijsbergen 2002]:
+    *
+    *   tfn  = tf · log2(1 + c · avgdl / dl)        (H2, c = 1)
+    *   score = tfn / (1 + tfn) · log2((N + 1) / (df + 0.5))
+    *           (I(n) basic model with the Laplace after-effect L
+    *            fused in, the 8.x non-negative refactoring shape)
+    *
+    * Sixth pluggable similarity over the same index: df from the
+    * dictionary, dl from the decoded lossy norm, one broadcast-stats
+    * hash-agg dataflow like every similarity above.
+    */
+  def dfrTopK(spark: SparkSession, view: IndexView,
+              terms: Seq[String], k: Int, c: Double = 1.0): DataFrame = {
+    val cs = GlobalStats.collectionStats(view)
+    val avgdl = cs.sumTotalTermFreq.toDouble / cs.docCount.toDouble
+    val df = view.terms.where(col("term").isin(terms.distinct: _*))
+      .groupBy("term").agg(sum("df").as("df"))
+    val tfn = col("tf").cast("double") *
+      log2(lit(1.0) + lit(c) * lit(avgdl) / col("lossy_dl").cast("double"))
+    ExactSearch.decodedPostings(spark, view, terms)
+      .join(broadcast(df), Seq("term"))
+      .select(col("doc_id"),
+        (tfn / (lit(1.0) + tfn) *
+          log2(lit(cs.docCount + 1.0) / (col("df") + lit(0.5)))).as("s"))
+      .groupBy("doc_id").agg(sum("s").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   def lmJelinekMercerTopK(spark: SparkSession, view: IndexView,
                           terms: Seq[String], k: Int,
                           lambda: Double = 0.7): DataFrame = {

@@ -170,6 +170,24 @@ class ClassifyMonitorSpec extends AnyFunSuite {
       df.collect().map(r =>
         (r.getLong(0), math.round(r.getDouble(1) * 10000))).toList
 
+    def log2(x: Double): Double = math.log(x) / math.log(2.0)
+    def expectedDfr(terms: Seq[String], k: Int, c: Double): List[(Long, Long)] = {
+      val dfm = terms.distinct.map(t => t -> toks.count(_._2.contains(t))).toMap
+      val avgdl = sttf.toDouble / n
+      toks.toList.flatMap { case (id, tk) =>
+        val dl = SmallFloat.lossyLength(tk.length)
+        val present = terms.distinct.filter(t => tk.contains(t) && dfm(t) > 0)
+        if (present.isEmpty) None
+        else {
+          val s = present.map { t =>
+            val tfn = tk.count(_ == t).toDouble * log2(1.0 + c * avgdl / dl)
+            tfn / (1.0 + tfn) * log2((n + 1.0) / (dfm(t) + 0.5))
+          }.sum
+          Some(id -> math.round(s * 10000))
+        }
+      }.sortBy { case (id, sq) => (-sq, id) }.take(k)
+    }
+
     for (terms <- Seq(Seq("apple"), Seq("zebra", "lion"), Seq("hash", "table"))) {
       assert(q(Similarities.classicTfidfTopK(spark, view, terms, 5))
         == expectedClassic(terms, 5), s"classic $terms")
@@ -177,6 +195,8 @@ class ClassifyMonitorSpec extends AnyFunSuite {
         == expectedLm(terms, 5, 2000.0), s"lm $terms")
       assert(q(Similarities.lmJelinekMercerTopK(spark, view, terms, 5))
         == expectedJm(terms, 5, 0.7), s"jm $terms")
+      assert(q(Similarities.dfrTopK(spark, view, terms, 5))
+        == expectedDfr(terms, 5, 1.0), s"dfr $terms")
     }
   }
 }
