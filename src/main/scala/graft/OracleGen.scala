@@ -1208,6 +1208,27 @@ object OracleGen {
        |FROM kids WHERE length(term) > 0 AND term NOT IN ($stopList)
        |GROUP BY 1 ORDER BY n_children DESC, term ASC LIMIT $k""".stripMargin
 
+  /** uniqueBlock(_root_): same child-domain facet, distinct PARENT
+    * blocks per bucket (child_key // 2 = the block).
+    */
+  def blockJoinFacetUniqueSql(parentTerm: String, k: Int): String =
+    s"""WITH lists AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), halves AS (
+       |  SELECT doc_id, l, l[1:(len(l)+1)//2] AS c0,
+       |         l[(len(l)+1)//2+1:len(l)] AS c1
+       |  FROM lists
+       |), kids AS (
+       |  SELECT doc_id AS block, unnest(c0) AS term
+       |  FROM halves WHERE list_contains(l, '$parentTerm')
+       |  UNION ALL
+       |  SELECT doc_id AS block, unnest(c1) AS term
+       |  FROM halves WHERE list_contains(l, '$parentTerm')
+       |)
+       |SELECT term, count(DISTINCT block) AS n_blocks
+       |FROM kids WHERE length(term) > 0 AND term NOT IN ($stopList)
+       |GROUP BY 1 ORDER BY n_blocks DESC, term ASC LIMIT $k""".stripMargin
+
   /** Block-join parent facet: top parent terms (stop-filtered full-text
     * vocabulary) over parents whose block has ≥ 1 child matching the
     * child term. A child is a half of the source doc's tokens, so

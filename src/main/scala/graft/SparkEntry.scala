@@ -235,6 +235,26 @@ object SparkEntry {
       MoreQueries.blockJoinChildFacet(s,
         graft.index.NestedBlocks.nestedIndex(s, dir), "spark", 10)
     }),
+    "block_join_facet_unique" -> ((s, dir) =>
+      // JSON facet uniqueBlock(_root_): distinct PARENT BLOCKS per
+      // child-term bucket — same kernel, block-keyed distinct
+      MoreQueries.blockJoinFacetUniqueBlock(s,
+        graft.index.NestedBlocks.nestedIndex(s, dir), "spark", 10)),
+    "facet_grouped" -> ((s, dir) => {
+      // Solr group.facet=true [8x solr/core .../request/SimpleFacets
+      // .java grouped faceting]: facet counts = DISTINCT GROUPS (by
+      // group.field=source) with >= 1 matching doc in the bucket, not
+      // doc counts; the doc set is the index-routed 'spark' posting
+      // decode, stored fields supply the facet + group columns
+      val v = IndexCache.documentsIndex(s, dir)
+      val m = MoreQueries.matchingDocs(s, v, Seq("spark"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "source")
+        .join(m, Seq("doc_id"), "left_semi")
+        .groupBy("lang")
+        .agg(countDistinct("source").as("n_groups"),
+          count(lit(1)).as("n_docs"))
+    }),
     "block_join_parent_facet" -> ((s, dir) => {
       // JSON facet domain switch to parents: top parent terms over the
       // parents whose block has >= 1 child matching 'dup' — the mirror
@@ -1828,6 +1848,15 @@ object SparkEntry {
     "porter_stem_df" -> OracleGen.porterStemDfSql,
     "phonetic_dmetaphone" -> OracleGen.dmetaphoneSql,
     "block_join_facet" -> OracleGen.blockJoinFacetSql("spark", 10),
+    "block_join_facet_unique" ->
+      OracleGen.blockJoinFacetUniqueSql("spark", 10),
+    "facet_grouped" ->
+      s"""WITH ${OracleGen.tokCte},
+         |m AS (SELECT DISTINCT doc_id FROM tokf WHERE term = 'spark')
+         |SELECT d.lang, count(DISTINCT d.source) AS n_groups,
+         |  count(*) AS n_docs
+         |FROM documents d JOIN m USING (doc_id)
+         |GROUP BY d.lang""".stripMargin,
     "block_join_parent_facet" -> OracleGen.blockJoinParentFacetSql("dup", 10),
     "spellcheck_collate" -> OracleGen.spellcheckCollateSql("sark", "jion", 2, 3, 5),
     "suggest_freetext" -> OracleGen.suggestFreeTextSql("spark", 8),

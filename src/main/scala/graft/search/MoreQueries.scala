@@ -822,6 +822,34 @@ object MoreQueries {
       .orderBy(col("n_children").desc, col("term").asc).limit(k)
   }
 
+  /** JSON facet `uniqueBlock(_root_)` [8x solr/core .../search/facet/
+    * UniqueBlockAgg.java]: inside a child-domain facet, count DISTINCT
+    * PARENT BLOCKS per bucket instead of child docs — "how many
+    * products have a matching SKU" rather than "how many SKUs". Same
+    * one-pass kernel as [[blockJoinChildFacet]]; only the distinct key
+    * of the final aggregate changes (block base = the _root_ field).
+    */
+  def blockJoinFacetUniqueBlock(spark: SparkSession, view: IndexView,
+                                parentTerm: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val parents = parentDocSet(spark, view)
+    val pmatch = ExactSearch.decodedPostings(spark, view, Seq(parentTerm))
+      .select(col("doc_id").as("parent_id"))
+      .join(parents, Seq("parent_id"))
+      .select((col("parent_id") - 2).as("block_base"))
+    view.postings
+      .filter($"field" === graft.index.Indexer.Field &&
+        $"term" =!= graft.index.NestedBlocks.ParentTerm)
+      .flatMap(b => graft.codec.VByte.decodeDeltas(b.docs).iterator
+        .map(id => (id, b.term)))
+      .toDF("doc_id", "term")
+      .where(col("doc_id") % 3 < 2) // children only
+      .withColumn("block_base", col("doc_id") - (col("doc_id") % 3))
+      .join(broadcast(pmatch), Seq("block_base"))
+      .groupBy("term").agg(countDistinct("block_base").as("n_blocks"))
+      .orderBy(col("n_blocks").desc, col("term").asc).limit(k)
+  }
+
   /** Block-join parent facet — the JSON Facet API's `domain: {toParent
     * ...}` switch [8x solr/core .../search/facet/FacetRequest.java
     * (BlockJoin domain), ToParentBlockJoinQuery.java]: facet the PARENT

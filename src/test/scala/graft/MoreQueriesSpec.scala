@@ -241,6 +241,12 @@ class MoreQueriesSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(kids == Set((1L, 0, 2), (1L, 1, 1), (2L, 0, 1), (2L, 1, 1)))
 
+    // uniqueBlock(_root_): parents containing alpha are blocks 1 and 2;
+    // 'beta' appears in children of BOTH blocks, everything else in one
+    val ub = MoreQueries.blockJoinFacetUniqueBlock(spark, v, "alpha", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ub == Seq(("beta", 2L), ("alpha", 1L), ("delta", 1L), ("gamma", 1L)))
+
     // toParent facet domain: every block has a child containing 'beta'
     // (docs 0, 3, 7, 9) → facet the four parents' OWN terms (zeta /
     // alpha / alpha beta / x), sentinel excluded, ranked by parent df
