@@ -1209,7 +1209,9 @@ object OracleGen {
        |GROUP BY 1 ORDER BY n_children DESC, term ASC LIMIT $k""".stripMargin
 
   /** uniqueBlock(_root_): same child-domain facet, distinct PARENT
-    * blocks per bucket (child_key // 2 = the block).
+    * blocks per bucket (the source doc_id IS the block key here — both
+    * halves of a doc carry it, unlike blockJoinFacetSql's per-child
+    * doc_id*2 / doc_id*2+1 keys).
     */
   def blockJoinFacetUniqueSql(parentTerm: String, k: Int): String =
     s"""WITH lists AS (

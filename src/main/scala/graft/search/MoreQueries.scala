@@ -699,12 +699,6 @@ object MoreQueries {
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
-  /** ToParentBlockJoin with ScoreMode.Max [8x join/ToParentBlockJoinQuery
-    * .java]: parent score = MAX over its matching children of the child
-    * score (integer child tf-sum keeps the oracle exact; the BM25-scored
-    * variant shares the same shape). Children are genuinely indexed docs
-    * of the nested index — the score comes from THEIR postings' freqs.
-    */
   /** (parent_id, cscore) per CHILD matching the t1 AND t2 conjunction —
     * the shared matching-children frame every block-join ScoreMode
     * aggregates over (Max / Total / Avg differ only in the final agg).
@@ -721,6 +715,12 @@ object MoreQueries {
       .select(parentOf(col("doc_id")).as("parent_id"), col("cscore"))
   }
 
+  /** ToParentBlockJoin with ScoreMode.Max [8x join/ToParentBlockJoinQuery
+    * .java]: parent score = MAX over its matching children of the child
+    * score (integer child tf-sum keeps the oracle exact; the BM25-scored
+    * variant shares the same shape). Children are genuinely indexed docs
+    * of the nested index — the score comes from THEIR postings' freqs.
+    */
   def blockJoinScored(spark: SparkSession, view: IndexView,
                       t1: String, t2: String): DataFrame = {
     val parents = parentDocSet(spark, view)
@@ -801,8 +801,14 @@ object MoreQueries {
     * the matching blocks; the matching-parent frame is tiny and
     * broadcasts.
     */
-  def blockJoinChildFacet(spark: SparkSession, view: IndexView,
-                          parentTerm: String, k: Int): DataFrame = {
+  /** (doc_id, term, block_base) over the CHILDREN of blocks whose
+    * parent matches `parentTerm` — the shared child-domain frame both
+    * child-facet reads aggregate (per-child vs per-block distinct).
+    * Decodes only the children's posting docID streams; the
+    * matching-parent frame is tiny and broadcasts.
+    */
+  private def childDomainTerms(spark: SparkSession, view: IndexView,
+                               parentTerm: String): DataFrame = {
     import spark.implicits._
     val parents = parentDocSet(spark, view)
     val pmatch = ExactSearch.decodedPostings(spark, view, Seq(parentTerm))
@@ -818,9 +824,13 @@ object MoreQueries {
       .where(col("doc_id") % 3 < 2) // children only
       .withColumn("block_base", col("doc_id") - (col("doc_id") % 3))
       .join(broadcast(pmatch), Seq("block_base"))
+  }
+
+  def blockJoinChildFacet(spark: SparkSession, view: IndexView,
+                          parentTerm: String, k: Int): DataFrame =
+    childDomainTerms(spark, view, parentTerm)
       .groupBy("term").agg(countDistinct("doc_id").as("n_children"))
       .orderBy(col("n_children").desc, col("term").asc).limit(k)
-  }
 
   /** JSON facet `uniqueBlock(_root_)` [8x solr/core .../search/facet/
     * UniqueBlockAgg.java]: inside a child-domain facet, count DISTINCT
@@ -830,25 +840,10 @@ object MoreQueries {
     * of the final aggregate changes (block base = the _root_ field).
     */
   def blockJoinFacetUniqueBlock(spark: SparkSession, view: IndexView,
-                                parentTerm: String, k: Int): DataFrame = {
-    import spark.implicits._
-    val parents = parentDocSet(spark, view)
-    val pmatch = ExactSearch.decodedPostings(spark, view, Seq(parentTerm))
-      .select(col("doc_id").as("parent_id"))
-      .join(parents, Seq("parent_id"))
-      .select((col("parent_id") - 2).as("block_base"))
-    view.postings
-      .filter($"field" === graft.index.Indexer.Field &&
-        $"term" =!= graft.index.NestedBlocks.ParentTerm)
-      .flatMap(b => graft.codec.VByte.decodeDeltas(b.docs).iterator
-        .map(id => (id, b.term)))
-      .toDF("doc_id", "term")
-      .where(col("doc_id") % 3 < 2) // children only
-      .withColumn("block_base", col("doc_id") - (col("doc_id") % 3))
-      .join(broadcast(pmatch), Seq("block_base"))
+                                parentTerm: String, k: Int): DataFrame =
+    childDomainTerms(spark, view, parentTerm)
       .groupBy("term").agg(countDistinct("block_base").as("n_blocks"))
       .orderBy(col("n_blocks").desc, col("term").asc).limit(k)
-  }
 
   /** Block-join parent facet — the JSON Facet API's `domain: {toParent
     * ...}` switch [8x solr/core .../search/facet/FacetRequest.java
@@ -1035,7 +1030,7 @@ object MoreQueries {
     * the data, never of partial-aggregate merge order. Emits
     * (doc_id, score, n_matched).
     */
-  private def sumScoresDeterministic(per: DataFrame): DataFrame =
+  private[search] def sumScoresDeterministic(per: DataFrame): DataFrame =
     per.groupBy("doc_id")
       .agg(aggregate(
           transform(array_sort(collect_list(struct(col("term"), col("s")))),

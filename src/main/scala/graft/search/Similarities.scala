@@ -40,13 +40,13 @@ object Similarities {
     val n = GlobalStats.collectionStats(view).docCount
     val df = view.terms.where(col("term").isin(terms.distinct: _*))
       .groupBy("term").agg(sum("df").as("df"))
-    ExactSearch.decodedPostings(spark, view, terms)
+    val per = ExactSearch.decodedPostings(spark, view, terms)
       .join(broadcast(df), Seq("term"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("term"),
         ((log(lit(n + 1.0) / (col("df") + lit(1.0))) + lit(1.0))
           * sqrt(col("tf").cast("double"))
           / sqrt(col("lossy_dl").cast("double"))).as("s"))
-      .groupBy("doc_id").agg(sum("s").as("score"))
+    MoreQueries.sumScoresDeterministic(per).select("doc_id", "score")
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
@@ -65,12 +65,13 @@ object Similarities {
     import spark.implicits._
     val terms = boosts.map(_._1).distinct
     val bdf = broadcast(boosts.toDF("term", "boost"))
-    view.postings
+    val per = view.postings
       .where(col("term").isin(terms: _*))
       .flatMap(b => graft.codec.VByte.decodeDeltas(b.docs).map(d => (b.term, d)))
       .toDF("term", "doc_id")
       .join(bdf, Seq("term"))
-      .groupBy("doc_id").agg(sum("boost").as("score"))
+      .select(col("doc_id"), col("term"), col("boost").as("s"))
+    MoreQueries.sumScoresDeterministic(per).select("doc_id", "score")
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
@@ -91,30 +92,18 @@ object Similarities {
     val sttf = GlobalStats.collectionStats(view).sumTotalTermFreq
     val ctf = view.terms.where(col("term").isin(terms.distinct: _*))
       .groupBy("term").agg(sum("ctf").as("ctf"))
-    ExactSearch.decodedPostings(spark, view, terms)
+    val per = ExactSearch.decodedPostings(spark, view, terms)
       .join(broadcast(ctf), Seq("term"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("term"),
         greatest(lit(0.0),
           log(lit(1.0) + col("tf").cast("double")
             / (lit(mu) * col("ctf") / lit(sttf.toDouble)))
           + log(lit(mu) / (col("lossy_dl").cast("double") + lit(mu)))).as("s"))
-      .groupBy("doc_id").agg(sum("s").as("score"))
+    MoreQueries.sumScoresDeterministic(per).select("doc_id", "score")
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
 
-  /** LMJelinekMercerSimilarity top-k (λ = 0.7, the Solr factory default
-    * [8x lucene .../similarities/LMJelinekMercerSimilarity.java; solr
-    * schema/LMJelinekMercerSimilarityFactory.java]):
-    *
-    *   p(t|C)      = ctf_t / sumTotalTermFreq
-    *   score(t, d) = ln(1 + ((1−λ) · tf / dl) / (λ · p(t|C)))
-    *
-    * Always ≥ 0 (log1p of a non-negative ratio) so no clip is needed —
-    * the fourth pluggable similarity over the same index (dl = decoded
-    * lossy norm, ctf from the dictionary; index-only inputs and the
-    * same broadcast-stats + hash-agg shape as the Dirichlet path).
-    */
   /** DFRSimilarity, the I(n) · L · H2 composition [8x lucene
     * .../similarities/DFRSimilarity.java, BasicModelIn.java,
     * AfterEffectL.java, NormalizationH2.java — the divergence-from-
@@ -137,30 +126,42 @@ object Similarities {
       .groupBy("term").agg(sum("df").as("df"))
     val tfn = col("tf").cast("double") *
       log2(lit(1.0) + lit(c) * lit(avgdl) / col("lossy_dl").cast("double"))
-    ExactSearch.decodedPostings(spark, view, terms)
+    val per = ExactSearch.decodedPostings(spark, view, terms)
       .join(broadcast(df), Seq("term"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("term"),
         (tfn / (lit(1.0) + tfn) *
           log2(lit(cs.docCount + 1.0) / (col("df") + lit(0.5)))).as("s"))
-      .groupBy("doc_id").agg(sum("s").as("score"))
+    MoreQueries.sumScoresDeterministic(per).select("doc_id", "score")
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
 
+  /** LMJelinekMercerSimilarity top-k (λ = 0.7, the Solr factory default
+    * [8x lucene .../similarities/LMJelinekMercerSimilarity.java; solr
+    * schema/LMJelinekMercerSimilarityFactory.java]):
+    *
+    *   p(t|C)      = ctf_t / sumTotalTermFreq
+    *   score(t, d) = ln(1 + ((1−λ) · tf / dl) / (λ · p(t|C)))
+    *
+    * Always ≥ 0 (log1p of a non-negative ratio) so no clip is needed —
+    * the fourth pluggable similarity over the same index (dl = decoded
+    * lossy norm, ctf from the dictionary; index-only inputs and the
+    * same broadcast-stats + hash-agg shape as the Dirichlet path).
+    */
   def lmJelinekMercerTopK(spark: SparkSession, view: IndexView,
                           terms: Seq[String], k: Int,
                           lambda: Double = 0.7): DataFrame = {
     val sttf = GlobalStats.collectionStats(view).sumTotalTermFreq
     val ctf = view.terms.where(col("term").isin(terms.distinct: _*))
       .groupBy("term").agg(sum("ctf").as("ctf"))
-    ExactSearch.decodedPostings(spark, view, terms)
+    val per = ExactSearch.decodedPostings(spark, view, terms)
       .join(broadcast(ctf), Seq("term"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("term"),
         log(lit(1.0)
           + (lit(1.0 - lambda) * col("tf").cast("double")
               / col("lossy_dl").cast("double"))
             / (lit(lambda) * col("ctf") / lit(sttf.toDouble))).as("s"))
-      .groupBy("doc_id").agg(sum("s").as("score"))
+    MoreQueries.sumScoresDeterministic(per).select("doc_id", "score")
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
