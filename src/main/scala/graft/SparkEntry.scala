@@ -874,6 +874,18 @@ object SparkEntry {
             I.Or(Seq(I.Term("join"), I.Term("merge")))), maxGaps = 2),
           I.Term("scan"), negate = true))
     }),
+    "interval_overlap" -> ((s, dir) => {
+      // Intervals.overlapping [8x lucene/queries .../intervals/
+      // Intervals.java]: minimal ordered hash..join intervals (gaps
+      // <= 3) that SHARE at least one position with a "hash table"
+      // adjacent pair — the overlap filter, distinct from containment
+      // (the pair may stick out past either end of the interval)
+      import graft.search.{Interval => I}
+      I.matches(s, IndexCache.documentsIndex(s, dir),
+        I.Overlapping(
+          I.Ordered(Seq(I.Term("hash"), I.Term("join")), maxGaps = 3),
+          I.PhraseOf(Seq(I.Term("hash"), I.Term("table")))))
+    }),
     "prefix_query" -> ((s, dir) => {
       val v = IndexCache.documentsIndex(s, dir)
       MoreQueries.matchingDocs(s, v, MoreQueries.prefixTerms(v, "sl"))
@@ -2153,6 +2165,32 @@ object SparkEntry {
         |WHERE q - p - 1 <= 2 AND NOT EXISTS (
         |  SELECT 1 FROM c WHERE c.doc_id = minimal.doc_id
         |  AND c.pos BETWEEN minimal.p AND minimal.q)
+        |GROUP BY doc_id""".stripMargin,
+    "interval_overlap" ->
+      """WITH lists AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), tokpos AS (
+        |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+        |  FROM lists
+        |), a AS (SELECT doc_id, pos FROM tokpos WHERE term = 'hash'),
+        |   b AS (SELECT doc_id, pos FROM tokpos WHERE term = 'join'),
+        |   mp AS (
+        |  SELECT t1.doc_id, t1.pos AS r FROM tokpos t1
+        |  JOIN tokpos t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+        |  WHERE t1.term = 'hash' AND t2.term = 'table'
+        |), pairs AS (
+        |  SELECT b.doc_id, b.pos AS q, max(a.pos) AS p
+        |  FROM b JOIN a ON a.doc_id = b.doc_id AND a.pos < b.pos
+        |  GROUP BY b.doc_id, b.pos
+        |), minimal AS (
+        |  SELECT doc_id, p, q FROM pairs
+        |  WHERE q = (SELECT min(b2.pos) FROM b b2
+        |             WHERE b2.doc_id = pairs.doc_id AND b2.pos > pairs.p)
+        |)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_intervals FROM minimal
+        |WHERE q - p - 1 <= 3 AND EXISTS (
+        |  SELECT 1 FROM mp WHERE mp.doc_id = minimal.doc_id
+        |  AND mp.r <= minimal.q AND mp.r + 1 >= minimal.p)
         |GROUP BY doc_id""".stripMargin,
     "fuzzy_query" -> OracleGen.docsWithTermWhereSql("levenshtein(term, 'merg') <= 1"),
     "term_range_query" -> OracleGen.docsWithTermWhereSql("term >= 'query' AND term < 'sort'"),
