@@ -584,6 +584,60 @@ object OracleGen {
        |FROM sc ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
   }
 
+  /** IB LL·DF·H2 (c = 1): tfn = tf·log2(1 + avgdl/dl);
+    * λ = (df+1)/(N+1); score = ln((tfn + λ)/λ).
+    */
+  def ibLlSql(terms: Seq[String], k: Int, c: Double = 1.0): String = {
+    val qs = termList(terms.distinct)
+    s"""WITH $tokCte, $dlCtes, df AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+       |  WHERE term IN ($qs) GROUP BY term
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tokf
+       |  WHERE term IN ($qs) GROUP BY doc_id, term
+       |), persc AS (
+       |  SELECT tf.doc_id,
+       |    CAST(tf.tf AS DOUBLE)
+       |      * log2(1.0 + $c * (st.sttf / CAST(st.n AS DOUBLE))
+       |                    / CAST(norm.ldl AS DOUBLE)) AS tfn,
+       |    (df.df + 1.0) / (st.n + 1.0) AS lam
+       |  FROM tf JOIN df USING (term)
+       |  JOIN norm ON tf.doc_id = norm.doc_id CROSS JOIN st
+       |), sc AS (
+       |  SELECT doc_id, sum(ln((tfn + lam) / lam)) AS score
+       |  FROM persc GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q
+       |FROM sc ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** Axiomatic F2EXP (s = 0.5, k = 0.35):
+    * score = ((N+1)/df)^k · tf / (tf + s + s·dl/avgdl).
+    */
+  def axiomaticF2ExpSql(terms: Seq[String], k: Int,
+                        s: Double = 0.5, kExp: Double = 0.35): String = {
+    val qs = termList(terms.distinct)
+    s"""WITH $tokCte, $dlCtes, df AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+       |  WHERE term IN ($qs) GROUP BY term
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tokf
+       |  WHERE term IN ($qs) GROUP BY doc_id, term
+       |), sc AS (
+       |  SELECT tf.doc_id,
+       |    sum(pow((st.n + 1.0) / df.df, $kExp)
+       |        * CAST(tf.tf AS DOUBLE)
+       |        / (CAST(tf.tf AS DOUBLE) + $s
+       |           + $s * CAST(norm.ldl AS DOUBLE)
+       |               / (st.sttf / CAST(st.n AS DOUBLE)))) AS score
+       |  FROM tf JOIN df USING (term)
+       |  JOIN norm ON tf.doc_id = norm.doc_id CROSS JOIN st
+       |  GROUP BY tf.doc_id
+       |)
+       |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q
+       |FROM sc ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** spanNear([spanOr(or-predicate), anchor], slop, ordered): the
     * or-side positions are the union (one term per position, so
     * DISTINCT suffices); the near walk is the two-term ordered rule.

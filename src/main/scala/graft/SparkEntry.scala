@@ -69,6 +69,16 @@ object SparkEntry {
       // randomness) over the same postings + dictionary df
       quantize(graft.search.Similarities.dfrTopK(
         s, IndexCache.documentsIndex(s, dir), Seq("spark", "join"), 10))),
+    "ib_ll_topk" -> ((s, dir) =>
+      // seventh pluggable similarity: information-based LL·DF·H2
+      // (Clinchant & Gaussier 2010) over the same postings + df
+      quantize(graft.search.Similarities.ibLlTopK(
+        s, IndexCache.documentsIndex(s, dir), Seq("spark", "join"), 10))),
+    "axiomatic_f2exp_topk" -> ((s, dir) =>
+      // eighth pluggable similarity: Axiomatic F2EXP (Fang & Zhai 2005,
+      // s=0.5 k=0.35 reference defaults) — the log-free rational form
+      quantize(graft.search.Similarities.axiomaticF2ExpTopK(
+        s, IndexCache.documentsIndex(s, dir), Seq("merge", "scan"), 10))),
     "lm_jelinek_mercer_topk" -> ((s, dir) =>
       // fourth pluggable similarity: Jelinek-Mercer smoothing (λ=0.7,
       // the Solr factory default) over the same postings + ctf
@@ -1717,6 +1727,9 @@ object SparkEntry {
     "lm_jelinek_mercer_topk" ->
       OracleGen.lmJelinekMercerSql(Seq("spark", "join"), 10),
     "dfr_topk" -> OracleGen.dfrSql(Seq("spark", "join"), 10),
+    "ib_ll_topk" -> OracleGen.ibLlSql(Seq("spark", "join"), 10),
+    "axiomatic_f2exp_topk" ->
+      OracleGen.axiomaticF2ExpSql(Seq("merge", "scan"), 10),
     "bm25_topk_bmw" -> OracleGen.bm25TopKSql(Seq("merge", "dup", "scan"), 10),
     "bm25_topk_and" -> OracleGen.bm25TopKSql(Seq("vector", "window"), 10, minShouldMatch = 2),
     "frange_filter" ->

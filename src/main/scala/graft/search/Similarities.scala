@@ -136,6 +136,68 @@ object Similarities {
       .limit(k)
   }
 
+  /** IBSimilarity, the LL·DF·H2 composition [8x lucene
+    * .../similarities/IBSimilarity.java, DistributionLL.java,
+    * LambdaDF.java, NormalizationH2.java — the information-based
+    * framework of Clinchant & Gaussier 2010]:
+    *
+    *   tfn   = tf · log2(1 + c · avgdl / dl)      (H2, c = 1)
+    *   λ     = (df + 1) / (N + 1)                 (LambdaDF)
+    *   score = ln((tfn + λ) / λ)                  (log-logistic; the
+    *           −ln(λ/(tfn+λ)) form rearranged, always ≥ 0)
+    *
+    * Seventh pluggable similarity over the same index — df from the
+    * dictionary, dl from the decoded lossy norm, the same broadcast-
+    * stats + per-doc hash-agg dataflow as every similarity here.
+    */
+  def ibLlTopK(spark: SparkSession, view: IndexView,
+               terms: Seq[String], k: Int, c: Double = 1.0): DataFrame = {
+    val cs = GlobalStats.collectionStats(view)
+    val avgdl = cs.sumTotalTermFreq.toDouble / cs.docCount.toDouble
+    val df = view.terms.where(col("term").isin(terms.distinct: _*))
+      .groupBy("term").agg(sum("df").as("df"))
+    val tfn = col("tf").cast("double") *
+      log2(lit(1.0) + lit(c) * lit(avgdl) / col("lossy_dl").cast("double"))
+    val lam = (col("df") + lit(1.0)) / lit(cs.docCount + 1.0)
+    val per = ExactSearch.decodedPostings(spark, view, terms)
+      .join(broadcast(df), Seq("term"))
+      .select(col("doc_id"), col("term"),
+        log((tfn + lam) / lam).as("s"))
+    MoreQueries.sumScoresDeterministic(per).select("doc_id", "score")
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** AxiomaticF2EXP top-k [8x lucene .../similarities/AxiomaticF2EXP.java
+    * — Fang & Zhai 2005, "An Exploration of Axiomatic Approaches to
+    * Information Retrieval"; the F2-EXP function with the reference
+    * defaults s = 0.5, k = 0.35]:
+    *
+    *   score(t, d) = ((N + 1) / df)^k · tf / (tf + s + s · dl / avgdl)
+    *
+    * No log anywhere — a pure rational form, so it is the one
+    * similarity whose per-term score is bounded by its idf lift; the
+    * eighth pluggable similarity over the same index inputs.
+    */
+  def axiomaticF2ExpTopK(spark: SparkSession, view: IndexView,
+                         terms: Seq[String], k: Int,
+                         s: Double = 0.5, kExp: Double = 0.35): DataFrame = {
+    val cs = GlobalStats.collectionStats(view)
+    val avgdl = cs.sumTotalTermFreq.toDouble / cs.docCount.toDouble
+    val df = view.terms.where(col("term").isin(terms.distinct: _*))
+      .groupBy("term").agg(sum("df").as("df"))
+    val per = ExactSearch.decodedPostings(spark, view, terms)
+      .join(broadcast(df), Seq("term"))
+      .select(col("doc_id"), col("term"),
+        (pow(lit(cs.docCount + 1.0) / col("df"), lit(kExp))
+          * col("tf").cast("double")
+          / (col("tf").cast("double") + lit(s)
+             + lit(s) * col("lossy_dl").cast("double") / lit(avgdl))).as("s"))
+    MoreQueries.sumScoresDeterministic(per).select("doc_id", "score")
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** LMJelinekMercerSimilarity top-k (λ = 0.7, the Solr factory default
     * [8x lucene .../similarities/LMJelinekMercerSimilarity.java; solr
     * schema/LMJelinekMercerSimilarityFactory.java]):

@@ -188,6 +188,43 @@ class ClassifyMonitorSpec extends AnyFunSuite {
       }.sortBy { case (id, sq) => (-sq, id) }.take(k)
     }
 
+    def expectedIb(terms: Seq[String], k: Int, c: Double): List[(Long, Long)] = {
+      val dfm = terms.distinct.map(t => t -> toks.count(_._2.contains(t))).toMap
+      val avgdl = sttf.toDouble / n
+      toks.toList.flatMap { case (id, tk) =>
+        val dl = SmallFloat.lossyLength(tk.length)
+        val present = terms.distinct.filter(t => tk.contains(t) && dfm(t) > 0)
+        if (present.isEmpty) None
+        else {
+          val s = present.map { t =>
+            val tfn = tk.count(_ == t).toDouble * log2(1.0 + c * avgdl / dl)
+            val lam = (dfm(t) + 1.0) / (n + 1.0)
+            math.log((tfn + lam) / lam)
+          }.sum
+          Some(id -> math.round(s * 10000))
+        }
+      }.sortBy { case (id, sq) => (-sq, id) }.take(k)
+    }
+
+    def expectedAx(terms: Seq[String], k: Int,
+                   sp: Double, kExp: Double): List[(Long, Long)] = {
+      val dfm = terms.distinct.map(t => t -> toks.count(_._2.contains(t))).toMap
+      val avgdl = sttf.toDouble / n
+      toks.toList.flatMap { case (id, tk) =>
+        val dl = SmallFloat.lossyLength(tk.length)
+        val present = terms.distinct.filter(t => tk.contains(t) && dfm(t) > 0)
+        if (present.isEmpty) None
+        else {
+          val s = present.map { t =>
+            val tf = tk.count(_ == t).toDouble
+            math.pow((n + 1.0) / dfm(t), kExp) *
+              tf / (tf + sp + sp * dl / avgdl)
+          }.sum
+          Some(id -> math.round(s * 10000))
+        }
+      }.sortBy { case (id, sq) => (-sq, id) }.take(k)
+    }
+
     for (terms <- Seq(Seq("apple"), Seq("zebra", "lion"), Seq("hash", "table"))) {
       assert(q(Similarities.classicTfidfTopK(spark, view, terms, 5))
         == expectedClassic(terms, 5), s"classic $terms")
@@ -197,6 +234,10 @@ class ClassifyMonitorSpec extends AnyFunSuite {
         == expectedJm(terms, 5, 0.7), s"jm $terms")
       assert(q(Similarities.dfrTopK(spark, view, terms, 5))
         == expectedDfr(terms, 5, 1.0), s"dfr $terms")
+      assert(q(Similarities.ibLlTopK(spark, view, terms, 5))
+        == expectedIb(terms, 5, 1.0), s"ib $terms")
+      assert(q(Similarities.axiomaticF2ExpTopK(spark, view, terms, 5))
+        == expectedAx(terms, 5, 0.5, 0.35), s"ax $terms")
     }
   }
 }
