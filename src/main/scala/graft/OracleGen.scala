@@ -1630,6 +1630,42 @@ object OracleGen {
        |LIMIT $k""".stripMargin
   }
 
+  /** ComplexPhraseQueryParser with the wildcard at the LEADING slot
+    * ("h*h table"): slot 0 expands against the dictionary by LIKE
+    * pattern, slot 1 is exact; anchors are slot-0 positions with the
+    * exact term at pos+1, scored like every multi-phrase (weight = Σ
+    * idf over all alternatives + the exact term).
+    */
+  def complexPhraseScoredSql(likePattern: String, w1: String,
+                             k: Int): String = {
+    val scoreExpr =
+      "widf.w * ph.ptf / (ph.ptf + 1.2 * (1 - 0.75 + 0.75 * norm.ldl / (st.sttf / CAST(st.n AS DOUBLE))))"
+    s"""WITH $tokCte, $dlCtes, pdf AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+       |  WHERE term LIKE '$likePattern' OR term = '$w1' GROUP BY term
+       |), widf AS (
+       |  SELECT sum(ln(1 + (st.n - pdf.df + 0.5) / (pdf.df + 0.5))) AS w
+       |  FROM pdf CROSS JOIN st
+       |), lists AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), tokpos AS (
+       |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+       |  FROM lists
+       |), a AS (SELECT DISTINCT t.doc_id, t.pos FROM tokpos t
+       |         WHERE t.term IN (SELECT term FROM pdf WHERE term LIKE '$likePattern')),
+       |   b AS (SELECT DISTINCT doc_id, pos FROM tokpos WHERE term = '$w1'),
+       |   ph AS (
+       |  SELECT a.doc_id, count(*) AS ptf
+       |  FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |  GROUP BY a.doc_id
+       |)
+       |SELECT ph.doc_id,
+       |  CAST(round($scoreExpr * 10000) AS BIGINT) AS score_q
+       |FROM ph JOIN norm ON ph.doc_id = norm.doc_id CROSS JOIN widf CROSS JOIN st
+       |ORDER BY $scoreExpr DESC, ph.doc_id ASC
+       |LIMIT $k""".stripMargin
+  }
+
   /** FuzzySuggester: dictionary completions whose leading substring (at
     * length |p|−1, |p|, or |p|+1 — an edit shifts the matched prefix by
     * at most one) is within maxEdits Levenshtein of the typed prefix,

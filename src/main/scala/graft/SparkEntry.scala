@@ -703,6 +703,19 @@ object SparkEntry {
       quantize(MoreQueries.multiPhraseScoredTopK(s, v,
         Seq(Seq("hash"), expanded), 10, DoubleOracle))
     }),
+    "complex_phrase" -> ((s, dir) => {
+      // ComplexPhraseQueryParser "s*a* table" [8x lucene queryparser
+      // .../complexPhrase/ComplexPhraseQueryParser.java]: a wildcard at
+      // a NON-final phrase slot — the pattern expands against the term
+      // dictionary (anchored regex, same as WildcardQuery), the slot's
+      // positions are the union of the expansions' (MultiPhrase), and
+      // the exact term must follow at +1; phrase_prefix covers the
+      // trailing-prefix case, this is the general mid-phrase rewrite
+      val v = IndexCache.documentsIndex(s, dir)
+      val expanded = MoreQueries.wildcardTerms(v, "s*a*")
+      quantize(MoreQueries.multiPhraseScoredTopK(s, v,
+        Seq(expanded, Seq("table")), 10, DoubleOracle))
+    }),
     "geodist_sort" -> ((s, dir) =>
       // sort=geodist() asc [8x solr .../schema/LatLonPointSpatialField
       // .java distance sort]: nearest-first function sort, quantized to
@@ -1932,6 +1945,7 @@ object SparkEntry {
     "geo_polygon" ->
       OracleGen.geoPolygonSql(graft.operators.Functions.PolygonVerts),
     "phrase_prefix" -> OracleGen.phrasePrefixScoredSql("hash", "s", 10),
+    "complex_phrase" -> OracleGen.complexPhraseScoredSql("s%a%", "table", 10),
     "geodist_sort" ->
       (graft.operators.FunctionOracles.geoDist +
         "\nORDER BY dist_10m ASC, c_custkey ASC LIMIT 20"),
