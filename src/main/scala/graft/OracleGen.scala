@@ -950,6 +950,48 @@ object OracleGen {
        |FROM best b JOIN lists l ON b.doc_id = l.doc_id WHERE rn = 1""".stripMargin
   }
 
+  /** hl.snippets = 2: the two best non-overlapping passages per top-k
+    * doc — passage 1 = the [[highlightPassagesSql]] winner, passage 2 =
+    * the best candidate at |anchor₂ − anchor₁| ≥ window, NULL when no
+    * disjoint candidate exists.
+    */
+  def highlightSnippetsSql(terms: Seq[String], k: Int, window: Int): String = {
+    val qs = termList(terms.distinct)
+    s"""WITH ${bm25Ctes(terms)}, top AS (
+       |  SELECT doc_id FROM sc ORDER BY score DESC, doc_id ASC LIMIT $k
+       |), lists AS (
+       |  SELECT d.doc_id, string_split(d.text, ' ') AS l
+       |  FROM documents d JOIN top USING (doc_id)
+       |), mm AS (
+       |  SELECT doc_id, term, pos FROM (
+       |    SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+       |    FROM lists) WHERE term IN ($qs)
+       |), wins AS (
+       |  SELECT a.doc_id, a.pos AS anchor,
+       |    count(DISTINCT b.term) * 1000 + count(*) AS p_score
+       |  FROM mm a JOIN mm b ON a.doc_id = b.doc_id
+       |    AND b.pos >= a.pos AND b.pos < a.pos + $window
+       |  GROUP BY a.doc_id, a.pos
+       |), b1 AS (
+       |  SELECT doc_id, anchor, p_score FROM wins
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY p_score DESC, anchor ASC) = 1
+       |), b2 AS (
+       |  SELECT w.doc_id, w.anchor, w.p_score
+       |  FROM wins w JOIN b1 ON w.doc_id = b1.doc_id
+       |    AND abs(w.anchor - b1.anchor) >= $window
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY w.doc_id ORDER BY w.p_score DESC, w.anchor ASC) = 1
+       |)
+       |SELECT l.doc_id,
+       |  array_to_string(l.l[b1.anchor:b1.anchor + $window - 1], ' ') AS passage1,
+       |  CAST(b1.p_score AS BIGINT) AS p1_score,
+       |  array_to_string(l.l[b2.anchor:b2.anchor + $window - 1], ' ') AS passage2,
+       |  CAST(b2.p_score AS BIGINT) AS p2_score
+       |FROM b1 JOIN lists l ON b1.doc_id = l.doc_id
+       |LEFT JOIN b2 ON b2.doc_id = b1.doc_id""".stripMargin
+  }
+
   /** DoubleMetaphone primary-code codebook stats — same single-source
     * VALUES-map pattern as [[porterStemDfSql]].
     */

@@ -804,6 +804,16 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         Seq("spark", "dup"), 5, 8)
     }),
+    "highlight_snippets" -> ((s, dir) => {
+      // hl.snippets=2: the two best NON-overlapping passages per top-k
+      // doc (passage 2 null when every other candidate overlaps the
+      // winner) — the multi-passage mode of the same UnifiedHighlighter
+      // analog above
+      val v = IndexCache.documentsIndex(s, dir)
+      MoreQueries.highlightSnippets(s, v,
+        s.read.parquet(s"$dir/documents.parquet"),
+        Seq("spark", "dup"), 5, 8)
+    }),
     "cursor_page" -> ((s, dir) => {
       // cursorMark deep paging: page 2 via a keyset predicate from the
       // previous page's last (score_q, doc_id) — the cursor token is a
@@ -2048,6 +2058,8 @@ object SparkEntry {
          |ORDER BY dist ASC, df DESC, term ASC LIMIT 5""".stripMargin,
     "highlight_topk" ->
       OracleGen.highlightPassagesSql(Seq("spark", "dup"), 5, 8),
+    "highlight_snippets" ->
+      OracleGen.highlightSnippetsSql(Seq("spark", "dup"), 5, 8),
     "cursor_page" ->
       s"""WITH ${OracleGen.bm25Ctes(Seq("spark", "join"))}
          |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q

@@ -965,6 +965,24 @@ object MoreQueries {
   def highlightPassages(spark: SparkSession, view: IndexView,
                         corpus: DataFrame, terms: Seq[String], k: Int,
                         window: Int): DataFrame = {
+    // best passage per doc: one struct-max (score desc, anchor asc)
+    passageWins(spark, view, corpus, terms, k, window)
+      .groupBy("doc_id", "text")
+      .agg(max(struct(col("p_score").as("s"), (-col("anchor")).as("na")))
+        .as("b"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "),
+          -col("b.na") + 1, lit(window))).as("passage"),
+        col("b.s").as("p_score"))
+  }
+
+  /** Scored candidate passages of the top-k docs: (doc_id, text,
+    * anchor, p_score) — the shared first stage of [[highlightPassages]]
+    * and [[highlightSnippets]].
+    */
+  private def passageWins(spark: SparkSession, view: IndexView,
+                          corpus: DataFrame, terms: Seq[String], k: Int,
+                          window: Int): DataFrame = {
     val top = ExactSearch.topK(spark, view, terms, k, DoubleOracle)
       .select("doc_id")
     val docs = corpus.select(col("doc_id"), col("text"))
@@ -975,7 +993,7 @@ object MoreQueries {
         posexplode(split(col("text"), " ")))
       .where(col("col").isin(terms: _*))
       .select(col("doc_id"), col("text"), col("pos"), col("col").as("mterm"))
-    val wins = m.alias("a")
+    m.alias("a")
       .join(m.select(col("doc_id"), col("pos").as("pos2"),
           col("mterm").as("mterm2")).alias("b"),
         col("a.doc_id") === col("b.doc_id") &&
@@ -985,15 +1003,43 @@ object MoreQueries {
         col("a.pos").as("anchor"))
       .agg((countDistinct(col("mterm2")) * 1000 + count(lit(1)))
         .as("p_score"))
-    // best passage per doc: one struct-max (score desc, anchor asc)
-    wins
+  }
+
+  /** hl.snippets = 2 [8x lucene .../uhighlight/UnifiedHighlighter.java
+    * #highlightFields(maxPassages); solr HighlightComponent hl.snippets]:
+    * the TWO best NON-OVERLAPPING passages per top-k doc. Passage 1 is
+    * the [[highlightPassages]] winner; passage 2 is the best candidate
+    * whose window is disjoint from it (|anchor₂ − anchor₁| ≥ window —
+    * the reference's passage separation), null when no disjoint
+    * candidate exists. Same candidate-bounded dataflow: both selections
+    * are struct-max aggregates over the k docs' passage frame.
+    */
+  def highlightSnippets(spark: SparkSession, view: IndexView,
+                        corpus: DataFrame, terms: Seq[String], k: Int,
+                        window: Int): DataFrame = {
+    val wins = passageWins(spark, view, corpus, terms, k, window)
+    val b1 = wins
       .groupBy("doc_id", "text")
       .agg(max(struct(col("p_score").as("s"), (-col("anchor")).as("na")))
         .as("b"))
+      .select(col("doc_id"), col("text"),
+        (-col("b.na")).as("a1"), col("b.s").as("s1"))
+    val b2 = wins
+      .join(b1.select("doc_id", "a1"), Seq("doc_id"))
+      .where(abs(col("anchor") - col("a1")) >= window)
+      .groupBy("doc_id")
+      .agg(max(struct(col("p_score").as("s"), (-col("anchor")).as("na")))
+        .as("b2"))
+      .select(col("doc_id"), (-col("b2.na")).as("a2"), col("b2.s").as("s2"))
+    b1.join(b2, Seq("doc_id"), "left")
       .select(col("doc_id"),
         concat_ws(" ", slice(split(col("text"), " "),
-          -col("b.na") + 1, lit(window))).as("passage"),
-        col("b.s").as("p_score"))
+          col("a1") + 1, lit(window))).as("passage1"),
+        col("s1").cast("long").as("p1_score"),
+        when(col("a2").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ", slice(split(col("text"), " "),
+            col("a2") + 1, lit(window)))).as("passage2"),
+        col("s2").cast("long").as("p2_score"))
   }
 
   /** Lucene `explain()` / Solr debugQuery [8x search/Weight.java#explain,
