@@ -81,6 +81,17 @@ object RelationalOracles {
     """SELECT c_mktsegment, count(*) AS n FROM customer
       |GROUP BY c_mktsegment ORDER BY n DESC, c_mktsegment ASC LIMIT 5""".stripMargin
 
+  val facetAllBuckets: String =
+    """WITH b AS (
+      |  SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY 1
+      |), st AS (
+      |  SELECT count(*) AS num_buckets, CAST(sum(n) AS BIGINT) AS all_count
+      |  FROM b
+      |)
+      |SELECT b.c_mktsegment, b.n, st.num_buckets, st.all_count
+      |FROM b CROSS JOIN st
+      |ORDER BY b.n DESC, b.c_mktsegment ASC LIMIT 2""".stripMargin
+
   val facetRange: String =
     s"""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
        |  count(*) AS n, CAST(sum($centsP) AS BIGINT) AS total_cents

@@ -461,6 +461,24 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
         .select(col("grp"), col("g_best"), col("doc_id"), col("score_q"))
     }),
+    "result_grouping_ngroups" -> ((s, dir) => {
+      // group.ngroups=true [8x solr .../search/grouping/...
+      // TopGroupsResultTransformer; the SecondPassGroupingCollector's
+      // totalGroupCount]: the TOTAL number of matching groups (and the
+      // total hit count) attached to the grouped response — the client
+      // pages groups, so the cut above shows top-3 but ngroups counts
+      // them all. One extra tiny aggregate over the same scored frame.
+      val v = IndexCache.documentsIndex(s, dir)
+      val scored = ExactSearch.scored(s, v, Seq("spark", "join"), DoubleOracle)
+        .select(col("doc_id"), (col("doc_id") % 10).as("grp"),
+          round(col("score") * 10000).cast("long").as("score_q"))
+      val topGroups = scored.groupBy("grp").agg(max("score_q").as("g_best"))
+        .orderBy(col("g_best").desc, col("grp").asc).limit(3)
+      val ng = scored.agg(countDistinct(col("grp")).as("ngroups"),
+        count(lit(1)).as("n_matches"))
+      topGroups.crossJoin(broadcast(ng))
+        .select(col("grp"), col("g_best"), col("ngroups"), col("n_matches"))
+    }),
     "join_query" -> ((s, dir) => {
       // JoinQParser ({!join from=.. to=..}): docs whose join key matches
       // the join key of docs matching the inner query — a semi-join on
@@ -1394,6 +1412,7 @@ object SparkEntry {
     "having_filter" -> (graft.operators.Relational.havingFilter _),
     "select_expr" -> (graft.operators.Relational.selectExpr _),
     "facet_terms" -> (graft.operators.Relational.facetTerms _),
+    "facet_allbuckets" -> (graft.operators.Relational.facetAllBuckets _),
     "facet_range" -> (graft.operators.Relational.facetRange _),
     "facet_range_other" -> ((s, dir) =>
       // facet.range.other=all + hardend: $500.00k range in $50k gaps
@@ -1878,6 +1897,19 @@ object SparkEntry {
          |FROM scq s JOIN tg USING (grp)
          |QUALIFY row_number() OVER (
          |  PARTITION BY s.grp ORDER BY s.score_q DESC, s.doc_id ASC) <= 2""".stripMargin,
+    "result_grouping_ngroups" ->
+      s"""WITH ${OracleGen.bm25Ctes(Seq("spark", "join"))}, scq AS (
+         |  SELECT doc_id, doc_id % 10 AS grp,
+         |    CAST(round(score * 10000) AS BIGINT) AS score_q FROM sc
+         |), tg AS (
+         |  SELECT grp, max(score_q) AS g_best FROM scq GROUP BY grp
+         |  ORDER BY g_best DESC, grp ASC LIMIT 3
+         |), ng AS (
+         |  SELECT count(DISTINCT grp) AS ngroups, count(*) AS n_matches
+         |  FROM scq
+         |)
+         |SELECT tg.grp, tg.g_best, ng.ngroups, ng.n_matches
+         |FROM tg CROSS JOIN ng""".stripMargin,
     "join_query" ->
       s"""WITH ${OracleGen.tokCte}, inner_q AS (
          |  SELECT DISTINCT CAST(floor(doc_id / 100) AS BIGINT) AS jk
@@ -2351,6 +2383,7 @@ object SparkEntry {
     "having_filter" -> RelationalOracles.havingFilter,
     "select_expr" -> RelationalOracles.selectExpr,
     "facet_terms" -> RelationalOracles.facetTerms,
+    "facet_allbuckets" -> RelationalOracles.facetAllBuckets,
     "facet_range" -> RelationalOracles.facetRange,
     "facet_range_other" ->
       RelationalOracles.facetRangeOther(5000000L, 40000000L, 5000000L),

@@ -184,6 +184,23 @@ object Relational {
       .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_cents"))
 
+  /** JSON facet `numBuckets:true` + `allBuckets:true` [8x solr
+    * .../search/facet/FacetField.java, FacetFieldProcessor's
+    * `allBuckets` / `numBuckets` accumulators]: the limit-cut term
+    * facet plus (a) the count of ALL buckets the limit hid and (b) the
+    * aggregate over the whole domain regardless of the cut. Both ride
+    * the SAME per-bucket hash-agg frame — the extras are one tiny
+    * re-aggregate of the bucket frame, never a second scan.
+    */
+  def facetAllBuckets(s: SparkSession, dir: String): DataFrame = {
+    val b = tbl(s, dir, "customer")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    val stats = b.agg(count(lit(1)).as("num_buckets"),
+      sum("n").as("all_count"))
+    b.orderBy(col("n").desc, col("c_mktsegment").asc).limit(2)
+      .crossJoin(broadcast(stats))
+  }
+
   /** Range facet with the `other` buckets [8x solr/core .../handler/
     * component/RangeFacetProcessor.java; `facet.range.other=all`,
     * `facet.range.hardend`]: gap buckets over [start, end) plus the
