@@ -1613,6 +1613,10 @@ object SparkEntry {
     "source_cap" -> ((s, dir) => graft.operators.TrainingData.sourceCap(s, dir)),
     "pack_sequences" -> ((s, dir) => graft.operators.TrainingData.packSequences(s, dir)),
     "dup_ngram_prune" -> ((s, dir) => graft.operators.TrainingData.dupNgramPrune(s, dir)),
+    "exact_substr_dedup" -> ((s, dir) =>
+      // Lee et al. 2021 ExactSubstr: spans covered by corpus-duplicated
+      // 8-grams are cut out of the text, not just counted
+      graft.operators.TrainingData.exactSubstrDedup(s, dir)),
     "dsir_importance" -> ((s, dir) => graft.operators.TrainingData.dsirImportance(s, dir)),
     "semdedup" -> ((s, dir) => graft.operators.TrainingData.semDedup(s, dir)),
     "text_profile_sig" -> ((s, dir) =>
@@ -2444,6 +2448,7 @@ object SparkEntry {
     "source_cap" -> TrainingOracles.sourceCap(10),
     "pack_sequences" -> TrainingOracles.packSequences(512L),
     "dup_ngram_prune" -> TrainingOracles.dupNgramPrune,
+    "exact_substr_dedup" -> TrainingOracles.exactSubstrDedup,
     "dsir_importance" -> TrainingOracles.dsirImportance,
     "semdedup" -> TrainingOracles.semDedup(8, 950000L),
     "text_profile_sig" -> TrainingOracles.textProfileSignature,

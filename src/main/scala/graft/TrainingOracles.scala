@@ -129,6 +129,43 @@ object TrainingOracles {
       |FROM sh JOIN sdf ON sh.s = sdf.s
       |GROUP BY sh.doc_id""".stripMargin
 
+  /** ExactSubstr span dedup (Lee et al. 2021): token positions covered
+    * by any corpus-duplicated 8-gram are cut; per doc the token counts
+    * and the md5 of the re-joined surviving text. Positions 1-based
+    * here, 0-based in the engine — each side is self-consistent.
+    */
+  val exactSubstrDedup: String =
+    """WITH lists AS (
+      |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      |), g0 AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 7),
+      |    i -> {'pos': i, 'gram': array_to_string(l[i:i+7], ' ')})) AS u
+      |  FROM lists
+      |), g AS (
+      |  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g0
+      |), dup AS (
+      |  SELECT gram FROM g GROUP BY gram HAVING count(*) > 1
+      |), cov0 AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(0, 7),
+      |    o -> pos + o)) AS cpos
+      |  FROM g JOIN dup USING (gram)
+      |), cov AS (
+      |  SELECT DISTINCT doc_id, cpos FROM cov0
+      |), tok AS (
+      |  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+      |  FROM lists
+      |), kept AS (
+      |  SELECT t.doc_id, count(*) AS n_kept,
+      |    string_agg(t.tok, ' ' ORDER BY t.pos) AS clean
+      |  FROM tok t LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.cpos = t.pos
+      |  WHERE cov.cpos IS NULL
+      |  GROUP BY t.doc_id
+      |)
+      |SELECT l.doc_id, CAST(len(l.l) AS BIGINT) AS n_tok,
+      |  CAST(len(l.l) - coalesce(k.n_kept, 0) AS BIGINT) AS n_dup_tok,
+      |  md5(coalesce(k.clean, '')) AS clean_md5
+      |FROM lists l LEFT JOIN kept k USING (doc_id)""".stripMargin
+
   /** Per-lang 60th-percentile n_chars threshold filter (quantile_cont
     * == Spark's exact `percentile`).
     */

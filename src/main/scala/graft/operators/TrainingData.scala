@@ -804,6 +804,60 @@ object TrainingData {
         sum(when(col("sdf") > 1, 1L).otherwise(0L)).as("n_dup"))
   }
 
+  /** ExactSubstr deduplication (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): remove every token
+    * SPAN covered by a k-token substring that occurs more than once in
+    * the whole corpus (other docs AND other positions of the same doc
+    * both count — the paper's suffix-array criterion at token
+    * granularity). Where [[dupNgramPrune]] reports doc-level counts,
+    * this is the span-level surgery: per doc, the covered positions
+    * are cut and the retained text re-joined.
+    *
+    * Dataflow: (a) anchored k-grams per doc, narrow via the let-bound
+    * transform; (b) ONE gram-keyed hash agg for occurrence counts —
+    * the only wide op, map-side-combined and the exact analog of the
+    * suffix array's duplicate scan (at 100 TB you'd key this shuffle
+    * by a 128-bit gram hash instead of the string; the string key here
+    * keeps the DuckDB oracle byte-exact); (c) duplicated anchors join
+    * back (broadcast-sized in any non-pathological corpus — it is the
+    * set of PLAGIARIZED spans, not the corpus), positions expand to
+    * coverage, and an anti-join keeps the surviving tokens; (d) per-doc
+    * re-join of kept tokens in position order (md5 so the row stays
+    * narrow). Docs fully covered survive with clean_md5 = md5('').
+    */
+  def exactSubstrDedup(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val lists = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+    val grams = lists
+      .where(size(col("l")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(l) - ${k - 1}), i ->
+           |  array_join(slice(l, i, $k), ' '))""".stripMargin)))
+      .toDF("doc_id", "pos", "gram") // pos = 0-based anchor
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1).select("gram")
+    val cov = grams.join(dup, Seq("gram"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${k - 1})")).as("cpos"))
+      .distinct()
+    val toks = lists
+      .select(col("doc_id"), posexplode(col("l")))
+      .toDF("doc_id", "pos", "tok")
+    val kept = toks.join(cov,
+        toks("doc_id") === cov("doc_id") && toks("pos") === cov("cpos"),
+        "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
+          .as("clean"))
+    lists.select(col("doc_id"), size(col("l")).cast("long").as("n_tok"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_dup_tok"),
+        md5(coalesce(col("clean"), lit(""))).as("clean_md5"))
+  }
+
   /** Unigram-LM surprisal (perplexity-proxy quality signal, the
     * Wikipedia-LM filter shape): per doc, mean −log p(token) under the
     * corpus unigram distribution, scaled ×10⁴ and kept INTEGER-exact
