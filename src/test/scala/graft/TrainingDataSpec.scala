@@ -548,6 +548,37 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got(4L) == ((1L, md5hex("w9 1"))))   // 1-char tokens never counted
   }
 
+  test("exact_substr_dedup cuts exactly the corpus-duplicated 8-gram spans") {
+    val k = 8
+    val got = TrainingData.exactSubstrDedup(spark, corpusDir, k).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // brute force over the crafted corpus
+    val docs = spark.read.parquet(s"$corpusDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' ')).toMap
+    val gramCount = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, toks) <- docs; i <- 0 to toks.length - k)
+      gramCount.updateWith(toks.slice(i, i + k).mkString(" "))(
+        c => Some(c.getOrElse(0) + 1))
+    for ((id, toks) <- docs) {
+      val covered = (for {
+        i <- 0 to toks.length - k
+        if gramCount(toks.slice(i, i + k).mkString(" ")) > 1
+        p <- i until i + k
+      } yield p).toSet
+      val clean = toks.indices.filterNot(covered).map(toks).mkString(" ")
+      assert(got(id) == ((toks.length.toLong, covered.size.toLong,
+        md5hex(clean))), s"doc $id")
+    }
+    // the exact-dup pair is fully covered; the unrelated short doc untouched
+    assert(got(0L)._2 == 20L && got(1L)._2 == 20L)
+    assert(got(5L)._2 == 0L)
+    // near-dup of doc 0 (last token changed): the shared 19-token prefix
+    // is covered (positions 0..18), the changed tail token survives
+    assert(got(2L)._2 == 19L)
+  }
+
   test("url keep-best dedup keeps the longest page per canonical URL") {
     import spark.implicits._
     // doc_ids 0/100/200 share host doc_id%50=0 and path doc_id%100=0
