@@ -1121,6 +1121,22 @@ object OracleGen {
        |ORDER BY $model DESC, c.doc_id ASC LIMIT $k""".stripMargin
   }
 
+  /** LTR feature logger (`fl=[features]`): the RAW named feature
+    * vector per doc of the BM25 top-n candidate window — score,
+    * ln-length, flag-term membership — each quantized on the shared
+    * integer grid (the un-blended twin of [[ltrRerankSql]]).
+    */
+  def ltrFeaturesSql(terms: Seq[String], flagTerm: String, n: Int): String =
+    s"""WITH ${bm25Ctes(terms)}, cand AS (
+       |  SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id ASC LIMIT $n
+       |), flag AS (SELECT DISTINCT doc_id FROM tokf WHERE term = '$flagTerm')
+       |SELECT c.doc_id,
+       |  CAST(round(c.score * 10000) AS BIGINT) AS f_score_q,
+       |  CAST(round(ln(1 + d.n_chars / 100.0) * 10000) AS BIGINT) AS f_len_q,
+       |  CAST(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS f_flag
+       |FROM cand c JOIN documents d ON c.doc_id = d.doc_id
+       |LEFT JOIN flag f ON c.doc_id = f.doc_id""".stripMargin
+
   /** Soundex codebook over the stop-filtered term stream: the phonetic
     * rules are ONE shared portable SQL expression (Phonetic.soundexSql)
     * evaluated verbatim here and in the engine.

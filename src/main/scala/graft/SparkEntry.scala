@@ -296,6 +296,38 @@ object SparkEntry {
       // matching children / integer-grid mean — the other two modes
       MoreQueries.blockJoinScoredAvg(s,
         graft.index.NestedBlocks.nestedIndex(s, dir), "spark", "join")),
+    "block_join_scored_min" -> ((s, dir) =>
+      // ToParentBlockJoin ScoreMode.Min: parent takes its WORST
+      // matching child's score — the fourth and last aggregation mode
+      MoreQueries.blockJoinScoredMin(s,
+        graft.index.NestedBlocks.nestedIndex(s, dir), "spark", "join")),
+    "child_transform" -> ((s, dir) =>
+      // Solr fl=[child childFilter=... limit=1]: top-10 parent hits
+      // decorated with their block's first child matching the filter
+      MoreQueries.childTransform(s,
+        graft.index.NestedBlocks.nestedIndex(s, dir), "spark", "join",
+        10, 1)),
+    "docvalues_update" -> ((s, dir) =>
+      // IndexWriter.updateNumericDocValue: two generation-stamped DV
+      // overlays (spark→1000 then join→2000, newest generation wins)
+      // resolved from the terms' own posting lists — no reindex
+      MoreQueries.docValuesUpdate(s, IndexCache.documentsIndex(s, dir),
+        Seq("spark" -> 1000L, "join" -> 2000L))),
+    "ltr_features" -> ((s, dir) =>
+      // LTR fl=[features] logger: raw named feature vector per
+      // candidate of the BM25 top-50 window — what a training pipeline
+      // logs to build LTR training sets (same candidate-bounded joins
+      // as ltr_rerank, minus the model blend)
+      MoreQueries.ltrFeatureVectors(s, IndexCache.documentsIndex(s, dir),
+        s.read.parquet(s"$dir/documents.parquet"),
+        Seq("spark", "join"), "vector", 50)),
+    "fingerprint_filter" -> ((s, dir) =>
+      // Solr FingerprintFilter dedup-analysis chain: one sorted
+      // de-duplicated fingerprint token per doc, off the index postings
+      graft.operators.AnalysisOps.fingerprintFilter(s, dir)),
+    "mixture_weights" -> ((s, dir) =>
+      // temperature-smoothed source-mixture sampling weights (α = 0.5)
+      graft.operators.TrainingData.mixtureWeights(s, dir)),
     "fuzzy_scored_topk" -> ((s, dir) =>
       // FuzzyQuery's TopTermsBlendedFreqScoringRewrite: hask~2 expands
       // to {hash, fast} with FuzzyTermsEnum boosts and a blended df
@@ -2555,6 +2587,81 @@ object SparkEntry {
         |  CAST(total_score AS BIGINT) AS total_score,
         |  CAST((total_score * 10000) // n_children AS BIGINT) AS avg_score_q
         |FROM m WHERE n_children > 0""".stripMargin,
+    "block_join_scored_min" ->
+      """WITH lists AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), halves AS (
+        |  SELECT doc_id, l[1:(len(l)+1)//2] AS c0,
+        |         l[(len(l)+1)//2+1:len(l)] AS c1 FROM lists
+        |), scored AS (
+        |  SELECT doc_id,
+        |    CASE WHEN list_contains(c0, 'spark') AND list_contains(c0, 'join')
+        |      THEN CAST(len(list_filter(c0, x -> x = 'spark')) +
+        |                len(list_filter(c0, x -> x = 'join')) AS BIGINT)
+        |      ELSE -1 END AS s0,
+        |    CASE WHEN list_contains(c1, 'spark') AND list_contains(c1, 'join')
+        |      THEN CAST(len(list_filter(c1, x -> x = 'spark')) +
+        |                len(list_filter(c1, x -> x = 'join')) AS BIGINT)
+        |      ELSE -1 END AS s1
+        |  FROM halves)
+        |SELECT doc_id, CAST(CASE
+        |    WHEN s0 >= 0 AND s1 >= 0 THEN least(s0, s1)
+        |    WHEN s0 >= 0 THEN s0 ELSE s1 END AS BIGINT) AS parent_score
+        |FROM scored WHERE s0 >= 0 OR s1 >= 0""".stripMargin,
+    "child_transform" ->
+      """WITH lists AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), halves AS (
+        |  SELECT doc_id, l AS full_l, l[1:(len(l)+1)//2] AS c0,
+        |         l[(len(l)+1)//2+1:len(l)] AS c1 FROM lists
+        |), ptop AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(full_l, x -> x = 'spark')) AS BIGINT) AS parent_tf
+        |  FROM halves WHERE list_contains(full_l, 'spark')
+        |  ORDER BY parent_tf DESC, doc_id ASC LIMIT 10
+        |), kids AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS child_ord,
+        |    CAST(len(list_filter(c0, x -> x = 'join')) AS BIGINT) AS child_tf
+        |  FROM halves WHERE list_contains(c0, 'join')
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1 AS BIGINT),
+        |    CAST(len(list_filter(c1, x -> x = 'join')) AS BIGINT)
+        |  FROM halves WHERE list_contains(c1, 'join')
+        |), r AS (
+        |  SELECT p.doc_id, p.parent_tf, k.child_ord, k.child_tf,
+        |    row_number() OVER (PARTITION BY p.doc_id ORDER BY k.child_ord) AS rn
+        |  FROM ptop p JOIN kids k ON p.doc_id = k.doc_id)
+        |SELECT doc_id, parent_tf, child_ord, child_tf FROM r
+        |WHERE rn <= 1""".stripMargin,
+    "docvalues_update" ->
+      s"""WITH ${OracleGen.tokCte}, dlt AS (
+         |  SELECT doc_id, count(*) AS dl FROM tokf GROUP BY doc_id
+         |), u AS (
+         |  SELECT doc_id, max(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS g
+         |  FROM tokf WHERE term IN ('spark', 'join') GROUP BY doc_id)
+         |SELECT u.doc_id,
+         |  CAST(CASE WHEN u.g = 1 THEN 2000 ELSE 1000 END AS BIGINT) AS boost_dv,
+         |  CAST(dlt.dl AS BIGINT) AS dl
+         |FROM u JOIN dlt ON u.doc_id = dlt.doc_id""".stripMargin,
+    "ltr_features" ->
+      OracleGen.ltrFeaturesSql(Seq("spark", "join"), "vector", 50),
+    "fingerprint_filter" ->
+      s"""WITH ${OracleGen.tokCte}, dt AS (
+         |  SELECT DISTINCT doc_id, term FROM tokf)
+         |SELECT doc_id,
+         |  string_agg(term, ' ' ORDER BY term) AS fingerprint,
+         |  count(*) AS n_terms
+         |FROM dt GROUP BY doc_id""".stripMargin,
+    "mixture_weights" ->
+      """WITH ps AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000) AS BIGINT) AS sq
+        |  FROM documents GROUP BY source
+        |), t AS (SELECT sum(sq) AS sq_total FROM ps)
+        |SELECT source, n_docs, n_chars,
+        |  CAST((sq * 1000000) // sq_total AS BIGINT) AS weight_ppm
+        |FROM ps CROSS JOIN t""".stripMargin,
     "chunk_documents" -> TrainingOracles.chunkDocuments(40, 10),
     "repetition_ratio" ->
       """WITH tp AS (

@@ -102,6 +102,23 @@ object AnalysisOps {
       .groupBy("poss", "stem").agg(countDistinct("doc_id").as("df"))
   }
 
+  /** FingerprintFilter [8x lucene/analysis/common .../miscellaneous/
+    * FingerprintFilter.java, solr FingerprintFilterFactory]: collapse a
+    * document's whole token stream into ONE fingerprint token — the
+    * sorted, de-duplicated terms joined by a separator (Solr's
+    * duplicate-detection analysis chain). Derived from the index's
+    * posting docID streams (each (term, doc) pair exists exactly once
+    * in the postings, so no distinct() shuffle), never by re-tokenizing
+    * stored text; one per-doc sort-agg over dictionary-pair rows.
+    */
+  def fingerprintFilter(s: SparkSession, dir: String): DataFrame =
+    Relational.docTermsFromIndex(s, dir)
+      .groupBy("doc_id")
+      .agg(collect_set("term").as("ts"))
+      .select(col("doc_id"),
+        concat_ws(" ", sort_array(col("ts"))).as("fingerprint"),
+        size(col("ts")).cast("long").as("n_terms"))
+
   /** Shingle (token-bigram) dictionary — the ShingleFilter
     * [8x lucene/analysis/common .../shingle/ShingleFilter.java] at its
     * stock size (min=max=2): df/ctf per adjacent token pair. Decoded

@@ -1197,4 +1197,27 @@ object TrainingData {
         min(struct((-col("n_chars")).as("neg"), col("doc_id")))
           .getField("doc_id").as("keeper"))
   }
+
+  /** Temperature-based source-mixture weights — the multilingual /
+    * multi-source LM sampling rule (Devlin et al. 2019 mBERT exponent
+    * smoothing; Raffel et al. 2020 T5 §3.4.3 mixing): sampling weight
+    * w_i ∝ n_i^α with α = 0.5, so small sources are up-weighted
+    * relative to their share. Exact integer arithmetic end to end —
+    * per-source sqrt quantized to a milli-grid FIRST (sqrt is a
+    * correctly-rounded IEEE op, identical in every engine), then
+    * integer sum + integer ppm division, so the result is independent
+    * of summation order (no float-sum hazard at any partition count).
+    * One tiny agg (≤ #sources rows) cross-joined back — scales.
+    */
+  def mixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val perSource = docs(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("n_chars"))
+      .withColumn("sq", floor(sqrt(col("n_docs")) * 1000).cast("long"))
+    val total = perSource.agg(sum("sq").as("sq_total"))
+    perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        expr("(sq * 1000000) div sq_total").as("weight_ppm"))
+  }
 }

@@ -752,6 +752,112 @@ object MoreQueries {
         expr("(total_score * 10000) div n_children").as("avg_score_q"))
   }
 
+  /** ToParentBlockJoin ScoreMode.Min [8x search/join/ScoreMode.java,
+    * ToParentBlockJoinQuery.java]: the fourth aggregation mode — parent
+    * score = the MINIMUM over its matching children (the worst matching
+    * child gates the parent; used when every child must be good). Same
+    * one-pass matching-children frame as Max/Total/Avg; only the final
+    * aggregate changes.
+    */
+  def blockJoinScoredMin(spark: SparkSession, view: IndexView,
+                         t1: String, t2: String): DataFrame = {
+    val parents = parentDocSet(spark, view)
+    matchingChildScores(spark, view, t1, t2, parents)
+      .groupBy("parent_id").agg(min("cscore").as("parent_score"))
+      .join(parents, Seq("parent_id"))
+      .join(parentUrlLookup(view), Seq("parent_id"))
+      .select(col("url").cast("long").as("doc_id"), col("parent_score"))
+  }
+
+  /** ChildDocTransformer — Solr's `fl=[child childFilter=... limit=N]`
+    * result decoration [8x solr/core .../response/transform/
+    * ChildDocTransformerFactory.java]: the top-k PARENT hits (ranked by
+    * the parents' own postings — integer tf keeps the oracle exact)
+    * come back decorated with up to `childLimit` of their block's
+    * children that match the child filter, in child order.
+    *
+    * Candidate-bounded like the reference: the k-row parent frame
+    * broadcasts into the child-filter postings join, so decoration
+    * cost is O(matching children of k blocks), never a corpus scan.
+    */
+  def childTransform(spark: SparkSession, view: IndexView,
+                     parentTerm: String, childFilterTerm: String,
+                     k: Int, childLimit: Int): DataFrame = {
+    val parents = parentDocSet(spark, view)
+    val pTop = ExactSearch.decodedPostings(spark, view, Seq(parentTerm))
+      .join(parents.withColumnRenamed("parent_id", "doc_id"),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("parent_id"), col("tf").as("parent_tf"))
+      .orderBy(col("parent_tf").desc, col("parent_id").asc).limit(k)
+    val kids = ExactSearch.decodedPostings(spark, view, Seq(childFilterTerm))
+      .where(col("doc_id") % 3 < 2) // child rows of each 3-doc block
+      .select(col("doc_id").as("child_doc"),
+        parentOf(col("doc_id")).as("parent_id"), col("tf").as("child_tf"))
+    import org.apache.spark.sql.expressions.Window
+    kids.join(broadcast(pTop), Seq("parent_id"))
+      .withColumn("child_ord", (col("child_doc") % 3).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("parent_id").orderBy("child_ord")))
+      .where(col("rn") <= childLimit)
+      .join(parentUrlLookup(view), Seq("parent_id"))
+      .select(col("url").cast("long").as("doc_id"),
+        col("parent_tf").cast("long").as("parent_tf"),
+        col("child_ord"), col("child_tf").cast("long").as("child_tf"))
+  }
+
+  /** LTR `fl=[features]` transformer [8x solr/contrib/ltr .../response/
+    * transform/LTRFeatureLoggerTransformerFactory.java]: instead of the
+    * blended model score ([[ltrRerankTopK]]), emit the RAW named
+    * feature vector per reranked doc — what a training pipeline logs to
+    * build LTR training sets. Same candidate-bounded extraction: the
+    * N-row window broadcasts into every feature join.
+    */
+  def ltrFeatureVectors(spark: SparkSession, view: IndexView,
+                        corpus: DataFrame, terms: Seq[String],
+                        flagTerm: String, n: Int): DataFrame = {
+    import spark.implicits._
+    val cand = BmwSearch.topK(spark, view, terms, n, DoubleOracle)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .toDF("doc_id", "score") // local relation: pass 1 runs exactly once
+    val meta = corpus.select(col("doc_id"), col("n_chars"))
+    val flag = matchingDocs(spark, view, Seq(flagTerm))
+      .join(broadcast(cand.select("doc_id")), Seq("doc_id"), "left_semi")
+      .withColumn("has_flag", lit(1L))
+    meta.join(broadcast(cand), Seq("doc_id"))
+      .join(broadcast(flag), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        round(col("score") * 10000).cast("long").as("f_score_q"),
+        round(log(lit(1d) + col("n_chars") / 100.0) * 10000).cast("long")
+          .as("f_len_q"),
+        coalesce(col("has_flag"), lit(0L)).as("f_flag"))
+  }
+
+  /** Numeric docvalues update [8x index/IndexWriter.java
+    * updateNumericDocValue, index/NumericDocValuesFieldUpdates.java]:
+    * set a numeric DV field for every doc matching a term WITHOUT
+    * reindexing. Each update is a generation-stamped overlay resolved
+    * from the term's own posting list (the reference writes `.dvu`
+    * update files keyed by the delete-term's doc set); at read time
+    * the NEWEST generation wins per doc, exactly like DV update files
+    * stacking over the base segment. Overlay frames are
+    * posting-list-sized narrow decodes — no corpus scan; the resolve
+    * is one per-doc struct-max aggregate plus a join against docmeta.
+    */
+  def docValuesUpdate(spark: SparkSession, view: IndexView,
+                      updates: Seq[(String, Long)]): DataFrame = {
+    val overlays = updates.zipWithIndex.map { case ((t, v), gen) =>
+      ExactSearch.decodedPostings(spark, view, Seq(t))
+        .select(col("doc_id"), lit(gen).as("gen"), lit(v).as("dv"))
+    }
+    val winner = overlays.reduce(_ unionByName _)
+      .groupBy("doc_id")
+      .agg(max(struct(col("gen"), col("dv"))).getField("dv").as("boost_dv"))
+    view.docmeta.toDF()
+      .select(col("doc_id"), col("dl").cast("long").as("dl"))
+      .join(winner, Seq("doc_id")) // inner: the docs an update touched
+      .select(col("doc_id"), col("boost_dv"), col("dl"))
+  }
+
   /** SpanPositionRangeQuery [8x search/spans/SpanPositionRangeQuery
     * .java]: keep spans whose start ≥ `start` and end ≤ `end` —
     * SpanFirst is the `start = 0` special case. For single-term spans

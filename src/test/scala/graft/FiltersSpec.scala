@@ -134,6 +134,23 @@ class FiltersSpec extends AnyFunSuite {
     assert(charNgrams("abc", 3) == Seq("abc"))
   }
 
+  test("fingerprint filter: sorted distinct analyzed terms, from the index") {
+    val dir = "/root/testdata/sf0.001"
+    val spark = SparkTestBase.spark
+    val fp = graft.operators.AnalysisOps.fingerprintFilter(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp.keySet == texts.keySet)
+    for ((id, text) <- texts.take(25)) {
+      val expect = graft.analysis.Analyzer.tokenize(text)
+        .map(_.term).distinct.sorted
+      assert(fp(id) == (expect.mkString(" "), expect.length.toLong), s"doc $id")
+    }
+  }
+
   test("keyword marker: the protected words are ones Porter would change") {
     for (w <- graft.operators.AnalysisOps.ProtectedWords)
       assert(graft.analysis.Porter.stem(w) != w,

@@ -254,6 +254,35 @@ class MoreQueriesSpec extends AnyFunSuite {
     val pf = MoreQueries.blockJoinParentFacet(spark, v, "beta", 10)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(pf == Seq(("alpha", 2L), ("beta", 1L), ("x", 1L), ("zeta", 1L)))
+
+    // ScoreMode.Min: the WORST matching child gates the parent —
+    // block 3's children score 3 and 2, so Min = 2 where Max was 3
+    val mn = MoreQueries.blockJoinScoredMin(spark, v, "alpha", "beta")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mn == Set((0L, 2L), (3L, 2L)))
+
+    // [child] transformer: parents matching 'alpha' are 1 and 2; each
+    // comes back with its FIRST child (by child ord) containing 'beta'
+    val ct = MoreQueries.childTransform(spark, v, "alpha", "beta", 10, 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(ct == Set((1L, 1L, 0L, 1L), (2L, 1L, 1L, 1L)))
+  }
+
+  test("docvalues update: newest generation wins per doc, no reindex") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "0", "alpha beta"),  // both updates touch it: gen-1 wins
+      (1L, "1", "alpha"),       // gen-0 only
+      (2L, "2", "beta gamma"),  // gen-1 only
+      (3L, "3", "gamma")        // untouched: absent from the result
+    ).toDF("doc_id", "url", "text")
+    val v = Indexer.buildTables(spark, Indexer.asDocInput(spark, corpus), 16)
+    val out = MoreQueries.docValuesUpdate(spark, v,
+        Seq("alpha" -> 10L, "beta" -> 20L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((0L, 20L, 2L), (1L, 10L, 1L), (2L, 20L, 2L)))
   }
 
   test("leading wildcard: reversed-dictionary prefix == brute-force suffix") {

@@ -72,6 +72,35 @@ class PhoneticSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(reranked == base) // rerank is a permutation of the candidates
   }
 
+  test("ltr feature logger: one raw vector per candidate, blend = rerank") {
+    val dir = "/root/testdata/sf0.001"
+    val v = IndexCache.documentsIndex(spark, dir)
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+    val feats = graft.search.MoreQueries
+      .ltrFeatureVectors(spark, v, corpus, Seq("spark", "join"), "vector", 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val base = graft.search.ExactSearch
+      .topK(spark, v, Seq("spark", "join"), 50, graft.search.DoubleOracle)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(feats.map(_._1).toSet == base.keySet) // the candidate window
+    for ((id, fs, _, fl) <- feats) {
+      assert(fs == math.round(base(id) * 10000), s"f_score of doc $id")
+      assert(fl == 0L || fl == 1L, s"f_flag of doc $id")
+    }
+    // blending the logged features with the model weights reproduces the
+    // rerank head (quantization slack can only reorder near-ties, and
+    // the sf0.001 head has none)
+    val blend = feats.map { case (id, fs, flen, fl) =>
+      (id, 0.6 * fs + 0.3 * flen + 0.5 * 10000 * fl) }
+      .sortBy { case (id, m) => (-m, id) }.take(5).map(_._1).toSeq
+    val rr = graft.search.MoreQueries
+      .ltrRerankTopK(spark, v, corpus, Seq("spark", "join"), "vector",
+        50, 5, 0.6, 0.3, 0.5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(blend == rr)
+  }
+
   test("sharded top-k merge equals the single-index answer at every shard size") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{floor, row_number}

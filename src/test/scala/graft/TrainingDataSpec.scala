@@ -324,6 +324,33 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("mixture weights: alpha=0.5 smoothing, exact integer grid, sums <= 1e6") {
+    val sf = "/root/testdata/sf0.001"
+    val got = TrainingData.mixtureWeights(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val per = rows.groupBy(_._1).map { case (src, rs) =>
+      (src, rs.length.toLong, rs.map(_._2).sum,
+        math.floor(math.sqrt(rs.length.toDouble) * 1000).toLong)
+    }
+    val tot = per.map(_._4).sum
+    val want = per.map { case (src, n, ch, sq) =>
+      (src, n, ch, sq * 1000000L / tot) }.toSet
+    assert(got.toSet == want)
+    // floor division: the ppm weights sum to at most one million, and
+    // small sources are up-weighted relative to their doc share
+    assert(got.map(_._4).sum <= 1000000L)
+    val (nTot, byN) = (rows.length.toLong, got.sortBy(_._2))
+    val (small, large) = (byN.head, byN.last)
+    if (small._2 < large._2) {
+      // ppm-per-doc must be strictly higher for the smaller source
+      assert(small._4 * large._2 > large._4 * small._2, s"n_total=$nTot")
+    }
+  }
+
   test("source_cap keeps exactly cap deterministic survivors per source") {
     val sf = "/root/testdata/sf0.001"
     val got = TrainingData.sourceCap(spark, sf, cap = 10)
