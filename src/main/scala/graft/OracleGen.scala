@@ -1137,6 +1137,91 @@ object OracleGen {
        |FROM cand c JOIN documents d ON c.doc_id = d.doc_id
        |LEFT JOIN flag f ON c.doc_id = f.doc_id""".stripMargin
 
+  /** `fl=[subquery]`: top-k main-query hits each decorated with the
+    * top-n same-source docs ranked by the sub term's tf.
+    */
+  def subquerySql(terms: Seq[String], subTerm: String,
+                  k: Int, n: Int): String =
+    s"""WITH ${bm25Ctes(terms)}, cand AS (
+       |  SELECT doc_id FROM sc ORDER BY score DESC, doc_id ASC LIMIT $k
+       |), par AS (
+       |  SELECT c.doc_id, d.source FROM cand c
+       |  JOIN documents d ON c.doc_id = d.doc_id
+       |), sub AS (
+       |  SELECT d.source, t.doc_id AS sub_doc_id, count(*) AS tf
+       |  FROM tokf t JOIN documents d ON t.doc_id = d.doc_id
+       |  WHERE t.term = '$subTerm'
+       |    AND d.source IN (SELECT source FROM par)
+       |  GROUP BY d.source, t.doc_id
+       |), r AS (
+       |  SELECT source, sub_doc_id, tf, row_number() OVER (
+       |    PARTITION BY source ORDER BY tf DESC, sub_doc_id ASC) AS sub_rank
+       |  FROM sub)
+       |SELECT p.doc_id, CAST(r.sub_rank AS BIGINT) AS sub_rank,
+       |  r.sub_doc_id, CAST(r.tf AS BIGINT) AS sub_tf
+       |FROM par p JOIN r ON p.source = r.source AND r.sub_rank <= $n""".stripMargin
+
+  /** Per-shard-statistics BM25 top-k (LocalStatsCache): each doc-range
+    * shard scores with its own df/n/avgdl, local top-k, merge by score.
+    */
+  def shardLocalIdfSql(terms: Seq[String], shardSize: Long, k: Int): String = {
+    val qs = termList(terms.distinct)
+    s"""WITH $tokCte, $dlCtes, sh AS (
+       |  SELECT doc_id, doc_id // $shardSize AS shard FROM dl
+       |), sst AS (
+       |  SELECT shard, count(*) AS n, sum(dl.dl) AS sttf
+       |  FROM dl JOIN sh USING (doc_id) GROUP BY shard
+       |), sdf AS (
+       |  SELECT sh.shard, t.term, count(DISTINCT t.doc_id) AS df
+       |  FROM tokf t JOIN sh ON t.doc_id = sh.doc_id
+       |  WHERE t.term IN ($qs) GROUP BY sh.shard, t.term
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tokf
+       |  WHERE term IN ($qs) GROUP BY doc_id, term
+       |), persc AS (
+       |  SELECT sh.shard, tf.doc_id,
+       |    ln(1 + (sst.n - sdf.df + 0.5) / (sdf.df + 0.5))
+       |      * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * norm.ldl
+       |        / (sst.sttf / CAST(sst.n AS DOUBLE)))) AS s
+       |  FROM tf JOIN sh ON tf.doc_id = sh.doc_id
+       |  JOIN sdf ON sdf.shard = sh.shard AND sdf.term = tf.term
+       |  JOIN norm ON tf.doc_id = norm.doc_id
+       |  JOIN sst ON sst.shard = sh.shard
+       |), sc AS (
+       |  SELECT shard, doc_id, sum(s) AS score FROM persc
+       |  GROUP BY shard, doc_id
+       |), r AS (
+       |  SELECT doc_id, score, row_number() OVER (
+       |    PARTITION BY shard ORDER BY score DESC, doc_id ASC) AS rn
+       |  FROM sc)
+       |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q
+       |FROM r WHERE rn <= $k
+       |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** Exact phrase over the 2-value multivalued split with
+    * positionIncrementGap=`gap`: value-1 positions offset by
+    * len(value0's RAW tokens) + gap, so a (w1, w2) pair straddling the
+    * value boundary can never satisfy pos(b) = pos(a) + 1.
+    */
+  def phraseMultiValueSql(w1: String, w2: String, gap: Int): String =
+    s"""WITH lists AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), halves AS (
+       |  SELECT doc_id, l[1:(len(l)+1)//2] AS v0,
+       |         l[(len(l)+1)//2+1:len(l)] AS v1 FROM lists
+       |), tokpos AS (
+       |  SELECT doc_id, unnest(v0) AS term,
+       |         generate_subscripts(v0, 1) AS pos FROM halves
+       |  UNION ALL
+       |  SELECT doc_id, unnest(v1) AS term,
+       |         len(v0) + $gap + generate_subscripts(v1, 1) AS pos FROM halves
+       |), a AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w1'),
+       |   b AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w2')
+       |SELECT a.doc_id, count(*) AS phrase_tf
+       |FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |GROUP BY a.doc_id""".stripMargin
+
   /** Soundex codebook over the stop-filtered term stream: the phonetic
     * rules are ONE shared portable SQL expression (Phonetic.soundexSql)
     * evaluated verbatim here and in the engine.

@@ -328,6 +328,24 @@ object SparkEntry {
     "mixture_weights" -> ((s, dir) =>
       // temperature-smoothed source-mixture sampling weights (α = 0.5)
       graft.operators.TrainingData.mixtureWeights(s, dir)),
+    "multivalue_pos_gap" -> ((s, dir) =>
+      // multiValued field with positionIncrementGap=100: the exact
+      // phrase runs on the 2-value split index — a (hash, join) pair
+      // straddling the value boundary can never match
+      MoreQueries.phraseMatch(s,
+        graft.index.MultiValuedIndex.index(s, dir), Seq("hash", "join"))),
+    "subquery_transform" -> ((s, dir) =>
+      // fl=[subquery]: top-10 'spark join' hits decorated with the
+      // top-2 same-source docs ranked by tf('merge') — one subquery
+      // evaluation per DISTINCT source of the 10-row window
+      MoreQueries.subqueryTransform(s, IndexCache.documentsIndex(s, dir),
+        s.read.parquet(s"$dir/documents.parquet"),
+        Seq("spark", "join"), "merge", 10, 2)),
+    "shard_local_idf" -> ((s, dir) =>
+      // Solr DEFAULT LocalStatsCache: per-shard df/avgdl scoring + local
+      // top-k + score merge (sharded_topk is the ExactStatsCache twin)
+      MoreQueries.shardLocalIdfTopK(s, IndexCache.documentsIndex(s, dir),
+        Seq("spark", "join"), 128L, 10)),
     "fuzzy_scored_topk" -> ((s, dir) =>
       // FuzzyQuery's TopTermsBlendedFreqScoringRewrite: hask~2 expands
       // to {hash, fast} with FuzzyTermsEnum boosts and a blended df
@@ -2645,6 +2663,13 @@ object SparkEntry {
          |FROM u JOIN dlt ON u.doc_id = dlt.doc_id""".stripMargin,
     "ltr_features" ->
       OracleGen.ltrFeaturesSql(Seq("spark", "join"), "vector", 50),
+    "multivalue_pos_gap" ->
+      OracleGen.phraseMultiValueSql("hash", "join",
+        graft.index.MultiValuedIndex.Gap),
+    "subquery_transform" ->
+      OracleGen.subquerySql(Seq("spark", "join"), "merge", 10, 2),
+    "shard_local_idf" ->
+      OracleGen.shardLocalIdfSql(Seq("spark", "join"), 128L, 10),
     "fingerprint_filter" ->
       s"""WITH ${OracleGen.tokCte}, dt AS (
          |  SELECT DISTINCT doc_id, term FROM tokf)

@@ -199,6 +199,43 @@ object Analyzer {
     }
   }
 
+  /** Multivalued-field analysis — Lucene's
+    * `Analyzer#getPositionIncrementGap` contract [8x analysis/Analyzer
+    * .java, Solr schema positionIncrementGap=100]: each value runs the
+    * full chain, and the positions of value k start at (raw tokens of
+    * all previous values) + k·gap, so a phrase/span query can never
+    * match across a value boundary once gap exceeds the query width.
+    */
+  def tokenizeValues(values: Seq[String], gap: Int,
+                     stopWords: Set[String] = EnglishStopWords): Array[Token] = {
+    val out = Array.newBuilder[Token]
+    var base = 0
+    var k = 0
+    for (v <- values) {
+      if (k > 0) base += gap
+      val raw = tokenizeRaw(v)
+      raw.foreach { t =>
+        if (!stopWords.contains(t.term)) out += Token(t.term, base + t.pos)
+      }
+      base += raw.length
+      k += 1
+    }
+    out.result()
+  }
+
+  /** Compose a multivalued field into ONE text whose single-value
+    * analysis is token-for-token AND position-for-position identical to
+    * [[tokenizeValues]] (property-tested): values joined by `gap`
+    * stopword tokens. StopFilter keeps position increments and stop
+    * tokens never count toward dl, so postings, positions and norms all
+    * equal the multivalued analysis — the fused index kernel needs no
+    * second code path for multivalued fields.
+    */
+  def joinValues(values: Seq[String], gap: Int): String = {
+    val sep = " " + ("the " * gap).trim + " "
+    values.mkString(sep)
+  }
+
   /** Document-local inversion: per-term tf + positions, and dl = number of
     * indexed (post-stop-filter) tokens — the value the norm byte encodes.
     * Terms are returned sorted for deterministic downstream order.

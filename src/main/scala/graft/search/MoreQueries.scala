@@ -832,6 +832,86 @@ object MoreQueries {
         coalesce(col("has_flag"), lit(0L)).as("f_flag"))
   }
 
+  /** Distributed search with PER-SHARD statistics — Solr's DEFAULT
+    * LocalStatsCache [8x solr/core .../search/stats/LocalStatsCache
+    * .java, vs ExactStatsCache.java]: each shard scores with its OWN
+    * df and avgdl, ships its local top-k, and the merge keeps the best
+    * k by (local) score. Unlike the `sharded_topk` entry's shared
+    * global stats (the ExactStatsCache behavior, provably identical to
+    * one index), local stats can rank differently near shard-skewed
+    * terms — this entry pins the default's exact semantics. Dataflow:
+    * one postings decode joined with two TINY broadcast per-shard
+    * aggregates (collection stats from docmeta, df from the decode
+    * itself), per-shard window cut, k·#shards merge — each shard ships
+    * k rows, never its hit set.
+    */
+  def shardLocalIdfTopK(spark: SparkSession, view: IndexView,
+                        terms: Seq[String], shardSize: Long,
+                        k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def shardOf(c: Column): Column = floor(c / shardSize).cast("long")
+    val stats = view.docmeta.toDF()
+      .groupBy(shardOf(col("doc_id")).as("shard"))
+      .agg(count(lit(1)).as("n"), sum("dl").as("sttf"))
+    val hits = ExactSearch.decodedPostings(spark, view, terms.distinct)
+      .withColumn("shard", shardOf(col("doc_id")))
+    val dfs = hits.groupBy("shard", "term").agg(count(lit(1)).as("df"))
+    // ≤ #terms addends per doc and terms are distinct, so the per-doc
+    // double sum has a unique value at any partitioning (2-term queries:
+    // IEEE addition is commutative)
+    val persc = hits.join(broadcast(dfs), Seq("shard", "term"))
+      .join(broadcast(stats), Seq("shard"))
+      .withColumn("s",
+        log(lit(1d) + (col("n") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          col("tf") / (col("tf") + lit(1.2) * (lit(1d) - lit(0.75) +
+            lit(0.75) * col("lossy_dl") /
+              (col("sttf") / col("n").cast("double")))))
+    val agg = persc.groupBy("shard", "doc_id").agg(sum("s").as("score"))
+    val w = Window.partitionBy("shard")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    agg.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .select(col("doc_id"),
+        round(col("score") * 10000).cast("long").as("score_q"))
+  }
+
+  /** Solr `fl=[subquery]` document transformer [8x solr/core
+    * .../response/transform/SubQueryAugmenterFactory.java]: every top-k
+    * hit of the main query comes back decorated with the top-n results
+    * of a SUBQUERY parameterized by the hit's own stored field — here
+    * "docs from the same `source`, ranked by the sub term's tf" (the
+    * `q={!term f=source v=$row.source}`-style per-row subquery).
+    * Candidate-bounded like the reference: one subquery evaluation per
+    * DISTINCT parameter value of the k-row window (never per corpus
+    * row) — the k hits collect to a local relation, their distinct
+    * sources semi-join the sub term's postings, one window ranks per
+    * source, and the ≤ k·n decoration rows broadcast back.
+    */
+  def subqueryTransform(spark: SparkSession, view: IndexView,
+                        corpus: DataFrame, mainTerms: Seq[String],
+                        subTerm: String, k: Int, n: Int): DataFrame = {
+    import spark.implicits._
+    val top = BmwSearch.topK(spark, view, mainTerms, k, DoubleOracle)
+      .collect().map(r => r.getLong(0)).toSeq
+      .toDF("doc_id") // k-row local relation: pass 1 runs exactly once
+    val meta = corpus.select(col("doc_id"), col("source"))
+    val par = meta.join(broadcast(top), Seq("doc_id"))
+    val subHits = ExactSearch.decodedPostings(spark, view, Seq(subTerm))
+      .select(col("doc_id").as("sub_doc_id"), col("tf"))
+      .join(meta.withColumnRenamed("doc_id", "sub_doc_id"), Seq("sub_doc_id"))
+      .join(broadcast(par.select("source").distinct()), Seq("source"),
+        "left_semi")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = subHits.withColumn("sub_rank", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("tf").desc, col("sub_doc_id").asc)))
+      .where(col("sub_rank") <= n)
+    par.join(broadcast(ranked), Seq("source"))
+      .select(col("doc_id"), col("sub_rank").cast("long").as("sub_rank"),
+        col("sub_doc_id"), col("tf").cast("long").as("sub_tf"))
+  }
+
   /** Numeric docvalues update [8x index/IndexWriter.java
     * updateNumericDocValue, index/NumericDocValuesFieldUpdates.java]:
     * set a numeric DV field for every doc matching a term WITHOUT

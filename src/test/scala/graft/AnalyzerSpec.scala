@@ -66,6 +66,30 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(cat.tf == 2 && cat.positions.toList == List(0, 3))
   }
 
+  test("positionIncrementGap: tokenizeValues semantics + joinValues equivalence") {
+    // reference semantics: value-1 positions offset by raw-len(v0) + gap
+    val toks = Analyzer.tokenizeValues(Seq("quick fox", "the dog"), 100)
+    assert(toks.toList ==
+      List(Token("quick", 0), Token("fox", 1), Token("dog", 103)))
+    // the single-text composition is token- and position-identical to the
+    // reference multivalued analysis, and dl (norms) is unchanged —
+    // differential over deterministic pseudo-random word lists that mix
+    // stopwords, empties, punctuation and multi-value counts
+    val words = Array("the", "quick", "fox", "and", "dog", "", "x-y", "42")
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val values = Seq.fill(1 + rnd.nextInt(4))(
+        Seq.fill(rnd.nextInt(6))(words(rnd.nextInt(words.length)))
+          .mkString(" "))
+      val gap = rnd.nextInt(5) * 50
+      val joined = Analyzer.joinValues(values, gap)
+      assert(Analyzer.tokenize(joined).toList ==
+        Analyzer.tokenizeValues(values, gap).toList, s"$values gap=$gap")
+      assert(Analyzer.countTokens(joined) ==
+        Analyzer.tokenizeValues(values, gap).length, s"dl of $values")
+    }
+  }
+
   test("html render/extract roundtrip is byte-identical (per-row invariant)") {
     val texts = Seq("plain words here", "with <angle> & \"quotes\" and 'apos'",
       "a  b   c", "",

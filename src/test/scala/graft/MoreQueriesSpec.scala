@@ -270,6 +270,77 @@ class MoreQueriesSpec extends AnyFunSuite {
     assert(ct == Set((1L, 1L, 0L, 1L), (2L, 1L, 1L, 1L)))
   }
 
+  test("multivalued index: phrase never matches across the value gap") {
+    import spark.implicits._
+    val gap = 100
+    // the joinValues composition is proven position-identical to the
+    // reference multivalued analysis in AnalyzerSpec
+    val corpus = Seq(
+      // phrase inside one value → matches
+      (0L, "0", graft.analysis.Analyzer.joinValues(Seq("alpha beta x", "y"), gap)),
+      // alpha ends value 0, beta starts value 1 → must NOT match
+      (1L, "1", graft.analysis.Analyzer.joinValues(Seq("x alpha", "beta y"), gap)),
+      // matches in value 1
+      (2L, "2", graft.analysis.Analyzer.joinValues(Seq("x", "alpha beta"), gap))
+    ).toDF("doc_id", "url", "text")
+    val v = Indexer.buildTables(spark, Indexer.asDocInput(spark, corpus), 16)
+    val hits = MoreQueries.phraseMatch(spark, v, Seq("alpha", "beta"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toSet
+    assert(hits == Set((0L, 1L), (2L, 1L)))
+    // the padding must not leak into norms: dl counts indexed terms only
+    val dls = v.docmeta.collect().map(d => d.doc_id -> d.dl).toMap
+    assert(dls == Map(0L -> 4, 1L -> 4, 2L -> 3))
+  }
+
+  test("subquery transformer equals a brute-force per-parent evaluation") {
+    val dir = "/root/testdata/sf0.001"
+    val v = IndexCache.documentsIndex(spark, dir)
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+    val got = MoreQueries.subqueryTransform(spark, v, corpus,
+        Seq("spark", "join"), "merge", 10, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // brute twin: top-10 parents, then per parent the top-2 same-source
+    // docs by tokenized tf of the sub term
+    val top = graft.search.ExactSearch
+      .topK(spark, v, Seq("spark", "join"), 10, graft.search.DoubleOracle)
+      .collect().map(_.getLong(0)).toSet
+    val rows = corpus.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bySource = rows.groupBy(_._2)
+    val want = for {
+      (pid, src, _) <- rows if top(pid)
+      subs = bySource(src)
+        .map { case (id, _, t) =>
+          (id, graft.analysis.Analyzer.tokenize(t).count(_.term == "merge")) }
+        .filter(_._2 > 0)
+        .sortBy { case (id, tf) => (-tf, id) }.take(2).zipWithIndex
+      ((sid, tf), i) <- subs
+    } yield (pid, (i + 1).toLong, sid, tf.toLong)
+    assert(got == want.toSet)
+    assert(got.nonEmpty)
+  }
+
+  test("local-stats sharding: one shard == the global answer; many differ") {
+    val dir = "/root/testdata/sf0.001"
+    val v = IndexCache.documentsIndex(spark, dir)
+    def run(shardSize: Long) =
+      MoreQueries.shardLocalIdfTopK(spark, v, Seq("spark", "join"),
+          shardSize, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // a single all-covering shard's "local" stats ARE the global stats
+    val global = graft.search.ExactSearch
+      .topK(spark, v, Seq("spark", "join"), 10, graft.search.DoubleOracle)
+      .collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 10000))).toSeq
+    assert(run(1L << 40) == global)
+    // small shards: same semantics, locally-consistent but score-skewed
+    val local = run(64L)
+    assert(local.size == 10 && local.map(_._1).distinct.size == 10)
+  }
+
   test("docvalues update: newest generation wins per doc, no reindex") {
     import spark.implicits._
     val corpus = Seq(
