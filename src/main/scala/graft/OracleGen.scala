@@ -1161,6 +1161,32 @@ object OracleGen {
        |  r.sub_doc_id, CAST(r.tf AS BIGINT) AS sub_tf
        |FROM par p JOIN r ON p.source = r.source AND r.sub_rank <= $n""".stripMargin
 
+  /** Additive-trees rerank (MultipleAdditiveTreesModel): the fixed
+    * 3-tree ensemble over the quantized feature vector, nested-CASE
+    * replay — every branch compares integers, so the twin is exact.
+    */
+  def ltrTreesSql(terms: Seq[String], flagTerm: String,
+                  n: Int, k: Int): String =
+    s"""WITH ${bm25Ctes(terms)}, cand AS (
+       |  SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id ASC LIMIT $n
+       |), flag AS (SELECT DISTINCT doc_id FROM tokf WHERE term = '$flagTerm'),
+       |feat AS (
+       |  SELECT c.doc_id,
+       |    CAST(round(c.score * 10000) AS BIGINT) AS f_score_q,
+       |    CAST(round(ln(1 + d.n_chars / 100.0) * 10000) AS BIGINT) AS f_len_q,
+       |    CAST(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS f_flag
+       |  FROM cand c JOIN documents d ON c.doc_id = d.doc_id
+       |  LEFT JOIN flag f ON c.doc_id = f.doc_id)
+       |SELECT doc_id, CAST(
+       |    (CASE WHEN f_score_q <= 3650 THEN 10
+       |          WHEN f_flag = 1 THEN 40 ELSE 25 END)
+       |  + (CASE WHEN f_len_q <= 13000 THEN 5 ELSE 15 END)
+       |  + (CASE WHEN f_score_q <= 3750 THEN
+       |       (CASE WHEN f_len_q <= 15000 THEN 2 ELSE 8 END)
+       |     ELSE 20 END) AS BIGINT) AS model_score
+       |FROM feat
+       |ORDER BY model_score DESC, doc_id ASC LIMIT $k""".stripMargin
+
   /** Per-shard-statistics BM25 top-k (LocalStatsCache): each doc-range
     * shard scores with its own df/n/avgdl, local top-k, merge by score.
     */

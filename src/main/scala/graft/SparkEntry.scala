@@ -325,6 +325,12 @@ object SparkEntry {
       // Solr FingerprintFilter dedup-analysis chain: one sorted
       // de-duplicated fingerprint token per doc, off the index postings
       graft.operators.AnalysisOps.fingerprintFilter(s, dir)),
+    "ltr_trees" -> ((s, dir) =>
+      // LTR MultipleAdditiveTreesModel: 3-tree additive ensemble over
+      // the logged integer feature vector reranks the BM25 top-50
+      MoreQueries.ltrTreesRerank(s, IndexCache.documentsIndex(s, dir),
+        s.read.parquet(s"$dir/documents.parquet"),
+        Seq("spark", "join"), "vector", 50, 10)),
     "mixture_weights" -> ((s, dir) =>
       // temperature-smoothed source-mixture sampling weights (α = 0.5)
       graft.operators.TrainingData.mixtureWeights(s, dir)),
@@ -346,6 +352,50 @@ object SparkEntry {
       // top-k + score merge (sharded_topk is the ExactStatsCache twin)
       MoreQueries.shardLocalIdfTopK(s, IndexCache.documentsIndex(s, dir),
         Seq("spark", "join"), 128L, 10)),
+    "index_stats" -> ((s, dir) => {
+      // Luke request handler [8x solr/core .../handler/admin/
+      // LukeRequestHandler.java]: the index-overview report — doc
+      // count, distinct terms, Σdf, Σctf (total tokens), max df, and
+      // integer-grid average doc length. Dictionary-sized aggregation
+      // (terms table, never the postings payloads) + one docmeta count.
+      val v = IndexCache.documentsIndex(s, dir)
+      val t = v.terms.where(col("field") === graft.index.Indexer.Field)
+        .groupBy("term").agg(sum("df").as("df"), sum("ctf").as("ctf"))
+      val nDocs = v.docmeta.count()
+      t.agg(count(lit(1)).as("n_terms"), sum("df").as("sum_df"),
+          sum("ctf").as("sum_ctf"), max("df").as("max_df"))
+        .select(lit(nDocs).as("n_docs"), col("n_terms"), col("sum_df"),
+          col("sum_ctf"), col("max_df"),
+          expr("(sum_ctf * 10000) div " + nDocs).as("avg_dl_q"))
+    }),
+    "payload_minmax" -> ((s, dir) => {
+      // Min/Max/AveragePayloadFunction [8x queries/payloads/
+      // MinPayloadFunction.java, MaxPayloadFunction, AveragePayload
+      // Function]: the other three payload folds over the same
+      // one-term position-payload decode as payload_score(sum);
+      // average on the integer grid so the oracle is exact
+      import s.implicits._
+      val v = IndexCache.documentsIndex(s, dir)
+      v.postings
+        .where(col("term") === "spark" &&
+          col("field") === graft.index.Indexer.Field)
+        .select(col("docs"), col("freqs"), col("positions"))
+        .as[(Array[Byte], Array[Byte], Array[Byte])]
+        .flatMap { case (docs, freqs, positions) =>
+          val ids = graft.codec.VByte.decodeDeltas(docs)
+          val tfs = graft.codec.VByte.decodeAll(freqs).map(_.toInt)
+          val pos = graft.codec.PostingCodec.decodePositions(positions, tfs)
+          ids.indices.iterator.map { i =>
+            val ps = pos(i)
+            (ids(i), ps.min + 1L, ps.max + 1L,
+              ps.foldLeft(0L)(_ + _ + 1L), ps.length.toLong)
+          }
+        }
+        .toDF("doc_id", "pmin", "pmax", "psum", "occ")
+        .groupBy("doc_id")
+        .agg(min("pmin").as("payload_min"), max("pmax").as("payload_max"),
+          expr("(sum(psum) * 10000) div sum(occ)").as("payload_avg_q"))
+    }),
     "fuzzy_scored_topk" -> ((s, dir) =>
       // FuzzyQuery's TopTermsBlendedFreqScoringRewrite: hask~2 expands
       // to {hash, fast} with FuzzyTermsEnum boosts and a blended df
@@ -2670,6 +2720,29 @@ object SparkEntry {
       OracleGen.subquerySql(Seq("spark", "join"), "merge", 10, 2),
     "shard_local_idf" ->
       OracleGen.shardLocalIdfSql(Seq("spark", "join"), 128L, 10),
+    "ltr_trees" ->
+      OracleGen.ltrTreesSql(Seq("spark", "join"), "vector", 50, 10),
+    "index_stats" ->
+      s"""WITH ${OracleGen.tokCte}, dt AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ctf
+         |  FROM tokf GROUP BY term
+         |), nd AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT CAST(nd.n_docs AS BIGINT) AS n_docs,
+         |  count(*) AS n_terms,
+         |  CAST(sum(df) AS BIGINT) AS sum_df,
+         |  CAST(sum(ctf) AS BIGINT) AS sum_ctf,
+         |  CAST(max(df) AS BIGINT) AS max_df,
+         |  CAST((sum(ctf) * 10000) // nd.n_docs AS BIGINT) AS avg_dl_q
+         |FROM dt CROSS JOIN nd GROUP BY nd.n_docs""".stripMargin,
+    "payload_minmax" ->
+      """WITH tp AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS payload_min,
+        |  CAST(max(pos) AS BIGINT) AS payload_max,
+        |  CAST((sum(pos) * 10000) // count(*) AS BIGINT) AS payload_avg_q
+        |FROM tp WHERE term = 'spark' GROUP BY doc_id""".stripMargin,
     "fingerprint_filter" ->
       s"""WITH ${OracleGen.tokCte}, dt AS (
          |  SELECT DISTINCT doc_id, term FROM tokf)

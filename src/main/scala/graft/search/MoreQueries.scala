@@ -912,6 +912,31 @@ object MoreQueries {
         col("sub_doc_id"), col("tf").cast("long").as("sub_tf"))
   }
 
+  /** LTR MultipleAdditiveTreesModel [8x solr/contrib/ltr .../model/
+    * MultipleAdditiveTreesModel.java]: a gradient-boosted-trees-style
+    * additive ensemble over the logged feature vector — each tree is a
+    * nested threshold test ending in a leaf value, the model score is
+    * the SUM of leaf values, and reranking sorts the candidate window
+    * by it. Features and thresholds live on the shared integer grid, so
+    * every branch decision (and therefore the oracle) is exact; the
+    * ensemble here is a fixed 3-tree model, evaluated as one fused
+    * column expression over the k-row candidate frame (candidate-
+    * bounded like every rescorer: no corpus access after pass 1).
+    */
+  def ltrTreesRerank(spark: SparkSession, view: IndexView,
+                     corpus: DataFrame, terms: Seq[String],
+                     flagTerm: String, n: Int, k: Int): DataFrame = {
+    val f = ltrFeatureVectors(spark, view, corpus, terms, flagTerm, n)
+    val tree1 = when(col("f_score_q") <= 3650, lit(10L))
+      .otherwise(when(col("f_flag") === 1L, lit(40L)).otherwise(lit(25L)))
+    val tree2 = when(col("f_len_q") <= 13000, lit(5L)).otherwise(lit(15L))
+    val tree3 = when(col("f_score_q") <= 3750,
+        when(col("f_len_q") <= 15000, lit(2L)).otherwise(lit(8L)))
+      .otherwise(lit(20L))
+    f.select(col("doc_id"), (tree1 + tree2 + tree3).as("model_score"))
+      .orderBy(col("model_score").desc, col("doc_id").asc).limit(k)
+  }
+
   /** Numeric docvalues update [8x index/IndexWriter.java
     * updateNumericDocValue, index/NumericDocValuesFieldUpdates.java]:
     * set a numeric DV field for every doc matching a term WITHOUT

@@ -101,6 +101,27 @@ class PhoneticSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(blend == rr)
   }
 
+  test("additive-trees rerank = the ensemble applied to the logged features") {
+    val dir = "/root/testdata/sf0.001"
+    val v = IndexCache.documentsIndex(spark, dir)
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+    val feats = graft.search.MoreQueries
+      .ltrFeatureVectors(spark, v, corpus, Seq("spark", "join"), "vector", 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def model(fs: Long, fl: Long, ff: Long): Long =
+      (if (fs <= 3650) 10L else if (ff == 1L) 40L else 25L) +
+        (if (fl <= 13000) 5L else 15L) +
+        (if (fs <= 3750) { if (fl <= 15000) 2L else 8L } else 20L)
+    val want = feats.map { case (id, fs, fl, ff) => (id, model(fs, fl, ff)) }
+      .sortBy { case (id, m) => (-m, id) }.take(10).toSeq
+    val got = graft.search.MoreQueries
+      .ltrTreesRerank(spark, v, corpus, Seq("spark", "join"), "vector",
+        50, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
   test("sharded top-k merge equals the single-index answer at every shard size") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{floor, row_number}
