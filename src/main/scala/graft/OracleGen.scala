@@ -183,6 +183,23 @@ object OracleGen {
        |FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
        |GROUP BY a.doc_id""".stripMargin
 
+  /** Payload-checked span: phrase occurrences gated by the first-slot
+    * payload (payload of an occurrence = its 1-based token position, the
+    * payload_score model), so the check is simply `a.pos <= max`.
+    */
+  def spanPayloadCheckSql(w1: String, w2: String, maxPayload: Int): String =
+    s"""WITH lists AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), tokpos AS (
+       |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+       |  FROM lists
+       |), a AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w1'),
+       |   b AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w2')
+       |SELECT a.doc_id, count(*) AS n_matches
+       |FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |WHERE a.pos <= $maxPayload
+       |GROUP BY a.doc_id""".stripMargin
+
   /** BM25-scored phrase top-k: freq = phrase_tf (consecutive
     * occurrences), weight = sum of the two slot terms' idfs — the
     * reference's PhraseWeight (one TermStatistics per slot) through the

@@ -396,6 +396,58 @@ object SparkEntry {
         .agg(min("pmin").as("payload_min"), max("pmax").as("payload_max"),
           expr("(sum(psum) * 10000) div sum(occ)").as("payload_avg_q"))
     }),
+    "span_payload_check" -> ((s, dir) =>
+      // SpanPayloadCheckQuery: the phrase "spark join" matches only
+      // where the first slot's payload (= 1-based position) <= 40
+      MoreQueries.spanPayloadCheck(s, IndexCache.documentsIndex(s, dir),
+        "spark", "join", 40)),
+    "minhash_query" -> ((s, dir) =>
+      // {!min_hash} similarity query: for query docs 0..99, every
+      // corpus doc with shingle Jaccard >= 0.8 — LSH band candidates +
+      // exact verify, never the quadratic query x corpus compare
+      graft.operators.TrainingData.minhashQuery(s, dir, 100L, 8000L)),
+    "external_file_boost" -> ((s, dir) => {
+      // ExternalFileField [8x solr .../schema/ExternalFileField.java +
+      // function/FileFloatSource.java]: per-key scores side-loaded from
+      // an external file (keyed on a doc field, reloaded per commit),
+      // used as a multiplicative function boost. The external "file" is
+      // a tiny key->value frame broadcast onto the scored docs — the
+      // 100 TB shape for any external score side-load.
+      val v = IndexCache.documentsIndex(s, dir)
+      val ext = s.range(0, 20)
+        .select(concat(lit("src"), col("id")).as("source"),
+          (lit(10000L) + col("id") * 37 % 11 * 500).as("eff_q"))
+      val base = ExactSearch.scored(s, v, Seq("spark"), DoubleOracle)
+      val meta = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"))
+      base.join(meta, Seq("doc_id"))
+        .join(broadcast(ext), Seq("source"))
+        .select(col("doc_id"),
+          round(col("score") * col("eff_q")).cast("long").as("score_q"))
+        .orderBy(col("score_q").desc, col("doc_id").asc).limit(10)
+    }),
+    "optimistic_update" -> ((s, dir) => {
+      // Optimistic concurrency via _version_ [8x solr/update/processor/
+      // DistributedUpdateProcessor.java versionAdd]: an update carrying
+      // _version_ > 0 applies ONLY if it equals the doc's current
+      // version (else 409 conflict); an applied update bumps the
+      // version. Current versions live beside the stored fields
+      // (docvalues analog); ops join them with a broadcast (tiny batch).
+      val cur = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), (col("doc_id") % 3 + 1).as("cur_version"))
+      val opsOk = cur.where(col("doc_id") % 40 === 3)
+        .select(col("doc_id"), col("cur_version").as("op_version"))
+      val opsStale = cur.where(col("doc_id") % 40 === 23)
+        .select(col("doc_id"), lit(99L).as("op_version"))
+      val ops = opsOk.union(opsStale)
+      ops.join(cur, Seq("doc_id"))
+        .select(col("doc_id"), col("op_version"), col("cur_version"),
+          when(col("op_version") === col("cur_version"), lit("applied"))
+            .otherwise(lit("conflict")).as("status"),
+          when(col("op_version") === col("cur_version"),
+            col("cur_version") + 1).otherwise(col("cur_version"))
+            .as("new_version"))
+    }),
     "fuzzy_scored_topk" -> ((s, dir) =>
       // FuzzyQuery's TopTermsBlendedFreqScoringRewrite: hask~2 expands
       // to {hash, fast} with FuzzyTermsEnum boosts and a blended df
@@ -2743,6 +2795,34 @@ object SparkEntry {
         |  CAST(max(pos) AS BIGINT) AS payload_max,
         |  CAST((sum(pos) * 10000) // count(*) AS BIGINT) AS payload_avg_q
         |FROM tp WHERE term = 'spark' GROUP BY doc_id""".stripMargin,
+    "span_payload_check" ->
+      OracleGen.spanPayloadCheckSql("spark", "join", 40),
+    "minhash_query" ->
+      TrainingOracles.minhashQuerySql(100L, 8000L),
+    "external_file_boost" ->
+      s"""WITH ${OracleGen.bm25Ctes(Seq("spark"))}
+         |SELECT sc.doc_id,
+         |  CAST(round(sc.score *
+         |    (10000 + (CAST(substr(d.source, 4) AS BIGINT) * 37) % 11 * 500))
+         |    AS BIGINT) AS score_q
+         |FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+         |ORDER BY score_q DESC, sc.doc_id ASC LIMIT 10""".stripMargin,
+    "optimistic_update" ->
+      """WITH cur AS (
+        |  SELECT doc_id, doc_id % 3 + 1 AS cur_version FROM documents),
+        |ops AS (
+        |  SELECT doc_id, cur_version AS op_version FROM cur
+        |  WHERE doc_id % 40 = 3
+        |  UNION ALL
+        |  SELECT doc_id, 99 AS op_version FROM cur WHERE doc_id % 40 = 23)
+        |SELECT o.doc_id, CAST(o.op_version AS BIGINT) AS op_version,
+        |  CAST(c.cur_version AS BIGINT) AS cur_version,
+        |  CASE WHEN o.op_version = c.cur_version
+        |       THEN 'applied' ELSE 'conflict' END AS status,
+        |  CAST(CASE WHEN o.op_version = c.cur_version
+        |       THEN c.cur_version + 1 ELSE c.cur_version END AS BIGINT)
+        |    AS new_version
+        |FROM ops o JOIN cur c ON o.doc_id = c.doc_id""".stripMargin,
     "fingerprint_filter" ->
       s"""WITH ${OracleGen.tokCte}, dt AS (
          |  SELECT DISTINCT doc_id, term FROM tokf)

@@ -306,6 +306,34 @@ object TrainingOracles {
       |FROM pair JOIN sz x ON i = x.doc_id JOIN sz y ON j = y.doc_id
       |WHERE CAST(round(inter * 10000.0 / (x.n + y.n - inter)) AS BIGINT) >= 8000""".stripMargin
 
+  /** Exact-Jaccard twin of the `{!min_hash}` batch query surface:
+    * for every query doc (doc_id < maxQueryId), all corpus docs with
+    * shingle Jaccard ≥ threshold. LSH miss probability at J ≥ 0.8 with
+    * 16×2 bands ≈ 7e-8 per pair (the dedup_minhash_lsh argument).
+    */
+  def minhashQuerySql(maxQueryId: Long, thresholdQ: Long): String =
+    s"""WITH tp AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id,
+       |    term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS s
+       |  FROM tp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE s IS NOT NULL),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |q AS (SELECT doc_id AS q_id, s FROM sh WHERE doc_id < $maxQueryId),
+       |inter AS (
+       |  SELECT q.q_id, a.doc_id, count(*) AS inter
+       |  FROM sh a JOIN q ON a.s = q.s AND a.doc_id <> q.q_id
+       |  GROUP BY 1, 2)
+       |SELECT i.q_id, i.doc_id,
+       |  CAST(round(inter * 10000.0 / (x.n + y.n - inter)) AS BIGINT) AS jaccard_q
+       |FROM inter i JOIN sz x ON i.q_id = x.doc_id
+       |  JOIN sz y ON i.doc_id = y.doc_id
+       |WHERE CAST(round(inter * 10000.0 / (x.n + y.n - inter)) AS BIGINT)
+       |  >= $thresholdQ""".stripMargin
+
   /** Exact all-pairs hashed-TF cosine pairs at τ = 0.99, integer-exact:
     * the same md5-hex feature bucket as the Spark side, then
     * 10⁴·dot² ≥ 9801·n2a·n2b (dot > 0). Also the oracle of the

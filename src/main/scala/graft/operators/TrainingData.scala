@@ -160,14 +160,16 @@ object TrainingData {
     pairsSmall.union(pairsStar).distinct()
   }
 
-  def dedupMinhashLshDf(s: SparkSession, corpus: DataFrame,
-                        thresholdQ: Long = 8000L): DataFrame = {
+  /** LSH band rows (band, h1, h2, doc_id) for every doc — signatures
+    * NARROW per doc: the shingle set is document-local, so MinHash
+    * needs no shuffle at all (the groupByKey formulation would shuffle
+    * every shingle once just to regroup by doc). Shared by the dedup
+    * pair path and the `{!min_hash}` query surface.
+    */
+  private[graft] def minhashBands(s: SparkSession,
+                                  corpus: DataFrame): DataFrame = {
     import s.implicits._
-    val sh = shinglesDf(corpus)
-    // signatures NARROW per doc — the shingle set is document-local, so
-    // MinHash needs no shuffle at all (the groupByKey formulation would
-    // shuffle every shingle once just to regroup by doc)
-    val bands = corpus.select(col("doc_id"), col("text"))
+    corpus.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (docId, text) =>
         // limit -1: keep trailing empty tokens, matching the SQL
@@ -187,6 +189,12 @@ object TrainingData {
           Iterator.tabulate(LshBands)(b => (b, sig(2 * b), sig(2 * b + 1), docId))
         }
       }.toDF("band", "h1", "h2", "doc_id")
+  }
+
+  def dedupMinhashLshDf(s: SparkSession, corpus: DataFrame,
+                        thresholdQ: Long = 8000L): DataFrame = {
+    val sh = shinglesDf(corpus)
+    val bands = minhashBands(s, corpus)
     // candidate pairs via a SELF-JOIN on the bucket key — distributed
     // and AQE-skew-splittable, never a per-bucket in-row array (the
     // round-1 collect_list formulation put a whole bucket's B² pairs in
@@ -203,6 +211,40 @@ object TrainingData {
       .join(sizes.toDF("j", "nb"), Seq("j"))
       .select(col("i"), col("j"),
         jaccardQ(col("inter"), col("na"), col("nb")).as("jaccard_q"))
+      .where(col("jaccard_q") >= thresholdQ)
+  }
+
+  /** `{!min_hash}` similarity QUERY surface [8x solr/core .../search/
+    * MinHashQParser.java, lucene/analysis/common .../minhash/
+    * MinHashFilter.java]: given a batch of query docs, find every
+    * corpus doc whose shingle-set Jaccard with a query doc clears the
+    * threshold. Same two-stage shape as the dedup path — the query
+    * side's band rows (a tiny frame) broadcast-join the corpus band
+    * rows, exact Jaccard verifies CANDIDATES ONLY — so the quadratic
+    * query×corpus comparison never materializes. At J ≥ 0.8 with 16×2
+    * bands the per-pair miss probability is ≈ 7e-8, so the result
+    * equals the exact-Jaccard oracle w.h.p. (the proven
+    * dedup_minhash_lsh argument).
+    */
+  def minhashQuery(s: SparkSession, dir: String, maxQueryId: Long = 100L,
+                   thresholdQ: Long = 8000L): DataFrame = {
+    val corpus = docs(s, dir)
+    val bands = minhashBands(s, corpus)
+    val qb = bands.where(col("doc_id") < maxQueryId)
+      .select(col("band"), col("h1"), col("h2"), col("doc_id").as("q_id"))
+    val cand = bands.join(broadcast(qb), Seq("band", "h1", "h2"))
+      .where(col("doc_id") =!= col("q_id"))
+      .select("q_id", "doc_id").distinct()
+    val sh = shinglesDf(corpus)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val qs = sh.toDF("q_id", "shingle")
+    val cs = sh.toDF("doc_id", "shingle")
+    cand.join(qs, Seq("q_id")).join(cs, Seq("doc_id", "shingle"))
+      .groupBy("q_id", "doc_id").agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("q_id", "nq"), Seq("q_id"))
+      .join(sizes.toDF("doc_id", "nd"), Seq("doc_id"))
+      .select(col("q_id"), col("doc_id"),
+        jaccardQ(col("inter"), col("nq"), col("nd")).as("jaccard_q"))
       .where(col("jaccard_q") >= thresholdQ)
   }
 

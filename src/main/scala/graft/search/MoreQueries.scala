@@ -261,6 +261,38 @@ object MoreQueries {
     }
   }
 
+  /** SpanPayloadCheckQuery [8x queries/.../payloads/
+    * SpanPayloadCheckQuery.java]: a span (here the exact phrase t1 t2)
+    * matches ONLY where the payloads at the match positions satisfy the
+    * check — the payload model is the one `payload_score` established
+    * (payload of an occurrence = its 1-based token position), and the
+    * check is first-slot payload <= maxPayload. Same two-phase
+    * positional decode as every span matcher: docID intersection first,
+    * positions only for surviving docs.
+    */
+  def spanPayloadCheck(spark: SparkSession, view: IndexView,
+                       t1: String, t2: String, maxPayload: Int): DataFrame = {
+    import spark.implicits._
+    require(t1 != t2, "payload-check span here takes two distinct terms")
+    val uniq = Seq(t1, t2)
+    positionalPostings(spark, view, uniq, uniq.map(Seq(_)))
+      .groupByKey(_._1)
+      .mapGroups { (docId, it) =>
+        val posByTerm = it.map(t => t._2 -> t._3).toMap
+        val n =
+          if (!uniq.forall(posByTerm.contains)) 0
+          else {
+            val p2 = posByTerm(t2)
+            // payload(p) = p + 1 (1-based position) — the check gates
+            // each phrase occurrence by its first-slot payload
+            posByTerm(t1).count(p => p + 1 <= maxPayload &&
+              java.util.Arrays.binarySearch(p2, p + 1) >= 0)
+          }
+        (docId, n.toLong)
+      }
+      .filter(_._2 > 0).toDF("doc_id", "n_matches")
+  }
+
   /** BM25-scored phrase [8x search/PhraseQuery.java → PhraseWeight/
     * PhraseScorer]: the phrase is scored like a pseudo-term whose
     * freq is the phrase_tf the matcher computes and whose weight is the

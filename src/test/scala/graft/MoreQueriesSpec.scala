@@ -951,4 +951,26 @@ class MoreQueriesSpec extends AnyFunSuite {
       .sortBy { case (t, df) => (-df, t) }.take(5).map(_._1)
     assert(MoreQueries.topTermsByDf(view, "w01", 5) == expect)
   }
+
+  test("span payload check: phrase matches gated by first-slot payload") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val v = IndexCache.documentsIndex(spark, dir)
+    val got = MoreQueries.spanPayloadCheck(spark, v, "spark", "join", 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // brute force over the raw text: payload of an occurrence at 0-based
+    // token index i is i+1; phrase = adjacent "spark join"
+    val expect = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val toks = t.split(" ", -1)
+        id -> toks.indices.dropRight(1).count(i =>
+          toks(i) == "spark" && toks(i + 1) == "join" && i + 1 <= 40).toLong
+      }.filter(_._2 > 0).toMap
+    assert(expect.nonEmpty && got == expect)
+    // the payload gate is doing real work: without it there are MORE matches
+    val ungated = MoreQueries.phraseMatch(spark, v, Seq("spark", "join"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toMap
+    assert(ungated.values.sum > expect.values.sum)
+  }
 }

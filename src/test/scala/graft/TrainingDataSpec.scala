@@ -621,4 +621,28 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got("http://example0.com/p/0") == ((3L, 100L)))
     assert(got("http://example7.com/p/7") == ((1L, 7L)))
   }
+
+  test("minhash_query equals brute-force exact Jaccard on the sf0.001 corpus") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = TrainingData.minhashQuery(spark, dir, 100L, 8000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force: distinct 3-gram shingle sets per doc, exact Jaccard
+    // of every query doc (id < 100) against every other doc
+    val sh = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val toks = t.split(" ", -1)
+        id -> toks.indices.dropRight(2)
+          .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").toSet
+      }.toMap
+    val expect = (for {
+      (q, qs) <- sh.iterator if q < 100 && qs.nonEmpty
+      (d, ds) <- sh.iterator if d != q && ds.nonEmpty
+      inter = (qs & ds).size
+      jq = math.round(inter * 10000.0 / (qs.size + ds.size - inter))
+      if jq >= 8000
+    } yield (q, d, jq)).toSet
+    assert(expect.nonEmpty && got == expect)
+  }
 }
