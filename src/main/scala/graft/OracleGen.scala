@@ -183,6 +183,34 @@ object OracleGen {
        |FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
        |GROUP BY a.doc_id""".stripMargin
 
+  /** Three-level block join: replay the deterministic deep-block split
+    * (child0 = first half, child1 = second half; each child's
+    * grandchildren = its two ceil-halves) with DuckDB list slices —
+    * a parent qualifies per child iff the child slice contains the
+    * child term AND one of its grandchild slices contains the
+    * grandchild term.
+    */
+  def blockJoinGrandchildSql(a: String, b: String): String =
+    s"""WITH lists AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), p AS (
+       |  SELECT doc_id, l, len(l) AS n, (len(l) + 1) // 2 AS h FROM lists
+       |), q AS (
+       |  SELECT doc_id, l, n, h,
+       |    (h + 1) // 2 AS qa, (n - h + 1) // 2 AS qb FROM p
+       |), m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN list_contains(l[1:h], '$a') AND
+       |      (list_contains(l[1:qa], '$b') OR list_contains(l[qa+1:h], '$b'))
+       |      THEN 1 ELSE 0 END AS c0,
+       |    CASE WHEN list_contains(l[h+1:n], '$a') AND
+       |      (list_contains(l[h+1:h+qb], '$b')
+       |       OR list_contains(l[h+qb+1:n], '$b'))
+       |      THEN 1 ELSE 0 END AS c1
+       |  FROM q)
+       |SELECT doc_id, CAST(c0 + c1 AS BIGINT) AS n_qual_children
+       |FROM m WHERE c0 + c1 > 0""".stripMargin
+
   /** Payload-checked span: phrase occurrences gated by the first-slot
     * payload (payload of an occurrence = its 1-based token position, the
     * payload_score model), so the check is simply `a.pos <= max`.

@@ -224,6 +224,12 @@ object SparkEntry {
       val v = IndexCache.documentsIndex(s, dir)
       quantize(MoreQueries.synonymTopK(s, v, Seq("spark", "scan", "merge"), 10))
     }),
+    "block_join_grandchild" -> ((s, dir) =>
+      // three-level nesting: parents with a child matching 'spark'
+      // that has a grandchild matching 'join' — ToParentBlockJoin
+      // composed per level over the 7-per-block deep nested index
+      MoreQueries.blockJoinGrandchild(s,
+        graft.index.NestedBlocks.deepNestedIndex(s, dir), "spark", "join")),
     "block_join_parent" -> ((s, dir) => {
       // {!parent}: parents with an INDEXED child doc matching the
       // conjunctive child query (contiguous child+parent doc blocks,
@@ -642,6 +648,42 @@ object SparkEntry {
           floor(col("doc_id") / 100).cast("long").as("jk"))
         .join(broadcast(inner), Seq("jk"), "left_semi")
         .select("doc_id")
+    }),
+    "facet_join_domain" -> ((s, dir) => {
+      // JSON facet domain join [8x solr .../search/facet/FacetRequest
+      // .java domain {join: {from,to}}]: the facet runs over the
+      // JOIN-TRANSFORMED domain — start docs match the query, the
+      // domain maps through the join key, THEN the field facet counts
+      val v = IndexCache.documentsIndex(s, dir)
+      val inner = MoreQueries.matchingDocs(s, v, Seq("vector"))
+        .select(floor(col("doc_id") / 100).cast("long").as("jk")).distinct()
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          floor(col("doc_id") / 100).cast("long").as("jk"))
+        .join(broadcast(inner), Seq("jk"), "left_semi")
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+    }),
+    "group_sort_within" -> ((s, dir) => {
+      // Solr group.sort [8x solr/core .../search/grouping/...]: groups
+      // are ranked by their best doc's SCORE, but docs WITHIN a group
+      // are re-sorted by a different criterion (group.sort = n_chars
+      // desc) — the two orderings are independent in the reference
+      import org.apache.spark.sql.expressions.Window
+      val v = IndexCache.documentsIndex(s, dir)
+      val meta = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"))
+      val scored = ExactSearch.scored(s, v, Seq("spark", "join"), DoubleOracle)
+        .select(col("doc_id"), (col("doc_id") % 10).as("grp"),
+          round(col("score") * 10000).cast("long").as("score_q"))
+        .join(meta, Seq("doc_id"))
+      val topGroups = scored.groupBy("grp").agg(max("score_q").as("g_best"))
+        .orderBy(col("g_best").desc, col("grp").asc).limit(3)
+      val w = Window.partitionBy("grp")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      scored.join(broadcast(topGroups), Seq("grp"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 2)
+        .select(col("grp"), col("doc_id"), col("score_q"), col("n_chars"))
     }),
     "facet_on_query" -> ((s, dir) => {
       // Solr facets are computed over the QUERY's doc set, not the
@@ -1960,6 +2002,8 @@ object SparkEntry {
     "span_near_unordered" -> OracleGen.spanNearUnorderedSql("join", "hash", 3),
     "span_scored_topk" -> OracleGen.spanScoredSql("hash", "join", 3, 10),
     "synonym_query" -> OracleGen.synonymTopKSql(Seq("spark", "scan", "merge"), 10),
+    "block_join_grandchild" ->
+      OracleGen.blockJoinGrandchildSql("spark", "join"),
     "block_join_parent" ->
       """WITH lists AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
@@ -2066,6 +2110,27 @@ object SparkEntry {
          |)
          |SELECT tg.grp, tg.g_best, ng.ngroups, ng.n_matches
          |FROM tg CROSS JOIN ng""".stripMargin,
+    "group_sort_within" ->
+      s"""WITH ${OracleGen.bm25Ctes(Seq("spark", "join"))}, scq AS (
+         |  SELECT sc.doc_id, sc.doc_id % 10 AS grp,
+         |    CAST(round(score * 10000) AS BIGINT) AS score_q, d.n_chars
+         |  FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+         |), tg AS (
+         |  SELECT grp, max(score_q) AS g_best FROM scq GROUP BY grp
+         |  ORDER BY g_best DESC, grp ASC LIMIT 3
+         |)
+         |SELECT s.grp, s.doc_id, s.score_q, s.n_chars
+         |FROM scq s JOIN tg USING (grp)
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY s.grp ORDER BY s.n_chars DESC, s.doc_id ASC) <= 2""".stripMargin,
+    "facet_join_domain" ->
+      s"""WITH ${OracleGen.tokCte}, inner_q AS (
+         |  SELECT DISTINCT CAST(floor(doc_id / 100) AS BIGINT) AS jk
+         |  FROM tokf WHERE term = 'vector'
+         |)
+         |SELECT d.lang, count(*) AS cnt FROM documents d
+         |WHERE CAST(floor(d.doc_id / 100) AS BIGINT) IN (SELECT jk FROM inner_q)
+         |GROUP BY d.lang""".stripMargin,
     "join_query" ->
       s"""WITH ${OracleGen.tokCte}, inner_q AS (
          |  SELECT DISTINCT CAST(floor(doc_id / 100) AS BIGINT) AS jk

@@ -70,4 +70,60 @@ object NestedBlocks {
       nestedIndex(spark, sfDir)
     } else got
   }
+
+  /** Child-filter term of the three-level nested index — the
+    * `doc_type:child` mid-level filter a multi-level block-join schema
+    * indexes beside the parent filter.
+    */
+  val ChildTerm = "xchilddoc"
+
+  /** Docs per three-level block: 4 grandchildren + 2 children + parent. */
+  val DeepBlockSize = 7
+
+  val DeepSegSize: Long = 7 * 256
+
+  private val deepCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexView]()
+
+  /** Three-level nested index — the reference's arbitrary-depth
+    * `addDocuments` ordering (descendants first, ancestors last, ONE
+    * contiguous block) [8x index/IndexWriter.java addDocuments;
+    * multi-level join as in search/join/ToParentBlockJoinQuery
+    * composed per level]. Layout per source doc D:
+    * gc00=7D (first quarter), gc01=7D+1, child0=7D+2 (first half +
+    * [[ChildTerm]]), gc10=7D+3, gc11=7D+4, child1=7D+5 (second half +
+    * [[ChildTerm]]), parent=7D+6 (full text + [[ParentTerm]]).
+    */
+  def deepNestedIndex(spark: SparkSession, sfDir: String): IndexView = {
+    val got = deepCache.computeIfAbsent(sfDir, { _ =>
+      import spark.implicits._
+      val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id").cast("long"),
+          org.apache.spark.sql.functions.col("text").cast("string"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val toks = text.split(' ')
+          val h = (toks.length + 1) / 2
+          val c0 = toks.take(h); val c1 = toks.drop(h)
+          val qa = (c0.length + 1) / 2; val qb = (c1.length + 1) / 2
+          Iterator(
+            DocInput(id * 7,     s"$id:0:0", c0.take(qa).mkString(" ")),
+            DocInput(id * 7 + 1, s"$id:0:1", c0.drop(qa).mkString(" ")),
+            DocInput(id * 7 + 2, s"$id:0",
+              c0.mkString(" ") + " " + ChildTerm),
+            DocInput(id * 7 + 3, s"$id:1:0", c1.take(qb).mkString(" ")),
+            DocInput(id * 7 + 4, s"$id:1:1", c1.drop(qb).mkString(" ")),
+            DocInput(id * 7 + 5, s"$id:1",
+              (c1.mkString(" ") + " " + ChildTerm).trim),
+            DocInput(id * 7 + 6, id.toString, text + " " + ParentTerm))
+        }
+      val v = Indexer.buildTables(spark, corpus, DeepSegSize).persisted()
+      v.postings.count()
+      v
+    })
+    if (got.postings.sparkSession.sparkContext.isStopped) {
+      deepCache.remove(sfDir, got)
+      deepNestedIndex(spark, sfDir)
+    } else got
+  }
 }

@@ -683,6 +683,43 @@ object MoreQueries {
       .select(col("url").cast("long").as("doc_id"), col("n_child_hits"))
   }
 
+  /** Multi-level block join over the THREE-level nested index
+    * [8x search/join/ToParentBlockJoinQuery.java composed per level;
+    * Solr `{!parent which=type:parent}(+{!parent which=type:child}B +A)`]:
+    * parents with an indexed CHILD that (a) itself matches the child
+    * query and (b) has an indexed GRANDCHILD matching the grandchild
+    * query. Level membership comes from the REAL posting lists of the
+    * two filter terms (the per-level bitsets); child→parent and
+    * grandchild→child advance is the 7-per-block contiguity arithmetic.
+    * Output: source doc_id + how many children qualified.
+    */
+  def blockJoinGrandchild(spark: SparkSession, view: IndexView,
+                          childTerm: String, gcTerm: String): DataFrame = {
+    import graft.index.NestedBlocks.{ChildTerm, ParentTerm}
+    val parents = ExactSearch.decodedPostings(spark, view, Seq(ParentTerm))
+      .select(col("doc_id").as("pid"))
+    val childSet = ExactSearch.decodedPostings(spark, view, Seq(ChildTerm))
+      .select(col("doc_id").as("cid"))
+    // grandchildren = docs in neither level bitset (pure bitset logic)
+    val gcHits = ExactSearch.decodedPostings(spark, view, Seq(gcTerm))
+      .join(childSet, col("doc_id") === col("cid"), "left_anti")
+      .join(parents, col("doc_id") === col("pid"), "left_anti")
+      .select((col("doc_id") - col("doc_id") % 7 +
+        when(col("doc_id") % 7 <= 1, 2).otherwise(5)).as("cid"))
+      .distinct()
+    // child query must match inside the CHILD doc's own postings
+    val childHits = ExactSearch.decodedPostings(spark, view, Seq(childTerm))
+      .join(childSet, col("doc_id") === col("cid"), "left_semi")
+      .select(col("doc_id").as("cid")).distinct()
+    childHits.join(gcHits, Seq("cid"))
+      .select((col("cid") - col("cid") % 7 + 6).as("pid"))
+      .groupBy("pid").agg(count(lit(1)).as("n_qual_children"))
+      .join(parents, Seq("pid")) // parent bitset membership
+      .join(view.docmeta.toDF().select(col("doc_id").as("pid"), col("url")),
+        Seq("pid"))
+      .select(col("url").cast("long").as("doc_id"), col("n_qual_children"))
+  }
+
   /** Term-vector retrieval (Solr TermVectorsComponent / Lucene
     * TermVectorsReader analog): the per-doc (term, tf) vector for a
     * docID range, recovered by inverting ONLY the posting blocks whose

@@ -973,4 +973,43 @@ class MoreQueriesSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toMap
     assert(ungated.values.sum > expect.values.sum)
   }
+
+  test("grandchild block join: match must nest child AND grandchild levels") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      // child0 has spark but no grandchild join; child1 has join, no spark
+      (0L, "spark a b c join d e f"),
+      // gc00 = "spark join" satisfies both levels under child0
+      (1L, "spark join a b x y z w"),
+      // child0 = "a spark b join": gc01 = "b join" carries the join
+      (2L, "a spark b join c d e f"),
+      // both children qualify
+      (3L, "spark a b join spark c d join"),
+      // short doc: child1 = "spark join", gc11 = "join"
+      (4L, "x y spark join"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-gcj").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val v = graft.index.NestedBlocks.deepNestedIndex(spark, dir)
+    val got = MoreQueries.blockJoinGrandchild(spark, v, "spark", "join")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // brute force: replay the deterministic split
+    val expect = rows.flatMap { case (id, text) =>
+      val t = text.split(' ')
+      val h = (t.length + 1) / 2
+      val (c0, c1) = (t.take(h), t.drop(h))
+      def qual(c: Array[String]): Boolean = {
+        val q = (c.length + 1) / 2
+        c.contains("spark") &&
+          (c.take(q).contains("join") || c.drop(q).contains("join"))
+      }
+      val n = Seq(c0, c1).count(qual)
+      if (n > 0) Some(id -> n.toLong) else None
+    }.toMap
+    assert(expect == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+    assert(got == expect)
+  }
 }
