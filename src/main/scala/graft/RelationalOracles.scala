@@ -189,6 +189,12 @@ object RelationalOracles {
       |  count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  val facetRangeDatemath: String =
+    """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events GROUP BY 1""".stripMargin
+
   val sqlSelect: String =
     """SELECT o_orderpriority, count(*) AS n,
       |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents

@@ -1629,6 +1629,22 @@ object SparkEntry {
     "stats_variance" -> (graft.operators.Relational.statsVariance _),
     "window_collapse" -> (graft.operators.Relational.windowCollapse _),
     "time_series" -> (graft.operators.Relational.timeSeries _),
+    "facet_range_datemath" -> (graft.operators.Relational.facetRangeDatemath _),
+    "expunge_deletes" -> ((s, dir) => {
+      // IndexWriter.forceMergeDeletes [8x index/IndexWriter.java
+      // forceMergeDeletes, index/TieredMergePolicy.java
+      // findForcedDeletesMerges]: reclaim deletes WITHOUT a full merge
+      // — identity segment mapping + tombstone purge rewrites exactly
+      // the segments holding deleted docs; clean segments pass through
+      // byte-identical (MergerSpec-enforced). Post-expunge term stats
+      // equal a fresh index of the corpus minus the deleted docs.
+      val v = IndexCache.documentsIndex(s, dir)
+      val tomb = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 37 === 5).select("doc_id")
+      val purged = graft.index.Merger.mergeByMapping(s, v, identity, Some(tomb))
+      purged.terms.groupBy("term")
+        .agg(sum("df").as("df"), sum("ctf").as("ctf"))
+    }),
     "sql_select" -> (graft.operators.Relational.sqlSelect _),
     // — Streaming surfaces, driver-visible (SURVEY.md §2.9) —
     "nrt_ingest_commit" -> ((s, dir) => {
@@ -2618,6 +2634,11 @@ object SparkEntry {
     "stats_percentile" -> RelationalOracles.statsPercentile,
     "window_collapse" -> RelationalOracles.windowCollapse,
     "time_series" -> RelationalOracles.timeSeries,
+    "facet_range_datemath" -> RelationalOracles.facetRangeDatemath,
+    "expunge_deletes" ->
+      s"""WITH ${OracleGen.tokCte}
+         |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ctf
+         |FROM tokf WHERE doc_id % 37 <> 5 GROUP BY term""".stripMargin,
     "sql_select" -> RelationalOracles.sqlSelect,
     "nrt_ingest_commit" -> OracleGen.tokenizeCountsSql,
     "time_travel" ->

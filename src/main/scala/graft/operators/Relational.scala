@@ -367,6 +367,18 @@ object Relational {
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
 
+  /** Date-math range facet (facet.range on a date field with
+    * start=NOW/WEEK rounding and a calendar gap [8x solr
+    * util/DateMathParser.java; range facets over TrieDate/
+    * DatePointField]): buckets come from CALENDAR truncation (ISO
+    * weeks here — month/year gaps are the same shape with unequal
+    * widths), never arithmetic division of epoch time.
+    */
+  def facetRangeDatemath(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .groupBy(date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+
   /** significantTerms stream analog [Solr SignificantTermsQParserPlugin
     * / solrj io.stream SignificantTermsStream]: terms overrepresented
     * in a FOREGROUND doc set (docs matching `fgTerm`) vs the corpus

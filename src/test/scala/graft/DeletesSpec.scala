@@ -86,4 +86,24 @@ class DeletesSpec extends AnyFunSuite {
     val none = java.nio.file.Files.createTempDirectory("graft-del2").toString
     assert(Deletes.load(spark, none).count() == 0)
   }
+
+  test("expungeDeletes: identity remap purges; clean segments byte-identical") {
+    import spark.implicits._
+    // tombstones confined to ONE segment's doc range (segSize 256)
+    val deadIds = (10L until 50L by 3).toSet
+    val tomb = deadIds.toSeq.toDF("doc_id")
+    val purged = Merger.mergeByMapping(spark, view, identity, Some(tomb))
+    val survivors = purged.postings.flatMap(b =>
+      graft.codec.VByte.decodeDeltas(b.docs)).collect().toSet
+    assert(survivors.intersect(deadIds).isEmpty)
+    assert(purged.docmeta.count() == view.docmeta.count() - deadIds.size)
+    // segments WITHOUT tombstones pass through byte-identical
+    def key(r: graft.index.PostingBlockRow) =
+      (r.segment_id, r.term, r.first_doc_id)
+    val before = view.postings.collect()
+      .filter(_.segment_id != 0).map(r => key(r) -> r.docs.toSeq).toMap
+    val after = purged.postings.collect()
+      .filter(_.segment_id != 0).map(r => key(r) -> r.docs.toSeq).toMap
+    assert(before == after)
+  }
 }
