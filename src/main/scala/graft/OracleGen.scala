@@ -78,6 +78,28 @@ object OracleGen {
        |)""".stripMargin
   }
 
+  /** BM25 with norms omitted: ldl replaced by the constant 1 (the
+    * normless field's norm value in 8.x), same idf/tf shape.
+    */
+  def bm25OmitNormsSql(terms: Seq[String], k: Int): String = {
+    val qs = termList(terms.distinct)
+    s"""WITH $tokCte, $dlCtes, df AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+       |  WHERE term IN ($qs) GROUP BY term
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tokf
+       |  WHERE term IN ($qs) GROUP BY doc_id, term
+       |), persc AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+       |      * tf.tf / (tf.tf
+       |        + 1.2 * (1 - 0.75 + 0.75 / (st.sttf / CAST(st.n AS DOUBLE)))) AS s
+       |  FROM tf JOIN df USING (term) CROSS JOIN st
+       |), sc AS (SELECT doc_id, sum(s) AS score FROM persc GROUP BY doc_id)
+       |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q
+       |FROM sc ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** BM25 top-k: disjunctive when minShouldMatch=1, conjunctive when
     * = #terms.
     */

@@ -64,6 +64,19 @@ object SparkEntry {
       // ClassicSimilarity (TF-IDF) instead of BM25
       quantize(graft.search.Similarities.classicTfidfTopK(
         s, IndexCache.documentsIndex(s, dir), Seq("spark", "join"), 10))),
+    "bm25_omit_norms" -> ((s, dir) =>
+      // omitNorms=true scoring: norm value 1 for every doc, length
+      // normalization collapses to a constant — norms never read
+      quantize(graft.search.Similarities.bm25OmitNormsTopK(
+        s, IndexCache.documentsIndex(s, dir), Seq("spark", "join"), 10))),
+    "cluster_keep_best" -> ((s, dir) =>
+      // curation keeper selection: each near-dup cluster keeps its
+      // LONGEST member (tie min doc_id) — argmax as one hash aggregate
+      graft.operators.TrainingData.clusterKeepBest(s, dir)),
+    "mixture_allocate" -> ((s, dir) =>
+      // token-budget mixture allocation: per-source budget share from
+      // the temperature weights, docs admitted by distributed prefix sum
+      graft.operators.TrainingData.mixtureAllocate(s, dir, 10000L)),
     "dfr_topk" -> ((s, dir) =>
       // sixth pluggable similarity: DFR I(n)·L·H2 (divergence from
       // randomness) over the same postings + dictionary df
@@ -1979,6 +1992,9 @@ object SparkEntry {
     "term_df" -> OracleGen.termDfSql,
     "bm25_topk_exact" -> OracleGen.bm25TopKSql(Seq("spark", "join"), 10),
     "classic_tfidf_topk" -> OracleGen.classicTfidfSql(Seq("spark", "join"), 10),
+    "bm25_omit_norms" -> OracleGen.bm25OmitNormsSql(Seq("spark", "join"), 10),
+    "cluster_keep_best" -> TrainingOracles.clusterKeepBest,
+    "mixture_allocate" -> TrainingOracles.mixtureAllocate(10000L),
     "lm_dirichlet_topk" -> OracleGen.lmDirichletSql(Seq("merge", "scan"), 10),
     "lm_jelinek_mercer_topk" ->
       OracleGen.lmJelinekMercerSql(Seq("spark", "join"), 10),

@@ -473,6 +473,63 @@ object TrainingOracles {
       |)
       |SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin
 
+  /** Cluster keeper by quality: the dedup-cluster recursive CTE plus an
+    * argmax (max n_chars, tie min doc_id) per cluster.
+    */
+  val clusterKeepBest: String =
+    s"""WITH RECURSIVE p AS (
+       |  $ngramJaccardPairs
+       |), e AS (
+       |  SELECT i AS a, j AS b FROM p UNION SELECT j AS a, i AS b FROM p
+       |), reach(src, dst) AS (
+       |  SELECT a AS src, a AS dst FROM (SELECT DISTINCT a FROM e) t
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+       |), cl AS (
+       |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+       |), j AS (
+       |  SELECT cl.cluster_id, cl.doc_id, d.n_chars
+       |  FROM cl JOIN documents d USING (doc_id)
+       |), a AS (
+       |  SELECT cluster_id, count(*) AS n_docs, max(n_chars) AS best
+       |  FROM j GROUP BY cluster_id
+       |)
+       |SELECT a.cluster_id, a.n_docs, CAST(min(j.doc_id) AS BIGINT) AS keeper
+       |FROM a JOIN j ON j.cluster_id = a.cluster_id AND j.n_chars = a.best
+       |GROUP BY a.cluster_id, a.n_docs""".stripMargin
+
+  /** Mixture allocation: the mixture-weights ppm CTE → per-source
+    * integer budget share → per-source running-sum admission (whole
+    * docs only). The window here is oracle-side only; the engine uses
+    * the distributed prefix-sum.
+    */
+  def mixtureAllocate(budget: Long): String =
+    s"""WITH ps AS (
+       |  SELECT source,
+       |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000) AS BIGINT) AS sq
+       |  FROM documents GROUP BY source
+       |), t AS (SELECT sum(sq) AS sq_total FROM ps),
+       |w AS (
+       |  SELECT source,
+       |    (CAST((sq * 1000000) // sq_total AS BIGINT) * $budget) // 1000000
+       |      AS src_budget
+       |  FROM ps CROSS JOIN t
+       |), tok AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents
+       |), c AS (
+       |  SELECT source, doc_id, tok,
+       |    sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - tok AS excl
+       |  FROM tok
+       |)
+       |SELECT c.source, count(*) AS n_selected,
+       |  CAST(sum(tok) AS BIGINT) AS tok_selected
+       |FROM c JOIN w USING (source)
+       |WHERE excl + tok <= src_budget
+       |GROUP BY c.source""".stripMargin
+
   /** PII scrub: the oracle runs the SAME regexes (Java/RE2-compatible
     * subset) over the same deterministically augmented text.
     */

@@ -1251,6 +1251,84 @@ object TrainingData {
     * of summation order (no float-sum hazard at any partition count).
     * One tiny agg (≤ #sources rows) cross-joined back — scales.
     */
+  /** Near-dup cluster representative selection by QUALITY — the
+    * FineWeb/RefinedWeb curation step after clustering: instead of the
+    * min-id keeper, each cluster keeps its LONGEST member (quality
+    * proxy n_chars; tie → min doc_id). One hash aggregate over the
+    * cluster frame: argmax as min over struct(−n_chars, doc_id) — no
+    * window, no sort, the [[urlDedupBest]] pattern.
+    */
+  def clusterKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val cl = dedupClusters(s, dir)
+    val meta = docs(s, dir).select(col("doc_id"), col("n_chars"))
+    cl.join(meta, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min(struct((-col("n_chars")).as("neg"), col("doc_id").as("id")))
+          .as("best"))
+      .select(col("cluster_id"), col("n_docs"),
+        col("best.id").as("keeper"))
+  }
+
+  /** Token-budget mixture allocation: given the temperature-smoothed
+    * per-source weights ([[mixtureWeights]], ppm grid) and a total
+    * token budget, admit each source's docs in ascending doc_id order
+    * until the source's share is exhausted (whole docs only). The
+    * per-source running sum is the SAME distributed prefix-sum shape as
+    * sequence packing — range exchange on (source, doc_id), group-keyed
+    * per-partition partials, per-(partition, source) offsets from a
+    * tiny driver collect — never a per-source single-task window (one
+    * source is TBs at corpus scale).
+    */
+  def mixtureAllocate(s: SparkSession, dir: String, budget: Long = 10000L,
+                      parts: Int = 8): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val w = mixtureWeights(s, dir)
+      .select(col("source"),
+        expr(s"(weight_ppm * $budget) div 1000000").as("src_budget"))
+    val toks = docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .repartitionByRange(parts, col("source"), col("doc_id"))
+      .sortWithinPartitions("source", "doc_id")
+      .as[(String, Long, Long)]
+    val local = toks.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cur: String = null
+      var run = 0L
+      it.map { case (src, id, t) =>
+        if (src != cur) { cur = src; run = 0L }
+        val e = run; run += t
+        (pid, src, id, t, e)
+      }
+    }.toDF("pid", "source", "doc_id", "tok", "local_excl")
+      .persist()
+    // per-(partition, source) totals: parts × #sources rows — tiny
+    val totals = local.groupBy("pid", "source").agg(sum("tok").as("t"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val srcs = totals.keys.map(_._2).toSeq.distinct.sorted
+    val offMap: Map[String, Long] = srcs.flatMap { src =>
+      var acc = 0L
+      (0 until parts).map { p =>
+        val o = acc; acc += totals.getOrElse((p, src), 0L)
+        s"$p|$src" -> o
+      }
+    }.toMap
+    val offCol = element_at(typedLit(offMap),
+      concat_ws("|", col("pid"), col("source")))
+    val out = local
+      .select(col("source"), col("tok"),
+        (offCol + col("local_excl")).as("excl"))
+      .join(broadcast(w), Seq("source"))
+      .where(col("excl") + col("tok") <= col("src_budget"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_selected"), sum("tok").as("tok_selected"))
+      .localCheckpoint(true)
+    local.unpersist()
+    out
+  }
+
   def mixtureWeights(s: SparkSession, dir: String): DataFrame = {
     val perSource = docs(s, dir)
       .groupBy("source")

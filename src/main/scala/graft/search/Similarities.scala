@@ -51,6 +51,33 @@ object Similarities {
       .limit(k)
   }
 
+  /** BM25 with norms OMITTED (schema omitNorms=true [8x index/
+    * FieldInfo.java hasNorms; search/similarities/BM25Similarity.java
+    * — a normless field scores with norm value 1, i.e. dl = 1]): the
+    * length normalization collapses to the constant
+    * k1·(1 − b + b/avgdl), so only the docID+freq streams are needed —
+    * the norm bytes are never read, exactly the reference's storage
+    * saving for short identifier-like fields.
+    */
+  def bm25OmitNormsTopK(spark: SparkSession, view: IndexView,
+                        terms: Seq[String], k: Int): DataFrame = {
+    val cs = GlobalStats.collectionStats(view)
+    val nD = cs.docCount.toDouble
+    val avgdl = cs.sumTotalTermFreq.toDouble / nD
+    val kfac = lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) / lit(avgdl))
+    val df = view.terms.where(col("term").isin(terms.distinct: _*))
+      .groupBy("term").agg(sum("df").as("df"))
+    val per = ExactSearch.decodedPostings(spark, view, terms)
+      .join(broadcast(df), Seq("term"))
+      .select(col("doc_id"), col("term"),
+        (log(lit(1.0) + (lit(nD) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * col("tf").cast("double")
+          / (col("tf").cast("double") + kfac)).as("s"))
+    MoreQueries.sumScoresDeterministic(per).select("doc_id", "score")
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** BooleanSimilarity top-k [8x lucene .../similarities/
     * BooleanSimilarity.java]: score = the query boost of each matched
     * term, summed — no tf, no idf, no norms (Solr schemas use it for

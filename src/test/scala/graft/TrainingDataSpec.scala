@@ -622,6 +622,34 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got("http://example7.com/p/7") == ((1L, 7L)))
   }
 
+  test("mixture allocation: identical at every partition count (prefix-sum)") {
+    val dir = "/root/testdata/sf0.001"
+    def run(parts: Int) =
+      TrainingData.mixtureAllocate(spark, dir, 10000L, parts)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val seq1 = run(1) // single partition = trivially-correct sequential scan
+    assert(seq1.nonEmpty)
+    for (p <- Seq(2, 5, 8)) assert(run(p) == seq1, s"parts=$p")
+  }
+
+  test("cluster keeper = longest member of each near-dup cluster") {
+    val got = TrainingData.clusterKeepBest(spark, corpusDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // crafted corpus: docs 0/1 exact dups, 2/3 near dups of them (all
+    // same length 20 toks => keeper = min id); 4/6 near-dup pair where
+    // 6 is one token LONGER => keeper = 6 despite larger id
+    val cl = TrainingData.dedupClusters(spark, corpusDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cl.nonEmpty)
+    got.foreach { case (cid, n, keeper) =>
+      val members = cl.filter(_._2 == cid).keys.toSet
+      assert(members.size == n.toInt && members.contains(keeper))
+    }
+    val c46 = cl.get(4L)
+    if (c46.isDefined && cl.get(6L) == c46) // 4 and 6 clustered together
+      assert(got.exists { case (cid, _, k) => cid == c46.get && k == 6L })
+  }
+
   test("minhash_query equals brute-force exact Jaccard on the sf0.001 corpus") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
