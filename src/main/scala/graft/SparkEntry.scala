@@ -188,6 +188,23 @@ object SparkEntry {
         .buildTables(s, graft.index.Indexer.asDocInput(s, corpus), IndexCache.TestSegmentSize)
         .docmeta.toDF().select(col("doc_id"), col("dl"))
     }),
+    "add_indexes" -> ((s, dir) => {
+      // IndexWriter.addIndexes(Directory...): two INDEPENDENTLY built
+      // half-corpus indexes concatenated wholesale — segment-id rebase
+      // only, blocks byte-identical (spec-enforced); the combined index
+      // must answer exactly like a fresh build of the union corpus
+      val corpus = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("doc_id").cast("string").as("url"),
+          col("text"))
+      val mid = corpus.agg(max("doc_id")).head().getLong(0) / 2
+      def half(p: org.apache.spark.sql.Column) = graft.index.Indexer
+        .buildTables(s, graft.index.Indexer.asDocInput(s, corpus.where(p)),
+          IndexCache.TestSegmentSize)
+      val combined = graft.index.Merger.addIndexes(s,
+        half(col("doc_id") <= mid), half(col("doc_id") > mid))
+      quantize(ExactSearch.topK(s, combined, Seq("spark", "join"), 10,
+        DoubleOracle))
+    }),
     // — Plane A: wider query zoo (SURVEY.md §2.3) —
     "phrase_query" -> ((s, dir) => {
       MoreQueries.phraseMatch(s, IndexCache.documentsIndex(s, dir), Seq("hash", "join"))
@@ -1991,6 +2008,7 @@ object SparkEntry {
     "tokenize_counts" -> OracleGen.tokenizeCountsSql,
     "term_df" -> OracleGen.termDfSql,
     "bm25_topk_exact" -> OracleGen.bm25TopKSql(Seq("spark", "join"), 10),
+    "add_indexes" -> OracleGen.bm25TopKSql(Seq("spark", "join"), 10),
     "classic_tfidf_topk" -> OracleGen.classicTfidfSql(Seq("spark", "join"), 10),
     "bm25_omit_norms" -> OracleGen.bm25OmitNormsSql(Seq("spark", "join"), 10),
     "cluster_keep_best" -> TrainingOracles.clusterKeepBest,

@@ -23,6 +23,26 @@ import graft.codec.PostingCodec
  */
 object Merger {
 
+  /** IndexWriter.addIndexes(Directory...) [8x index/IndexWriter.java
+    * addIndexes(Directory...)]: append a FOREIGN index's segments
+    * WHOLESALE — no re-analysis, no block re-encode; only the incoming
+    * segment ids rebase past the receiving index's max (the reference
+    * copies segment files and bumps the segment infos). DocIDs here are
+    * data-derived, so for disjoint corpora (the addIndexes contract —
+    * the reference likewise assumes the caller isn't duplicating docs)
+    * the blocks pass through byte-identical and post-add queries equal
+    * a fresh build of the union corpus. The term dictionary is
+    * re-derived from the union postings (dictionary-sized aggregate).
+    */
+  def addIndexes(spark: SparkSession, a: IndexView, b: IndexView): IndexView = {
+    import spark.implicits._
+    val off = a.postings.agg(max("segment_id")).head().getInt(0) + 1
+    val p2 = b.postings.map(r => r.copy(segment_id = r.segment_id + off))
+    val d2 = b.docmeta.map(r => r.copy(segment_id = r.segment_id + off))
+    val postings = a.postings.union(p2)
+    IndexView(postings, Indexer.buildTerms(postings), a.docmeta.union(d2))
+  }
+
   /** Merge segments into coarser ones: every `factor` consecutive
     * doc-range segments collapse into one new segment
     * (new_segment = segment_id / factor — the simple tier shape). For

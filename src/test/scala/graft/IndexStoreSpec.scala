@@ -134,6 +134,39 @@ class IndexStoreSpec extends AnyFunSuite {
       assert(topDocs(merged, q) == topDocs(view, q), s"mismatch for $q")
   }
 
+  test("addIndexes: foreign blocks append byte-identical; equals fresh union build") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.synth.CorpusSynth
+    val full = CorpusSynth.corpusWithIds(spark, 900, seed = 11L)
+    def build(df: org.apache.spark.sql.DataFrame) =
+      Indexer.buildTables(spark, Indexer.asDocInput(spark, df), segSize = 128L)
+    val a = build(full.where(col("doc_id") < 400))
+    val b = build(full.where(col("doc_id") >= 400))
+    val combined = Merger.addIndexes(spark, a, b)
+    val fresh = build(full.toDF())
+    // query equivalence incl. scores (stats re-derived over the union)
+    val terms = Seq("w0001", "w0004")
+    val got = graft.search.ExactSearch
+      .topK(spark, combined, terms, 10, graft.search.DoubleOracle)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val want = graft.search.ExactSearch
+      .topK(spark, fresh, terms, 10, graft.search.DoubleOracle)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(got == want && got.nonEmpty)
+    // the foreign index's blocks passed through byte-identical
+    val bBlocks = b.postings.collect()
+      .map(r => (r.term, r.first_doc_id) -> r.docs.toSeq).toMap
+    val inCombined = combined.postings.filter(_.first_doc_id >= 400)
+      .collect().map(r => (r.term, r.first_doc_id) -> r.docs.toSeq).toMap
+    assert(inCombined == bBlocks)
+    // global term stats equal the fresh build's
+    def stats(v: graft.index.IndexView) = v.terms.groupBy("term")
+      .agg(org.apache.spark.sql.functions.sum("df").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats(combined) == stats(fresh))
+  }
+
   test("time travel: past snapshot versions stay readable after NRT append") {
     import graft.index.{IndexReader, Snapshot}
     val dir = tmpDir()
