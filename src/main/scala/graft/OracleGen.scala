@@ -233,6 +233,27 @@ object OracleGen {
        |SELECT doc_id, CAST(c0 + c1 AS BIGINT) AS n_qual_children
        |FROM m WHERE c0 + c1 > 0""".stripMargin
 
+  /** Field-masking span: the ordered span-near anchor chain with the
+    * masked (title) side restricted to the title window — title is a
+    * prefix field, so SQL positions 1..titleWords ARE its positions.
+    */
+  def fieldMaskingSpanSql(w1: String, w2: String, slop: Int,
+                          titleWords: Int): String =
+    s"""WITH lists AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), tokpos AS (
+       |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+       |  FROM lists
+       |), a AS (SELECT doc_id, pos FROM tokpos
+       |         WHERE term = '$w1' AND pos <= $titleWords),
+       |   b AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w2'),
+       |anchors AS (
+       |  SELECT a.doc_id, a.pos, min(b.pos) AS nb
+       |  FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos > a.pos
+       |  GROUP BY a.doc_id, a.pos)
+       |SELECT doc_id, count(*) AS span_tf
+       |FROM anchors WHERE nb - pos - 1 <= $slop GROUP BY doc_id""".stripMargin
+
   /** Payload-checked span: phrase occurrences gated by the first-slot
     * payload (payload of an occurrence = its 1-based token position, the
     * payload_score model), so the check is simply `a.pos <= max`.

@@ -188,6 +188,53 @@ object SparkEntry {
         .buildTables(s, graft.index.Indexer.asDocInput(s, corpus), IndexCache.TestSegmentSize)
         .docmeta.toDF().select(col("doc_id"), col("dl"))
     }),
+    "field_masking_span" -> ((s, dir) =>
+      // FieldMaskingSpanQuery: spanNear(mask(title:spark), body:join,
+      // slop=5, ordered) over the deterministic title/body schema —
+      // title positions ARE body positions (prefix field)
+      MoreQueries.fieldMaskingSpan(s, IndexCache.documentsIndex(s, dir),
+        "spark", "join", 5)),
+    "shard_split" -> ((s, dir) => {
+      // SolrCloud SPLITSHARD (range split at the doc midpoint): only
+      // midpoint-straddling blocks re-encode, everything else passes
+      // byte-identical (spec-enforced); per-shard term stats must equal
+      // per-half fresh builds
+      val v = IndexCache.documentsIndex(s, dir)
+      val mid = s.read.parquet(s"$dir/documents.parquet")
+        .agg(max("doc_id")).head().getLong(0) / 2
+      val (l, r) = graft.index.Merger.splitShard(s, v, mid)
+      def stats(v2: graft.index.IndexView, label: String) =
+        v2.terms.where(col("field") === graft.index.Indexer.Field)
+          .groupBy("term").agg(sum("df").as("df"), sum("ctf").as("ctf"))
+          .select(lit(label).as("shard"), col("term"), col("df"), col("ctf"))
+      stats(l, "left").unionAll(stats(r, "right"))
+    }),
+    "cluster_results" -> ((s, dir) => {
+      // search-result clustering (Solr clustering component / Carrot2
+      // [8x solr/contrib/clustering]): the top-100 hits clustered by
+      // LABEL = each doc's dominant non-query term from its INDEX term
+      // vector (tf desc, term asc tie), top-5 labels by member count —
+      // the deterministic label-assignment core of Lingo/STC, index-fed
+      import s.implicits._
+      val v = IndexCache.documentsIndex(s, dir)
+      val hits = ExactSearch.topK(s, v, Seq("spark"), 100, DoubleOracle)
+        .select("doc_id")
+      val range = hits.agg(min("doc_id"), max("doc_id")).head()
+      val tv = MoreQueries.termVectors(s, v, range.getLong(0), range.getLong(1))
+        .join(broadcast(hits), Seq("doc_id"))
+      tv.where(col("term") =!= "spark")
+        .groupBy("doc_id")
+        .agg(min(struct((-col("tf")).as("neg"), col("term").as("t")))
+          .as("best"))
+        .select(col("best.t").as("label"))
+        .groupBy("label").agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("label").asc).limit(5)
+    }),
+    "contamination_score" -> ((s, dir) =>
+      // per-doc contamination fraction: distinct 8-gram overlap with
+      // the held-out benchmark set, permille grid — the score behind
+      // the decontaminate cut
+      graft.operators.TrainingData.contaminationScore(s, dir)),
     "add_indexes" -> ((s, dir) => {
       // IndexWriter.addIndexes(Directory...): two INDEPENDENTLY built
       // half-corpus indexes concatenated wholesale — segment-id rebase
@@ -2009,6 +2056,35 @@ object SparkEntry {
     "term_df" -> OracleGen.termDfSql,
     "bm25_topk_exact" -> OracleGen.bm25TopKSql(Seq("spark", "join"), 10),
     "add_indexes" -> OracleGen.bm25TopKSql(Seq("spark", "join"), 10),
+    "field_masking_span" ->
+      OracleGen.fieldMaskingSpanSql("spark", "join", 5,
+        graft.index.MultiFieldCache.TitleWords),
+    "shard_split" ->
+      s"""WITH ${OracleGen.tokCte}, m AS (
+         |  SELECT max(doc_id) // 2 AS mid FROM documents
+         |)
+         |SELECT 'left' AS shard, term, count(DISTINCT doc_id) AS df,
+         |  count(*) AS ctf
+         |FROM tokf, m WHERE doc_id < mid GROUP BY term
+         |UNION ALL
+         |SELECT 'right' AS shard, term, count(DISTINCT doc_id) AS df,
+         |  count(*) AS ctf
+         |FROM tokf, m WHERE doc_id >= mid GROUP BY term""".stripMargin,
+    "cluster_results" ->
+      s"""WITH ${OracleGen.bm25Ctes(Seq("spark"))}, hits AS (
+         |  SELECT doc_id FROM sc ORDER BY score DESC, doc_id ASC LIMIT 100
+         |), tf2 AS (
+         |  SELECT t.doc_id, t.term, count(*) AS tf
+         |  FROM tokf t JOIN hits USING (doc_id)
+         |  WHERE t.term <> 'spark' GROUP BY t.doc_id, t.term
+         |), dom AS (
+         |  SELECT doc_id, term FROM tf2
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY tf DESC, term ASC) = 1
+         |)
+         |SELECT term AS label, count(*) AS n_docs FROM dom
+         |GROUP BY term ORDER BY n_docs DESC, label ASC LIMIT 5""".stripMargin,
+    "contamination_score" -> TrainingOracles.contaminationScore,
     "classic_tfidf_topk" -> OracleGen.classicTfidfSql(Seq("spark", "join"), 10),
     "bm25_omit_norms" -> OracleGen.bm25OmitNormsSql(Seq("spark", "join"), 10),
     "cluster_keep_best" -> TrainingOracles.clusterKeepBest,

@@ -445,6 +445,30 @@ object TrainingOracles {
        |GROUP BY s.doc_id""".stripMargin
   }
 
+  /** Per-doc contamination fraction: the decontaminate shingle CTEs with
+    * a LEFT join so clean docs keep a zero numerator; permille floor
+    * division mirrors the engine's integer grid.
+    */
+  val contaminationScore: String = {
+    val leads = (1 to 7)
+      .map(i => s"lead(term, $i) OVER w").mkString(" || ' ' || ")
+    s"""WITH tp AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id, term || ' ' || $leads AS s
+       |  FROM tp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |sh AS (SELECT DISTINCT doc_id, md5(s) AS h FROM sh0 WHERE s IS NOT NULL),
+       |bench AS (SELECT DISTINCT h, 1 AS hit FROM sh WHERE doc_id % 29 = 0)
+       |SELECT s.doc_id, count(*) AS n_shingles,
+       |  count(bench.hit) AS n_contaminated,
+       |  (count(bench.hit) * 1000) // count(*) AS contam_permille
+       |FROM sh s LEFT JOIN bench USING (h)
+       |WHERE s.doc_id % 29 <> 0
+       |GROUP BY s.doc_id""".stripMargin
+  }
+
   /** URL canonicalization: the oracle reconstructs the normalized form
     * arithmetically from the same deterministic doc_id-derived raw URL
     * the engine parses with real `parse_url` machinery.

@@ -43,6 +43,45 @@ object Merger {
     IndexView(postings, Indexer.buildTerms(postings), a.docmeta.union(d2))
   }
 
+  /** SolrCloud SPLITSHARD (range split) [8x solr/core .../cloud/api/
+    * collections/SplitShardCmd.java; index/IndexSplitter contrib]: the
+    * index splits at a doc-range midpoint into two sub-shards. Doc-range
+    * block contiguity makes this almost free: a block entirely on one
+    * side passes through BYTE-IDENTICAL to that side; only the (at most
+    * one per term per segment) blocks STRADDLING the midpoint decode,
+    * route their entries, and re-encode — the reference streams every
+    * doc through its sub-shard router; here the router is a block-range
+    * comparison. Each side re-derives its term dictionary (stats must
+    * reflect only its own docs — per-shard df/ctf, the LocalStatsCache
+    * world).
+    */
+  def splitShard(spark: SparkSession, view: IndexView,
+                 mid: Long): (IndexView, IndexView) = {
+    import spark.implicits._
+    def sideView(left: Boolean): IndexView = {
+      val pass = view.postings.filter(b =>
+        if (left) b.last_doc_id < mid else b.first_doc_id >= mid)
+      val straddle = view.postings.filter(b =>
+        b.first_doc_id < mid && b.last_doc_id >= mid)
+      val entries: Dataset[PostingInput] = straddle.flatMap { b =>
+        val d = PostingCodec.decode(b.docs, b.freqs, b.norms)
+        val hasPos = b.positions.nonEmpty
+        val ps = if (hasPos) PostingCodec.decodePositions(b.positions, d.freqs)
+                 else null
+        Iterator.tabulate(d.docIds.length) { i =>
+          PostingInput(b.segment_id, b.term, d.docIds(i),
+            d.freqs(i), d.norms(i).toInt & 0xff,
+            if (hasPos) ps(i) else Array.emptyIntArray)
+        }.filter(e => if (left) e.doc_id < mid else e.doc_id >= mid)
+      }
+      val postings = pass.union(Indexer.buildPostings(spark, entries))
+      val docmeta = view.docmeta.filter(m =>
+        if (left) m.doc_id < mid else m.doc_id >= mid)
+      IndexView(postings, Indexer.buildTerms(postings), docmeta)
+    }
+    (sideView(left = true), sideView(left = false))
+  }
+
   /** Merge segments into coarser ones: every `factor` consecutive
     * doc-range segments collapse into one new segment
     * (new_segment = segment_id / factor — the simple tier shape). For

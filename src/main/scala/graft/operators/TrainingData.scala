@@ -615,6 +615,24 @@ object TrainingData {
       .groupBy("doc_id").agg(countDistinct("h").as("n_hits"))
   }
 
+  /** Per-doc contamination score — the fraction behind the
+    * [[decontaminate]] cut: distinct 8-gram overlap with the held-out
+    * benchmark set, permille grid. Benchmark side stays a broadcast
+    * (it is tiny by construction); the training side is one narrow
+    * shingle pass + a hash aggregate.
+    */
+  def contaminationScore(s: SparkSession, dir: String): DataFrame = {
+    val bench = shinglesDf(docs(s, dir).where(col("doc_id") % 29 === 0), 8)
+      .select(md5(col("shingle")).as("h")).distinct()
+    shinglesDf(docs(s, dir).where(col("doc_id") % 29 =!= 0), 8)
+      .select(col("doc_id"), md5(col("shingle")).as("h"))
+      .join(broadcast(bench.withColumn("hit", lit(1))), Seq("h"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        expr("(n_contaminated * 1000) div n_shingles").as("contam_permille"))
+  }
+
   /** URL canonicalization for web-corpus dedup [the crawl-pipeline
     * normalize step]: lowercase host, drop default port, drop tracking
     * params and fragments, keep meaningful params. The messy raw URL is

@@ -683,6 +683,44 @@ object MoreQueries {
       .select(col("url").cast("long").as("doc_id"), col("n_child_hits"))
   }
 
+  /** FieldMaskingSpanQuery [8x search/spans/FieldMaskingSpanQuery.java]:
+    * a span from one field is MASKED as another field so a compound
+    * span can combine them — the reference compares each field's RAW
+    * positions as if they were one field. Fields here are the
+    * deterministic title/body pair of the multi-field schema (title =
+    * the first [[graft.index.MultiFieldCache.TitleWords]] body tokens,
+    * a prefix, so title positions coincide with body positions); the
+    * compound is spanNear(mask(title:t1), body:t2, slop, ordered) —
+    * i.e. an anchor occurrence of t1 inside the title window whose
+    * nearest following t2 is within slop.
+    */
+  def fieldMaskingSpan(spark: SparkSession, view: IndexView,
+                       t1: String, t2: String, slop: Int): DataFrame = {
+    import spark.implicits._
+    require(t1 != t2, "field-masking compound here takes distinct terms")
+    val titleWords = graft.index.MultiFieldCache.TitleWords
+    val uniq = Seq(t1, t2)
+    positionalPostings(spark, view, uniq, uniq.map(Seq(_)))
+      .groupByKey(_._1)
+      .mapGroups { (docId, it) =>
+        val pos = it.map(t => t._2 -> t._3).toMap
+        val n =
+          if (!uniq.forall(pos.contains)) 0
+          else {
+            val p2 = pos(t2)
+            pos(t1).count { p =>
+              p < titleWords && {
+                val k = java.util.Arrays.binarySearch(p2, p + 1)
+                val i = if (k >= 0) k else -k - 1
+                i < p2.length && p2(i) - p - 1 <= slop
+              }
+            }
+          }
+        (docId, n.toLong)
+      }
+      .filter(_._2 > 0).toDF("doc_id", "span_tf")
+  }
+
   /** Multi-level block join over the THREE-level nested index
     * [8x search/join/ToParentBlockJoinQuery.java composed per level;
     * Solr `{!parent which=type:parent}(+{!parent which=type:child}B +A)`]:

@@ -167,6 +167,34 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(stats(combined) == stats(fresh))
   }
 
+  test("splitShard: sides equal per-half fresh builds; non-straddling blocks byte-identical") {
+    import org.apache.spark.sql.functions.col
+    import graft.synth.CorpusSynth
+    val full = CorpusSynth.corpusWithIds(spark, 900, seed = 13L)
+    val view = Indexer.buildTables(spark,
+      Indexer.asDocInput(spark, full.toDF()), segSize = 128L).persisted()
+    val mid = 450L
+    val (l, r) = Merger.splitShard(spark, view, mid)
+    // each side answers exactly like a fresh build of its half corpus
+    val freshL = Indexer.buildTables(spark,
+      Indexer.asDocInput(spark, full.where(col("doc_id") < mid)), 128L)
+    val freshR = Indexer.buildTables(spark,
+      Indexer.asDocInput(spark, full.where(col("doc_id") >= mid)), 128L)
+    for (q <- Seq(Seq("w0001"), Seq("w0003", "w0017"))) {
+      assert(topDocs(l, q) == topDocs(freshL, q), s"left $q")
+      assert(topDocs(r, q) == topDocs(freshR, q), s"right $q")
+    }
+    // doc counts partition exactly
+    assert(l.docmeta.count() + r.docmeta.count() == view.docmeta.count())
+    // blocks that never straddled the midpoint passed through byte-identical
+    val passL = view.postings.filter(_.last_doc_id < mid).collect()
+      .map(b => (b.segment_id, b.term, b.first_doc_id) -> b.docs.toSeq).toMap
+    val gotL = l.postings.collect()
+      .filter(b => passL.contains((b.segment_id, b.term, b.first_doc_id)))
+      .map(b => (b.segment_id, b.term, b.first_doc_id) -> b.docs.toSeq).toMap
+    assert(passL.nonEmpty && gotL == passL)
+  }
+
   test("time travel: past snapshot versions stay readable after NRT append") {
     import graft.index.{IndexReader, Snapshot}
     val dir = tmpDir()

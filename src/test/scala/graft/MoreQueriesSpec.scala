@@ -974,6 +974,26 @@ class MoreQueriesSpec extends AnyFunSuite {
     assert(ungated.values.sum > expect.values.sum)
   }
 
+  test("field-masking span equals brute force over raw title-window positions") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val v = IndexCache.documentsIndex(spark, dir)
+    val got = MoreQueries.fieldMaskingSpan(spark, v, "spark", "join", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val tw = graft.index.MultiFieldCache.TitleWords
+    val expect = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val toks = t.split(" ", -1)
+        val p2 = toks.indices.filter(i => toks(i) == "join")
+        id -> toks.indices.count { p =>
+          toks(p) == "spark" && p < tw &&
+            p2.find(_ > p).exists(q => q - p - 1 <= 5)
+        }.toLong
+      }.filter(_._2 > 0).toMap
+    assert(expect.nonEmpty && got == expect)
+  }
+
   test("grandchild block join: match must nest child AND grandchild levels") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
