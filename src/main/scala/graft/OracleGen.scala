@@ -1615,6 +1615,66 @@ object OracleGen {
        |FROM ng JOIN d USING (term) GROUP BY 1""".stripMargin
   }
 
+  /** KeywordRepeat + RemoveDuplicates combined dictionary — each vocab
+    * term maps to itself plus its Porter stem when different (the
+    * RemoveDuplicates rule), single-source VALUES map; DuckDB recounts
+    * df/ctf over the emitted-token stream independently.
+    */
+  def keywordRepeatSql: String = {
+    val pairs = (for {
+      w <- CorpusVocab
+      t <- Seq(w, graft.analysis.Porter.stem(w)).distinct
+    } yield s"('$w', '$t')").mkString(", ")
+    s"""WITH $tokCte, km(term, token) AS (VALUES $pairs)
+       |SELECT km.token, count(DISTINCT doc_id) AS df, count(*) AS ctf
+       |FROM tokf JOIN km USING (term) GROUP BY 1""".stripMargin
+  }
+
+  /** StemmerOverride + Porter: overridden lemmas bypass the stemmer.
+    * Same single-source VALUES pattern as [[keywordMarkerSql]].
+    */
+  def stemmerOverrideSql: String = {
+    val pairs = CorpusVocab.map { w =>
+      val st = graft.operators.AnalysisOps.StemOverrides
+        .getOrElse(w, graft.analysis.Porter.stem(w))
+      s"('$w', '$st')"
+    }.mkString(", ")
+    s"""WITH $tokCte, sm(term, stem) AS (VALUES $pairs)
+       |SELECT sm.stem, count(DISTINCT doc_id) AS df, count(*) AS ctf
+       |FROM tokf JOIN sm USING (term) GROUP BY 1""".stripMargin
+  }
+
+  /** LengthFilter dictionary: df/ctf of terms within [min, max] chars —
+    * DuckDB's own tokenize/count with the same length predicate.
+    */
+  def lengthFilterSql(min: Int, max: Int): String =
+    s"""WITH $tokCte
+       |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ctf
+       |FROM tokf WHERE length(term) BETWEEN $min AND $max
+       |GROUP BY term""".stripMargin
+
+  /** PatternReplaceFilter: the shared vowel-strip regex replayed by
+    * DuckDB's regexp_replace (global flag; Spark's replaces all by
+    * default), empty outputs dropped as the engine does.
+    */
+  def patternReplaceSql: String =
+    s"""WITH $tokCte, rep AS (
+       |  SELECT doc_id,
+       |    regexp_replace(term, '${graft.operators.AnalysisOps.PatternReplaceRegex}', '', 'g') AS rep
+       |  FROM tokf
+       |)
+       |SELECT rep, count(DISTINCT doc_id) AS df, count(*) AS ctf
+       |FROM rep WHERE length(rep) > 0 GROUP BY 1""".stripMargin
+
+  /** TruncateTokenFilter: first-n-chars merge of the dictionary,
+    * recounted from the raw token stream.
+    */
+  def truncateSql(n: Int): String =
+    s"""WITH $tokCte
+       |SELECT substr(term, 1, $n) AS trunc, count(DISTINCT doc_id) AS df,
+       |  count(*) AS ctf
+       |FROM tokf GROUP BY 1""".stripMargin
+
   /** Multi-token synonym rule "`w1 w2` => `out`": the output term's
     * df/ctf must equal the adjacent-pair statistics of the input phrase
     * on the RAW token stream (matching happens before stop filtering).

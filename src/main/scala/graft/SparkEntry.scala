@@ -1547,6 +1547,23 @@ object SparkEntry {
       // UAX29URLEmailTokenizer: URLs and e-mails stay single tokens,
       // with the reference's token-type attribute
       graft.operators.AnalysisOps.urlEmailTokens(s, dir)),
+    "keyword_repeat_df" -> ((s, dir) =>
+      // KeywordRepeatFilter + RemoveDuplicates: surface form AND its
+      // Porter stem both indexed; the combined dictionary's df/ctf
+      graft.operators.AnalysisOps.keywordRepeatDf(s, dir)),
+    "stemmer_override_df" -> ((s, dir) =>
+      // StemmerOverrideFilter: curated lemmas bypass Porter
+      graft.operators.AnalysisOps.stemmerOverrideDf(s, dir)),
+    "length_filter_df" -> ((s, dir) =>
+      // LengthFilter min=4 max=6: dictionary-side predicate only
+      graft.operators.AnalysisOps.lengthFilterDf(s, dir, 4, 6)),
+    "pattern_replace_df" -> ((s, dir) =>
+      // PatternReplaceFilter: shared vowel-strip regex, dictionary
+      // rewrite + doc-distinct df over the collapsed form
+      graft.operators.AnalysisOps.patternReplaceDf(s, dir)),
+    "truncate_df" -> ((s, dir) =>
+      // TruncateTokenFilter prefixLength=4: first-n-chars merge
+      graft.operators.AnalysisOps.truncateDf(s, dir, 4)),
     "terms_regex" -> ((s, dir) => {
       // TermsComponent terms.regex [8x solr/core .../handler/component/
       // TermsComponent.java]: dictionary enumeration by whole-term
@@ -2392,6 +2409,11 @@ object SparkEntry {
     "uax_url_email" ->
       OracleGen.urlEmailSql(graft.operators.AnalysisOps.UrlEmailPattern),
     "char_ngram_df" -> OracleGen.charNgramSql,
+    "keyword_repeat_df" -> OracleGen.keywordRepeatSql,
+    "stemmer_override_df" -> OracleGen.stemmerOverrideSql,
+    "length_filter_df" -> OracleGen.lengthFilterSql(4, 6),
+    "pattern_replace_df" -> OracleGen.patternReplaceSql,
+    "truncate_df" -> OracleGen.truncateSql(4),
     "minimal_stem_df" ->
       s"""WITH ${OracleGen.tokCte}
          |SELECT ${graft.analysis.Stemmer.stemSql("term")} AS stem,

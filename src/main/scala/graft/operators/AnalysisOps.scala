@@ -204,6 +204,114 @@ object AnalysisOps {
     */
   val UrlEmailPattern = "(https?://[a-z0-9./]+|[a-z0-9.]+@[a-z0-9.]+|[a-z0-9]+)"
 
+  /** KeywordRepeatFilter + RemoveDuplicatesTokenFilter [8x
+    * lucene/analysis/common .../miscellaneous/KeywordRepeatFilter.java,
+    * RemoveDuplicatesTokenFilter.java] — the stock "index both the
+    * surface form and its stem" chain: every token is emitted twice
+    * (keyword-marked original + Porter stem at the same position),
+    * then RemoveDuplicates drops the second copy when the stem equals
+    * the original. Output = the combined dictionary's stats: per
+    * emitted token, doc frequency (doc-distinct over the union of
+    * source terms mapping to it) and ctf (total emissions). The
+    * term→token map is dictionary-sized and broadcast; df comes from
+    * the decoded posting pairs, ctf from the dictionary ctf sums — the
+    * corpus is never re-tokenized.
+    */
+  def keywordRepeatDf(s: SparkSession, dir: String): DataFrame = {
+    val v = graft.IndexCache.documentsIndex(s, dir)
+    val stemU = udf(Porter.stem _)
+    val dict = v.terms.where(col("field") === Indexer.Field)
+      .groupBy("term").agg(sum("ctf").as("tctf"))
+      .withColumn("stem", stemU(col("term")))
+    val mapping = dict.select(col("term"), col("tctf"), explode(
+        when(col("stem") === col("term"), array(col("term")))
+          .otherwise(array(col("term"), col("stem")))).as("token"))
+    Relational.docTermsFromIndex(s, dir)
+      .join(broadcast(mapping.select("term", "token").distinct()), Seq("term"))
+      .groupBy("token").agg(countDistinct("doc_id").as("df"))
+      .join(mapping.groupBy("token").agg(sum("tctf").as("ctf")), Seq("token"))
+  }
+
+  /** StemmerOverrideFilter [8x lucene/analysis/common .../miscellaneous/
+    * StemmerOverrideFilter.java]: a dictionary of hand-curated
+    * lemmas applied BEFORE the algorithmic stemmer; an overridden token
+    * is keyword-marked so Porter never touches it (the irregular-form
+    * escape hatch every production `text_en` schema carries). Output =
+    * the stemmed dictionary's df/ctf under the override map.
+    */
+  val StemOverrides: Map[String, String] =
+    Map("data" -> "datum", "column" -> "col")
+
+  def stemmerOverrideDf(s: SparkSession, dir: String): DataFrame = {
+    val v = graft.IndexCache.documentsIndex(s, dir)
+    val stemU = udf((t: String) => StemOverrides.getOrElse(t, Porter.stem(t)))
+    val dict = v.terms.where(col("field") === Indexer.Field)
+      .groupBy("term").agg(sum("ctf").as("tctf"))
+      .withColumn("stem", stemU(col("term")))
+    Relational.docTermsFromIndex(s, dir)
+      .join(broadcast(dict.select("term", "stem")), Seq("term"))
+      .groupBy("stem").agg(countDistinct("doc_id").as("df"))
+      .join(dict.groupBy("stem").agg(sum("tctf").as("ctf")), Seq("stem"))
+  }
+
+  /** LengthFilter [8x lucene/analysis/common .../miscellaneous/
+    * LengthFilter.java] — tokens outside [min, max] chars are dropped
+    * from the indexed stream. Dictionary-routed: the predicate runs on
+    * the terms table only (parquet-stat prunable at scale); the
+    * surviving dictionary's per-term df/ctf is the output.
+    */
+  def lengthFilterDf(s: SparkSession, dir: String,
+                     min: Int = 4, max: Int = 6): DataFrame = {
+    val v = graft.IndexCache.documentsIndex(s, dir)
+    v.terms.where(col("field") === Indexer.Field &&
+        length(col("term")).between(min, max))
+      .groupBy("term").agg(sum("df").as("df"), sum("ctf").as("ctf"))
+  }
+
+  /** PatternReplaceFilter [8x lucene/analysis/pattern/
+    * PatternReplaceFilter.java] with `replaceAll` semantics — here the
+    * vowel-strip pattern, so every vowel-bearing term visibly changes
+    * form ("merge" → "mrg") and forms that collide group together;
+    * empty outputs are dropped (the LengthFilter
+    * companion every such chain appends). The regex is ONE shared
+    * expression evaluated verbatim by Spark and the DuckDB oracle.
+    * Rewrites run on the DISTINCT dictionary; df is doc-distinct over
+    * the collapsed form from the posting pairs, ctf from dictionary
+    * sums.
+    */
+  val PatternReplaceRegex = "[aeiou]"
+
+  def patternReplaceDf(s: SparkSession, dir: String): DataFrame = {
+    val v = graft.IndexCache.documentsIndex(s, dir)
+    val dict = v.terms.where(col("field") === Indexer.Field)
+      .groupBy("term").agg(sum("ctf").as("tctf"))
+      .withColumn("rep", regexp_replace(col("term"), PatternReplaceRegex, ""))
+      .where(length(col("rep")) > 0)
+    Relational.docTermsFromIndex(s, dir)
+      .join(broadcast(dict.select("term", "rep")), Seq("term"))
+      .groupBy("rep").agg(countDistinct("doc_id").as("df"))
+      .join(dict.groupBy("rep").agg(sum("tctf").as("ctf")), Seq("rep"))
+  }
+
+  /** TruncateTokenFilter [8x lucene/analysis/common .../miscellaneous/
+    * TruncateTokenFilter.java] — every token truncated to its first
+    * `prefixLength` chars (the crude stemmer for agglutinative
+    * languages; Solr `TruncateTokenFilterFactory`). Terms truncating to
+    * the same prefix merge into one dictionary entry; df is doc-distinct
+    * over the (possibly merged) truncated form, ctf summed.
+    */
+  def truncateDf(s: SparkSession, dir: String,
+                 prefixLength: Int = 4): DataFrame = {
+    val v = graft.IndexCache.documentsIndex(s, dir)
+    val dict = v.terms.where(col("field") === Indexer.Field)
+      .groupBy("term").agg(sum("ctf").as("tctf"))
+      .withColumn("trunc", substring(col("term"), 1, prefixLength))
+    Relational.docTermsFromIndex(s, dir)
+      .join(broadcast(dict.select("term", "trunc")), Seq("term"))
+      .groupBy("trunc").agg(countDistinct("doc_id").as("df"))
+      .join(dict.groupBy("trunc").agg(sum("tctf").as("ctf")), Seq("trunc"))
+  }
+
   def urlEmailTokens(s: SparkSession, dir: String): DataFrame = {
     val line = concat(lit("contact admin@"), col("source"),
       lit(".example.com or see https://www."), col("source"),
