@@ -1163,6 +1163,67 @@ object OracleGen {
        |FROM agg ORDER BY total DESC, doc_id ASC LIMIT $k""".stripMargin
   }
 
+  /** CombinedFieldQuery (simple BM25F): per-term tf' = Σ w_f·tf_f,
+    * len' = norm-codec re-encode of Σ w_f·len_f, df' = max_f df_f,
+    * sttf' = Σ w_f·sttf_f, N' = max_f N_f — then plain BM25. Field
+    * streams identical to the dismax oracles (title = first 4 raw
+    * tokens, stop filter after).
+    */
+  def combinedFieldSql(terms: Seq[String], k: Int,
+                       titleBoost: Double): String = {
+    val qs = termList(terms.distinct)
+    val w = s"CASE field WHEN 'title' THEN $titleBoost ELSE 1.0 END"
+    s"""WITH btok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents
+       |), toks AS (
+       |  SELECT doc_id, 'body' AS field, term FROM btok
+       |  WHERE length(term) > 0 AND term NOT IN ($stopList)
+       |  UNION ALL
+       |  SELECT doc_id, 'title' AS field, term FROM btok
+       |  WHERE pos <= 4 AND length(term) > 0 AND term NOT IN ($stopList)
+       |), fdl AS (
+       |  SELECT doc_id, field, count(*) AS dl FROM toks GROUP BY doc_id, field
+       |), fnorm AS (
+       |  SELECT doc_id, field, dl,
+       |    (SELECT max(v) FROM (VALUES $normValues) AS nv(v) WHERE nv.v <= fdl.dl) AS ldl
+       |  FROM fdl
+       |), fst AS (
+       |  SELECT field, count(*) AS n, sum(dl) AS sttf FROM fdl GROUP BY field
+       |), cst AS (
+       |  SELECT max(n) AS n, sum($w * sttf) AS sttf FROM fst
+       |), fdf AS (
+       |  SELECT field, term, count(DISTINCT doc_id) AS df FROM toks
+       |  WHERE term IN ($qs) GROUP BY field, term
+       |), cdf AS (
+       |  SELECT term, max(df) AS df FROM fdf GROUP BY term
+       |), clen AS (
+       |  SELECT doc_id, CAST(round(sum($w * ldl)) AS BIGINT) AS wl
+       |  FROM fnorm GROUP BY doc_id
+       |), clenq AS (
+       |  SELECT doc_id,
+       |    (SELECT max(v) FROM (VALUES $normValues) AS nv(v) WHERE nv.v <= clen.wl) AS cl
+       |  FROM clen
+       |), ftf AS (
+       |  SELECT doc_id, field, term, count(*) AS tf FROM toks
+       |  WHERE term IN ($qs) GROUP BY doc_id, field, term
+       |), ctf2 AS (
+       |  SELECT doc_id, term, sum($w * tf) AS tfc FROM ftf
+       |  GROUP BY doc_id, term
+       |), sc AS (
+       |  SELECT c.doc_id,
+       |    sum(ln(1 + (cst.n - cdf.df + 0.5) / (cdf.df + 0.5))
+       |      * c.tfc / (c.tfc + 1.2 * (1 - 0.75
+       |          + 0.75 * clenq.cl / (cst.sttf / CAST(cst.n AS DOUBLE))))) AS score
+       |  FROM ctf2 c JOIN cdf USING (term)
+       |  JOIN clenq ON c.doc_id = clenq.doc_id CROSS JOIN cst
+       |  GROUP BY c.doc_id
+       |)
+       |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q
+       |FROM sc ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** docCount — docs with ≥1 indexed (non-stop) token. */
   def matchAllCountSql: String =
     s"WITH $tokCte SELECT count(DISTINCT doc_id) AS n FROM tokf"
@@ -2033,6 +2094,33 @@ object OracleGen {
        |    sum((ln((st.n + 1.0) / (df.df + 1.0)) + 1.0)
        |        * sqrt(CAST(tf.tf AS DOUBLE))
        |        / sqrt(CAST(norm.ldl AS DOUBLE))) AS score
+       |  FROM tf JOIN df USING (term)
+       |  JOIN norm ON tf.doc_id = norm.doc_id CROSS JOIN st
+       |  GROUP BY tf.doc_id
+       |)
+       |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q
+       |FROM sc ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** SweetSpotSimilarity top-k: classic TF-IDF with the plateau
+    * lengthNorm 1/sqrt(steep·(|dl−min|+|dl−max|−(max−min))+1), dl lossy.
+    */
+  def sweetSpotSql(terms: Seq[String], k: Int,
+                   min: Int, max: Int, steep: Double): String = {
+    val qs = termList(terms.distinct)
+    s"""WITH $tokCte, $dlCtes, df AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+       |  WHERE term IN ($qs) GROUP BY term
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tokf
+       |  WHERE term IN ($qs) GROUP BY doc_id, term
+       |), sc AS (
+       |  SELECT tf.doc_id,
+       |    sum((ln((st.n + 1.0) / (df.df + 1.0)) + 1.0)
+       |        * sqrt(CAST(tf.tf AS DOUBLE))
+       |        / sqrt($steep * (abs(CAST(norm.ldl AS DOUBLE) - $min)
+       |            + abs(CAST(norm.ldl AS DOUBLE) - $max)
+       |            - ${max - min}) + 1.0)) AS score
        |  FROM tf JOIN df USING (term)
        |  JOIN norm ON tf.doc_id = norm.doc_id CROSS JOIN st
        |  GROUP BY tf.doc_id

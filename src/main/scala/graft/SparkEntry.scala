@@ -97,6 +97,66 @@ object SparkEntry {
       // the Solr factory default) over the same postings + ctf
       quantize(graft.search.Similarities.lmJelinekMercerTopK(
         s, IndexCache.documentsIndex(s, dir), Seq("spark", "join"), 10))),
+    "sweetspot_topk" -> ((s, dir) =>
+      // ninth pluggable similarity: SweetSpotSimilarity — classic
+      // TF-IDF with a [30,60] plateau length normalization
+      quantize(graft.search.Similarities.sweetSpotTopK(
+        s, IndexCache.documentsIndex(s, dir), Seq("spark", "join"), 10))),
+    "combined_field_topk" -> ((s, dir) =>
+      // CombinedFieldQuery (simple BM25F, LUCENE-8216): one BM25
+      // saturation curve over the weighted cross-field blended tf/len
+      // (title^2 body) — the "as if one field" alternative to dismax
+      quantize(graft.search.MultiField.combinedFieldTopK(s, dir,
+        Seq("spark", "merge"), 10, IndexCache.TestSegmentSize,
+        Map("title" -> 2.0)))),
+    "check_index" -> ((s, dir) => {
+      // CheckIndex [8x lucene/core .../index/CheckIndex.java]: the
+      // per-segment integrity report — the three segment tables
+      // cross-checked against each other (postings block stats vs
+      // dictionary df/ctf, total occurrences vs Σ docmeta dl, block
+      // doc-range sanity); any divergence flips status to BROKEN and
+      // hash-mismatches the oracle's recomputed-from-raw-text numbers
+      graft.index.CheckIndex.report(IndexCache.documentsIndex(s, dir))
+    }),
+    "field_exists" -> ((s, dir) => {
+      // DocValuesFieldExistsQuery / FieldExistsQuery [8x lucene/core
+      // .../search/DocValuesFieldExistsQuery.java]: match exactly the
+      // docs that HAVE a value for an optional docvalues field — here
+      // the genuinely null last-large-order aggregate (68 of 1500
+      // customers carry no value at sf0.01)
+      val c = s.read.parquet(s"$dir/customer.parquet").select("c_custkey")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_totalprice") > 350000.0)
+        .select(col("o_custkey"), col("o_orderdate"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(max("o_orderdate").as("d"))
+        .where(col("d").isNotNull)
+        .select(col("c_custkey").cast("long"),
+          year(col("d")).cast("long").as("y"))
+    }),
+    "export_sorted" -> ((s, dir) => {
+      // /export handler (ExportWriter) [8x solr/core .../handler/
+      // export/ExportWriter.java]: the FULL sorted result set of a
+      // query streamed out in docvalues order — no top-k heap, no
+      // rows limit. Spark shape: the query's doc set from the postings
+      // (pushed term filter), then a RANGE-PARTITIONED sort +
+      // partition-offset ranks (zipWithIndex — the docID-assignment
+      // pattern; no single-partition window at any hit count). The
+      // rank column makes the export ORDER hash-visible to the oracle.
+      import s.implicits._
+      val hits = graft.operators.Relational
+        .docTermsFromIndex(s, dir, Some(col("term") === "spark"))
+        .select("doc_id") // (term, doc) unique in postings — no distinct
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .join(hits, Seq("doc_id"))
+        .select(col("doc_id").cast("long"), col("n_chars").cast("long"),
+          col("lang"))
+      docs.repartitionByRange(col("n_chars").desc, col("doc_id").asc)
+        .sortWithinPartitions(col("n_chars").desc, col("doc_id").asc)
+        .as[(Long, Long, String)].rdd.zipWithIndex()
+        .map { case ((id, nc, lg), r) => (r + 1, id, nc, lg) }
+        .toDF("rank", "doc_id", "n_chars", "lang")
+    }),
     "lm_dirichlet_topk" -> ((s, dir) =>
       // language-model similarity (Dirichlet smoothing, μ=2000) over the
       // same postings + ctf from the term dictionary
@@ -2111,6 +2171,44 @@ object SparkEntry {
       OracleGen.lmJelinekMercerSql(Seq("spark", "join"), 10),
     "dfr_topk" -> OracleGen.dfrSql(Seq("spark", "join"), 10),
     "ib_ll_topk" -> OracleGen.ibLlSql(Seq("spark", "join"), 10),
+    "sweetspot_topk" -> OracleGen.sweetSpotSql(Seq("spark", "join"), 10,
+      30, 60, 0.5),
+    "combined_field_topk" ->
+      OracleGen.combinedFieldSql(Seq("spark", "merge"), 10, 2.0),
+    "check_index" ->
+      s"""WITH ${OracleGen.tokCte}, seg AS (
+         |  SELECT doc_id, doc_id // ${IndexCache.TestSegmentSize} AS segment_id,
+         |    term FROM tokf
+         |), d2 AS (
+         |  SELECT segment_id, term, count(DISTINCT doc_id) AS df,
+         |    count(*) AS ctf
+         |  FROM seg GROUP BY 1, 2
+         |), nd AS (
+         |  SELECT segment_id, count(DISTINCT doc_id) AS n_docs
+         |  FROM seg GROUP BY 1
+         |)
+         |SELECT d2.segment_id, nd.n_docs, count(*) AS n_terms,
+         |  CAST(sum(d2.df) AS BIGINT) AS sum_df,
+         |  CAST(sum(d2.ctf) AS BIGINT) AS sum_ctf, 'OK' AS status
+         |FROM d2 JOIN nd USING (segment_id)
+         |GROUP BY d2.segment_id, nd.n_docs""".stripMargin,
+    "field_exists" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        |  CAST(year(d) AS BIGINT) AS y
+        |FROM (
+        |  SELECT c.c_custkey, max(o.o_orderdate) AS d
+        |  FROM customer c LEFT JOIN orders o
+        |    ON o.o_custkey = c.c_custkey AND o.o_totalprice > 350000.0
+        |  GROUP BY 1
+        |) WHERE d IS NOT NULL""".stripMargin,
+    "export_sorted" ->
+      s"""WITH ${OracleGen.tokCte}, hits AS (
+         |  SELECT DISTINCT doc_id FROM tokf WHERE term = 'spark'
+         |)
+         |SELECT row_number() OVER (
+         |    ORDER BY d.n_chars DESC, d.doc_id ASC) AS rank,
+         |  d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars, d.lang
+         |FROM documents d JOIN hits USING (doc_id)""".stripMargin,
     "axiomatic_f2exp_topk" ->
       OracleGen.axiomaticF2ExpSql(Seq("merge", "scan"), 10),
     "bm25_topk_bmw" -> OracleGen.bm25TopKSql(Seq("merge", "dup", "scan"), 10),

@@ -1,0 +1,51 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Index integrity checker — the reference's `CheckIndex` admin tool
+  * [8x lucene/core/src/java/org/apache/lucene/index/CheckIndex.java:
+  * "basic tool and API to check the health of an index and write a new
+  * segments file that removes reference to problematic segments"]. The
+  * Spark shape: the three segment tables cross-checked against each
+  * other in one pass of dictionary-sized aggregates —
+  *
+  *   - Σ posting-block doc_counts per segment  == Σ dictionary df
+  *   - Σ posting-block sum_tf per segment      == Σ dictionary ctf
+  *   - Σ dictionary ctf per segment            == Σ docmeta dl
+  *     (every analyzed occurrence is indexed exactly once)
+  *   - every block's doc range is sane (first ≤ last)
+  *
+  * Any divergence flips the segment's status to BROKEN. The checks read
+  * only block METADATA columns and the dictionary (payload byte columns
+  * pruned at the parquet scan), so the report costs far less than a
+  * search — the same property the reference's `-fast` checksum mode has.
+  */
+object CheckIndex {
+
+  /** Per-segment report: (segment_id, n_docs, n_terms, sum_df, sum_ctf,
+    * status OK|BROKEN).
+    */
+  def report(view: IndexView): DataFrame = {
+    val dict = view.terms.where(col("field") === Indexer.Field)
+      .groupBy("segment_id")
+      .agg(countDistinct("term").as("n_terms"), sum("df").as("sum_df"),
+        sum("ctf").as("sum_ctf"))
+    val meta = view.docmeta.toDF().groupBy("segment_id")
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val post = view.postings.toDF()
+      .where(col("field") === Indexer.Field)
+      .groupBy("segment_id")
+      .agg(sum("doc_count").as("p_df"), sum("sum_tf").as("p_ctf"),
+        min((col("first_doc_id") <= col("last_doc_id")).cast("int"))
+          .as("blocks_ok"))
+    dict.join(meta, Seq("segment_id")).join(post, Seq("segment_id"))
+      .select(col("segment_id").cast("long"), col("n_docs"),
+        col("n_terms"), col("sum_df"), col("sum_ctf"),
+        when(col("p_df") === col("sum_df") &&
+             col("p_ctf") === col("sum_ctf") &&
+             col("p_ctf") === col("sum_dl") &&
+             col("blocks_ok") === 1, lit("OK"))
+          .otherwise(lit("BROKEN")).as("status"))
+  }
+}

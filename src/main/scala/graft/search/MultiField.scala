@@ -46,6 +46,84 @@ object MultiField {
     dismaxScoredMm(spark, dir, qTerms, tie, segSize, boosts)
       .select(col("doc_id"), col("score"))
 
+  /** CombinedFieldQuery — simple BM25F [8x lucene/sandbox .../search/
+    * CombinedFieldQuery.java + MultiNormsLeafSimScorer.java,
+    * LUCENE-8216: "scores documents with the BM25 formula over the
+    * weighted combined frequencies and lengths across fields, as if
+    * all fields were one field"]. Per the reference's merged
+    * statistics:
+    *
+    *   tf'(d, t)  = Σ_f w_f · tf_f(d, t)
+    *   len'(d)    = byte4(Σ_f w_f · len_f(d))   (MultiNormsLeafSimScorer
+    *                re-encodes the weighted length sum through the
+    *                SmallFloat norm codec)
+    *   df'(t)     = max_f df_f(t)
+    *   sttf'      = Σ_f w_f · sumTotalTermFreq_f,  N' = max_f docCount_f
+    *
+    * then ordinary BM25 over the pseudo-field. This is the "combined
+    * fields" alternative to dismax: one saturation curve over the
+    * blended tf instead of a per-field max — a doc matching a term in
+    * BOTH fields is not double-counted past the tf saturation. Same
+    * cached two-field index and one-pass per-doc aggregate as the
+    * dismax path; per-term pseudo-df is a tiny collected map.
+    */
+  def combinedFieldTopK(spark: SparkSession, dir: String, qTerms: Seq[String],
+                        k: Int, segSize: Long,
+                        weights: Map[String, Double] = Map.empty): DataFrame = {
+    import spark.implicits._
+    val (view, fstats) = MultiFieldCache.titleBodyIndex(spark, dir, segSize)
+    val fields = Seq("body", "title")
+    val terms = qTerms.distinct.sorted
+    val w = fields.map(f => f -> weights.getOrElse(f, 1.0)).toMap
+
+    val k1 = graft.spec.LuceneSpec.K1d
+    val b = graft.spec.LuceneSpec.Bd
+    val nDocs = fstats.values.map(_._1).max
+    val sttf = fields.map(f => w(f) * fstats(f)._2).sum
+    val avgdl = sttf / nDocs
+
+    val dfMap: Map[String, Long] = view.terms
+      .filter(col("field").isin(fields: _*) && col("term").isin(terms: _*))
+      .groupBy("field", "term").agg(sum("df").as("df")).collect()
+      .groupBy(_.getString(1))
+      .map { case (t, rows) => t -> rows.map(_.getLong(2)).max }
+    val bcDf = spark.sparkContext.broadcast(dfMap)
+
+    val wCol = when(col("field") === "title", lit(w("title")))
+      .otherwise(lit(w("body")))
+    val reenc = udf((wl: Double) => SmallFloat.byte4ToInt(
+      SmallFloat.intToByte4(math.round(wl).toInt)))
+    val combinedLen = view.fieldmeta.toDF()
+      .filter(col("field").isin(fields: _*))
+      .groupBy("doc_id")
+      .agg(sum(wCol * col("lossy_dl").cast("double")).as("wl"))
+      .select(col("doc_id"), reenc(col("wl")).as("cl"))
+
+    val entries = view.postings
+      .filter(col("field").isin(fields: _*) && col("term").isin(terms: _*))
+      .as[PostingBlockRow]
+      .flatMap { blk =>
+        val d = PostingCodec.decode(blk.docs, blk.freqs, blk.norms)
+        Iterator.tabulate(d.docIds.length)(i =>
+          (d.docIds(i), blk.field, blk.term, d.freqs(i)))
+      }
+      .toDF("doc_id", "field", "term", "tf")
+    val tfc = entries
+      .groupBy("doc_id", "term")
+      .agg(sum(wCol * col("tf").cast("double")).as("tfc"))
+      .join(combinedLen, Seq("doc_id"))
+    val scoreU = udf((term: String, tfc: Double, cl: Int) => {
+      val df = bcDf.value(term)
+      val idf = math.log(1d + (nDocs - df + 0.5) / (df + 0.5))
+      idf * tfc / (tfc + k1 * (1 - b + b * cl / avgdl))
+    })
+    val per = tfc.select(col("doc_id"), col("term"),
+      scoreU(col("term"), col("tfc"), col("cl")).as("s"))
+    MoreQueries.sumScoresDeterministic(per).select("doc_id", "score")
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Like [[dismaxScored]] but keeps `n_terms` — the count of DISTINCT
     * query terms the doc matched in ANY field. Edismax `mm` (minimum
     * should match [8x Solr ExtendedDismaxQParser.java /

@@ -237,6 +237,43 @@ object Similarities {
     * lossy norm, ctf from the dictionary; index-only inputs and the
     * same broadcast-stats + hash-agg shape as the Dirichlet path).
     */
+  /** SweetSpotSimilarity top-k [8x lucene/misc .../SweetSpotSimilarity.
+    * java; solr schema/SweetSpotSimilarityFactory.java] — the classic
+    * TF-IDF tuned with a PLATEAU length normalization: documents whose
+    * length falls inside [min, max] get lengthNorm 1 (no penalty), and
+    * the penalty ramps hyperbolically outside it,
+    *
+    *   lengthNorm(dl) = 1 / sqrt(steepness · (|dl − min| + |dl − max|
+    *                              − (max − min)) + 1)
+    *
+    * (the published formula; tf stays ClassicSimilarity's sqrt — the
+    * default baselineTf with base = min = 0). The Solr use case is
+    * fields with a known "right" length band (titles, product names)
+    * where ordinary 1/sqrt(dl) over-rewards truncation. dl is the
+    * SmallFloat-decoded lossy length like every similarity here; ninth
+    * pluggable similarity over the same index, same dataflow shape.
+    */
+  def sweetSpotTopK(spark: SparkSession, view: IndexView,
+                    terms: Seq[String], k: Int,
+                    min: Int = 30, max: Int = 60,
+                    steepness: Double = 0.5): DataFrame = {
+    val n = GlobalStats.collectionStats(view).docCount
+    val df = view.terms.where(col("term").isin(terms.distinct: _*))
+      .groupBy("term").agg(sum("df").as("df"))
+    val dl = col("lossy_dl").cast("double")
+    val lengthNorm = lit(1.0) / sqrt(
+      lit(steepness) * (abs(dl - lit(min.toDouble)) + abs(dl - lit(max.toDouble))
+        - lit((max - min).toDouble)) + lit(1.0))
+    val per = ExactSearch.decodedPostings(spark, view, terms)
+      .join(broadcast(df), Seq("term"))
+      .select(col("doc_id"), col("term"),
+        ((log(lit(n + 1.0) / (col("df") + lit(1.0))) + lit(1.0))
+          * sqrt(col("tf").cast("double")) * lengthNorm).as("s"))
+    MoreQueries.sumScoresDeterministic(per).select("doc_id", "score")
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   def lmJelinekMercerTopK(spark: SparkSession, view: IndexView,
                           terms: Seq[String], k: Int,
                           lambda: Double = 0.7): DataFrame = {
