@@ -640,6 +640,35 @@ object SparkEntry {
     }),
     "repetition_ratio" -> ((s, dir) =>
       graft.operators.TrainingData.repetitionRatio(s, dir)),
+    "top_ngram_frac" -> ((s, dir) =>
+      // Gopher top-2-gram character fraction: per-doc mode of the gram
+      // array as a narrow sorted-run fold — no doc×gram shuffle
+      graft.operators.TrainingData.topNgramCharFraction(s, dir)),
+    "soft_dedup" -> ((s, dir) =>
+      // soft dedup: exact-dup cluster size → 1e6/n ppm sampling weight
+      graft.operators.TrainingData.softDedupWeights(s, dir)),
+    "composite_routing" -> ((s, dir) =>
+      // SolrCloud compositeId router [8x solr/solrj .../common/cloud/
+      // CompositeIdRouter.java]: the route key's hash picks the shard
+      // from equal slices of the hash range, so all docs sharing a
+      // route key (source = the "tenant!" prefix) co-locate. The
+      // reference hashes with murmur3; the byte-stable md5 hex prefix
+      // plays the hash here (identical range-slicing semantics,
+      // oracle-replayable — the random_sort permutation trick)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(expr("CAST((instr('0123456789abcdef', " +
+            "substring(md5(source), 1, 1)) - 1) AS BIGINT) div 4")
+          .as("shard"), col("source"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("source").as("n_keys"))),
+    "let_diff" -> ((s, dir) => {
+      // diff() time-differencing evaluator over a search stream
+      graft.operators.MathStreams.run(s, dir,
+        "let(a=search(events, q=\"event_type:view\", sort=\"event_id asc\", rows=200), " +
+          "diff(round(scalarMultiply(10000, col(a, value))), 1))")
+        .select(col("ord"), col("v").cast("long").as("d_q"))
+    }),
     "chunk_documents" -> ((s, dir) =>
       // context-window chunking: 40-token windows, 10-token overlap
       graft.operators.TrainingData.chunkDocuments(s, dir, 40, 10)),
@@ -3174,6 +3203,45 @@ object SparkEntry {
         |  CAST(round((1.0 - distinct_grams / CAST(total_grams AS DOUBLE)) * 10000)
         |    AS BIGINT) AS rep_q
         |FROM agg""".stripMargin,
+    "top_ngram_frac" ->
+      """WITH tp AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, term || ' ' || lead(term, 1) OVER w AS s
+        |  FROM tp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |cnt AS (
+        |  SELECT doc_id, s, count(*) AS c FROM sh
+        |  WHERE s IS NOT NULL GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, s, c FROM cnt
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY c DESC, s ASC) = 1),
+        |chars AS (
+        |  SELECT doc_id, length(replace(text, ' ', '')) AS tc FROM documents)
+        |SELECT b.doc_id, b.s AS top_gram, b.c AS n_occ,
+        |  CAST((1000 * b.c * (length(b.s) - 1)) // ch.tc AS BIGINT) AS frac_pm
+        |FROM best b JOIN chars ch USING (doc_id)""".stripMargin,
+    "soft_dedup" ->
+      """SELECT doc_id,
+        |  count(*) OVER (PARTITION BY md5(text)) AS n,
+        |  CAST(1000000 // count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+        |    AS weight_ppm
+        |FROM documents""".stripMargin,
+    "composite_routing" ->
+      """SELECT CAST((instr('0123456789abcdef',
+        |    substring(md5(source), 1, 1)) - 1) // 4 AS BIGINT) AS shard,
+        |  count(*) AS n_docs, count(DISTINCT source) AS n_keys
+        |FROM documents GROUP BY 1""".stripMargin,
+    "let_diff" ->
+      """WITH sub AS (SELECT event_id, value FROM events
+        |             WHERE event_type = 'view'
+        |             ORDER BY event_id ASC LIMIT 200),
+        |vq AS (SELECT row_number() OVER (ORDER BY event_id ASC) - 1 AS ord,
+        |              CAST(round(value * 10000) AS BIGINT) AS v FROM sub)
+        |SELECT ord - 1 AS ord, v - lag(v, 1) OVER (ORDER BY ord ASC) AS d_q
+        |FROM vq QUALIFY ord >= 1""".stripMargin,
     "classify_nb" -> OracleGen.naiveBayesSql,
     "classify_knn" -> OracleGen.knnClassifySql(20, 5),
     "percolate_monitor" -> graft.search.Monitor.percolateSql(OracleGen.tokCte),

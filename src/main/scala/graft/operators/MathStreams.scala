@@ -294,12 +294,16 @@ object MathStreams {
           (math.sqrt(m.getLong(1).toDouble) * math.sqrt(m.getLong(2).toDouble)))
 
       case "diff" =>
-        // serial difference v[i] - v[i-1]: length n-1, re-indexed from 0
+        // serial/lagged difference [8x solrj io/eval/
+        // TimeDifferencingEvaluator.java — diff(vec[, lag])]:
+        // out[i] = v[i+lag] − v[i], length n−lag, re-indexed from 0
         val v = vec(pos.head, env)
         requireLong(v, "diff")
+        val lagN = if (pos.size > 1) num(pos(1)).toInt else 1
+        require(lagN >= 1, "diff lag must be >= 1")
         val w = Window.orderBy(col("ord").asc)
-        MVec(v.select((col("ord") - 1).as("ord"),
-            (col("v") - lag("v", 1).over(w)).as("v"))
+        MVec(v.select((col("ord") - lagN).as("ord"),
+            (col("v") - lag("v", lagN).over(w)).as("v"))
           .where(col("ord") >= 0))
 
       case "cumulativeSum" =>

@@ -582,6 +582,59 @@ object TrainingData {
       .select(col("doc_id"), col("c.chunk_ord"), col("c.n_tokens"), col("c.chunk"))
   }
 
+  /** Gopher "fraction of characters in the most frequent word 2-gram"
+    * (Rae et al. 2021, Table A1 — the repetition family's per-n-gram
+    * rule; [[repetitionRatio]] covers the duplicate-3-gram fraction,
+    * this covers the top-gram mass). FULLY NARROW: the per-doc mode of
+    * the gram array is the longest run of the sorted array, computed by
+    * one `aggregate` fold — no doc×gram shuffle at any corpus size;
+    * ties go to the lexicographically smallest gram (deterministic).
+    * frac_pm = ⌊1000 · n_occ · gramChars / docChars⌋ on the integer
+    * grid (gramChars excludes the joining space).
+    */
+  def topNgramCharFraction(s: SparkSession, dir: String): DataFrame = {
+    val fold = expr(
+      s"""aggregate(
+         |  sort_array(${gramArray(2)}),
+         |  named_struct('prev', '', 'run', CAST(0 AS BIGINT),
+         |               'best', '', 'bestn', CAST(0 AS BIGINT)),
+         |  (a, g) -> named_struct(
+         |    'prev', g,
+         |    'run', IF(g = a.prev, a.run + 1, CAST(1 AS BIGINT)),
+         |    'best', IF(IF(g = a.prev, a.run + 1, 1) > a.bestn, g, a.best),
+         |    'bestn', IF(IF(g = a.prev, a.run + 1, 1) > a.bestn,
+         |                IF(g = a.prev, a.run + 1, CAST(1 AS BIGINT)),
+         |                a.bestn)),
+         |  a -> named_struct('best', a.best, 'bestn', a.bestn))""".stripMargin)
+    docs(s, dir)
+      .where(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("tc"),
+        fold.as("m"))
+      .select(col("doc_id"), col("m.best").as("top_gram"),
+        col("m.bestn").as("n_occ"),
+        expr("(1000 * m.bestn * (length(m.best) - 1)) div tc")
+          .as("frac_pm"))
+  }
+
+  /** Soft deduplication (down-WEIGHTING instead of dropping — the
+    * "repeat discounting" alternative used when exact dups carry
+    * signal, e.g. boilerplate-heavy web text where each extra copy
+    * should count 1/n): per doc, the exact-duplicate cluster size by
+    * content digest and the resulting sampling weight 1e6/n ppm.
+    * One md5 hash-shuffle — the same scale shape as exact dedup.
+    */
+  def softDedupWeights(s: SparkSession, dir: String): DataFrame =
+    softDedupWeightsOf(docs(s, dir))
+
+  private[graft] def softDedupWeightsOf(d: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    d.select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("n", count(lit(1)).over(w))
+      .select(col("doc_id"), col("n"),
+        expr("1000000 div n").as("weight_ppm"))
+  }
+
   def repetitionRatio(s: SparkSession, dir: String): DataFrame = {
     val grams = expr(gramArray(3))
     docs(s, dir)

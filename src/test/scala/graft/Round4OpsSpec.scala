@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Brute-force twins for the round-4 training-data / routing / math
+  * additions: top-n-gram char fraction, soft dedup weights, compositeId
+  * routing, diff() lag semantics.
+  */
+class Round4OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val texts: Seq[(Long, String)] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+  }
+
+  test("top_ngram_frac equals brute-force per-doc 2-gram mode") {
+    val expected = texts.flatMap { case (id, tx) =>
+      val toks = tx.split(' ').toSeq.filter(_.nonEmpty)
+      if (toks.size < 2) None
+      else {
+        val grams = toks.sliding(2).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
+        // max count, tie -> lexicographically smallest gram
+        val (best, n) = counts.toSeq.minBy { case (g, c) => (-c, g) }
+        val tc = toks.map(_.length).sum.toLong
+        Some((id, best, n, 1000L * n * (best.length - 1) / tc))
+      }
+    }.map { case (id, g, n, f) => (id, (g, n, f)) }.toMap
+    val got = SparkEntry.queries("top_ngram_frac")(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected)
+    // a repeated gram must exist somewhere or the mode rule is untested
+    assert(expected.values.exists(_._2 > 1))
+  }
+
+  test("soft_dedup: weight = 1e6/clusterSize, exact dups share a cluster") {
+    val byText = texts.groupBy(_._2)
+    val expected = texts.map { case (id, tx) =>
+      val n = byText(tx).size.toLong
+      (id, (n, 1000000L / n))
+    }.toMap
+    val got = SparkEntry.queries("soft_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    // the driver corpus has no exact dups (every weight 1e6) — craft a
+    // documents-shaped frame with a 3-copy cluster so the rule bites
+    import spark.implicits._
+    val crafted = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b c"),
+      (4L, "x y z"), (5L, "p q"))
+      .toDF("doc_id", "text")
+    val m = graft.operators.TrainingData.softDedupWeightsOf(crafted)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(Seq(1L, 2L, 3L).forall(m(_) == ((3L, 333333L))))
+    assert(m(4L) == ((1L, 1000000L)) && m(5L) == ((1L, 1000000L)))
+  }
+
+  test("composite_routing: every route key lands on exactly one shard") {
+    import spark.implicits._
+    val got = SparkEntry.queries("composite_routing")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    assert(got.map(_._2).sum == texts.size.toLong)
+    // co-location: Σ per-shard distinct keys == global distinct keys
+    val nKeys = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source").distinct().count()
+    assert(got.map(_._3).sum == nKeys)
+    // determinism across runs
+    val again = SparkEntry.queries("composite_routing")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("diff(vec, lag) equals brute-force lagged differences") {
+    import spark.implicits._
+    val vals = graft.operators.MathStreams.run(spark, dir,
+      "let(a=search(events, q=\"event_type:view\", sort=\"event_id asc\", rows=50), " +
+        "round(scalarMultiply(10000, col(a, value))))")
+      .orderBy("ord").select("v").as[Long].collect().toSeq
+    for (lagN <- Seq(1, 3)) {
+      val got = graft.operators.MathStreams.run(spark, dir,
+        "let(a=search(events, q=\"event_type:view\", sort=\"event_id asc\", rows=50), " +
+          s"diff(round(scalarMultiply(10000, col(a, value))), $lagN))")
+        .orderBy("ord").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val expected = (lagN until vals.size).map(i =>
+        ((i - lagN).toLong, vals(i) - vals(i - lagN)))
+      assert(got == expected, s"lag=$lagN")
+    }
+  }
+}
