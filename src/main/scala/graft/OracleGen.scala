@@ -1093,6 +1093,57 @@ object OracleGen {
        |FROM tokf JOIN dm USING (term) GROUP BY 1""".stripMargin
   }
 
+  /** FuzzyQuery with transpositions: single-source (term, OSA distance)
+    * VALUES map generated from the engine's own distance function
+    * (pinned by known-answer vectors in its spec); DuckDB does the doc
+    * matching independently.
+    */
+  def fuzzyTransposeSql(query: String, maxEdits: Int): String = {
+    val pairs = CorpusVocab
+      .map(w => s"('$w', ${graft.search.MoreQueries.osaDistance(w, query)})")
+      .mkString(", ")
+    s"""WITH $tokCte, ed(term, d) AS (VALUES $pairs)
+       |SELECT DISTINCT doc_id FROM tokf JOIN ed USING (term)
+       |WHERE ed.d <= $maxEdits""".stripMargin
+  }
+
+  /** JSON facet relatedness() — per-bucket SKG z-score replay. */
+  def facetRelatednessSql(fgTerm: String): String =
+    s"""WITH $tokCte, fg AS (
+       |  SELECT DISTINCT doc_id FROM tokf WHERE term = '$fgTerm'
+       |), st2 AS (
+       |  SELECT (SELECT count(*) FROM documents) AS bgn,
+       |         (SELECT count(*) FROM fg) AS fgn
+       |), agg AS (
+       |  SELECT d.source, count(*) AS bg_count, count(fg.doc_id) AS fg_count
+       |  FROM documents d LEFT JOIN fg ON d.doc_id = fg.doc_id GROUP BY 1
+       |)
+       |SELECT source, CAST(fg_count AS BIGINT) AS fg_count,
+       |  CAST(bg_count AS BIGINT) AS bg_count,
+       |  CAST(round((fg_count - fgn * (bg_count / CAST(bgn AS DOUBLE)))
+       |    / sqrt(fgn * (bg_count / CAST(bgn AS DOUBLE))
+       |           * (1 - bg_count / CAST(bgn AS DOUBLE))) * 10000)
+       |    AS BIGINT) AS relatedness_q
+       |FROM agg CROSS JOIN st2""".stripMargin
+
+  /** IndexOrDocValuesQuery: conjunction docs + the per-segment lead
+    * decision replayed from the same per-side segment counts.
+    */
+  def indexOrDocValuesSql(term: String, lo: Long, hi: Long,
+                          segSize: Long): String =
+    s"""WITH $tokCte, t AS (
+       |  SELECT DISTINCT doc_id FROM tokf WHERE term = '$term'
+       |), r AS (
+       |  SELECT doc_id FROM documents WHERE n_chars BETWEEN $lo AND $hi
+       |), tc AS (SELECT doc_id // $segSize AS sid, count(*) AS c FROM t GROUP BY 1),
+       |rc AS (SELECT doc_id // $segSize AS sid, count(*) AS c FROM r GROUP BY 1),
+       |m AS (SELECT t.doc_id FROM t JOIN r USING (doc_id))
+       |SELECT m.doc_id, m.doc_id // $segSize AS segment_id,
+       |  CASE WHEN COALESCE(tc.c, 0) <= COALESCE(rc.c, 0)
+       |       THEN 'terms' ELSE 'docvalues' END AS lead
+       |FROM m LEFT JOIN tc ON tc.sid = m.doc_id // $segSize
+       |LEFT JOIN rc ON rc.sid = m.doc_id // $segSize""".stripMargin
+
   /** Constant-score doc set for a term-dictionary predicate. */
   def docsWithTermWhereSql(termPred: String): String =
     s"""WITH $tokCte

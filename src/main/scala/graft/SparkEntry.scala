@@ -1315,6 +1315,44 @@ object SparkEntry {
       val v = IndexCache.documentsIndex(s, dir)
       MoreQueries.matchingDocs(s, v, MoreQueries.fuzzyTerms(v, "merg", 1))
     }),
+    "fuzzy_transpose" -> ((s, dir) => {
+      // FuzzyQuery transpositions=true — the reference DEFAULT edit
+      // model: an adjacent swap costs ONE edit, so 'psark'~1 reaches
+      // 'spark' where the plain-Levenshtein path (fuzzy_query) needs 2
+      val v = IndexCache.documentsIndex(s, dir)
+      MoreQueries.matchingDocs(s, v,
+        MoreQueries.fuzzyTransposeTerms(v, "psark", 1))
+    }),
+    "facet_relatedness" -> ((s, dir) =>
+      // JSON facet relatedness() — the Semantic Knowledge Graph agg:
+      // per-bucket z-score of foreground affinity vs the background
+      graft.operators.Relational.facetRelatedness(s, dir)),
+    "index_or_docvalues" -> ((s, dir) => {
+      // IndexOrDocValuesQuery [8x lucene/core .../search/
+      // IndexOrDocValuesQuery.java]: the same conjunction clause has
+      // TWO equivalent executions — postings-lead (terms/points) vs
+      // docvalues-verify — chosen PER SEGMENT by estimated cost (lead
+      // with the sparser side). Both produce identical docs; the chosen
+      // lead rides the output so the decision itself is oracle-checked.
+      val termDocs = graft.operators.Relational
+        .docTermsFromIndex(s, dir, Some(col("term") === "spark"))
+        .select("doc_id")
+      val rangeDocs = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("n_chars").between(200L, 400L)).select("doc_id")
+      val seg = floor(col("doc_id") / IndexCache.TestSegmentSize).cast("long")
+      val tc = termDocs.groupBy(seg.as("sid")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rc = rangeDocs.groupBy(seg.as("sid")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val bcT = s.sparkContext.broadcast(tc)
+      val bcR = s.sparkContext.broadcast(rc)
+      val leadU = udf((sid: Long) =>
+        if (bcT.value.getOrElse(sid, 0L) <= bcR.value.getOrElse(sid, 0L))
+          "terms" else "docvalues")
+      termDocs.join(rangeDocs, Seq("doc_id"))
+        .select(col("doc_id"), seg.as("segment_id"))
+        .withColumn("lead", leadU(col("segment_id")))
+    }),
     "term_range_query" -> ((s, dir) => {
       val v = IndexCache.documentsIndex(s, dir)
       MoreQueries.matchingDocs(s, v, MoreQueries.rangeTerms(v, "query", "sort"))
@@ -2760,6 +2798,11 @@ object SparkEntry {
         |  AND mp.r <= minimal.q AND mp.r + 1 >= minimal.p)
         |GROUP BY doc_id""".stripMargin,
     "fuzzy_query" -> OracleGen.docsWithTermWhereSql("levenshtein(term, 'merg') <= 1"),
+    "fuzzy_transpose" -> OracleGen.fuzzyTransposeSql("psark", 1),
+    "facet_relatedness" -> OracleGen.facetRelatednessSql("spark"),
+    "index_or_docvalues" ->
+      OracleGen.indexOrDocValuesSql("spark", 200L, 400L,
+        IndexCache.TestSegmentSize),
     "term_range_query" -> OracleGen.docsWithTermWhereSql("term >= 'query' AND term < 'sort'"),
     "term_in_set_query" -> OracleGen.docsWithTermWhereSql("term IN ('spark', 'dup', 'batch')"),
     "dismax_topk" -> OracleGen.disMaxSql(Seq("spark", "merge"), 10, 0.3),

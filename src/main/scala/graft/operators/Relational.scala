@@ -311,6 +311,40 @@ object Relational {
         .cast("long").as("p50_chars_q"),
         count(lit(1)).as("n"))
 
+  /** JSON facet `relatedness(fg, bg)` — the Semantic Knowledge Graph
+    * aggregate [8x solr/core .../search/facet/RelatednessAgg.java; the
+    * published scoring model is the z-score of Grainger, Aljadda,
+    * Korayem & Smith 2016, "The Semantic Knowledge Graph" §III.C]:
+    * for each bucket of the facet field, how strongly the bucket's doc
+    * set is related to a FOREGROUND query set beyond chance,
+    *
+    *   p = bg_count / bg_size           (bucket's background rate)
+    *   z = (fg_count − fg_size·p) / sqrt(fg_size·p·(1−p))
+    *
+    * — the significantTerms z-model applied per facet BUCKET instead of
+    * per term. Foreground doc set = one pushed-filter posting decode
+    * (never a corpus pass), broadcast into ONE conditional aggregate
+    * over the bucket field; the bucket frame is facet-cardinality-sized.
+    */
+  def facetRelatedness(s: SparkSession, dir: String,
+                       fgTerm: String = "spark"): DataFrame = {
+    val fgDocs = docTermsFromIndex(s, dir, Some(col("term") === fgTerm))
+      .select("doc_id")
+    val d = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(fgDocs.withColumn("is_fg", lit(1))),
+        Seq("doc_id"), "left_outer")
+    val agg = d.groupBy("source")
+      .agg(count(lit(1)).as("bg_count"), count(col("is_fg")).as("fg_count"))
+    val bgSize = tbl(s, dir, "documents").count()
+    val fgSize = fgDocs.count()
+    val p = col("bg_count").cast("double") / lit(bgSize.toDouble)
+    val z = (col("fg_count").cast("double") - lit(fgSize.toDouble) * p) /
+      sqrt(lit(fgSize.toDouble) * p * (lit(1.0) - p))
+    agg.select(col("source"), col("fg_count"), col("bg_count"),
+      round(z * lit(10000)).cast("long").as("relatedness_q"))
+  }
+
   /** JSON facet bucket sort by a NESTED stat (`sort: {avg_chars: desc},
     * limit: 3` [8x solr/core .../search/facet/FacetField.java sort
     * handling]): buckets ordered by an aggregate computed inside each

@@ -101,6 +101,51 @@ object MoreQueries {
   def fuzzyTerms(view: IndexView, term: String, maxEdits: Int): Seq[String] =
     expandTerms(view, levenshtein(col("term"), lit(term)) <= maxEdits)
 
+  /** Optimal-string-alignment (restricted Damerau-Levenshtein) distance
+    * — the edit model of the reference's DEFAULT FuzzyQuery
+    * (`transpositions = true` [8x lucene/core .../search/FuzzyQuery
+    * .java; util/automaton/LevenshteinAutomata.java builds the
+    * Schulz-Mihov automaton WITH the transposition primitive]): a swap
+    * of two adjacent chars costs ONE edit, so `psark` matches `spark`
+    * at maxEdits 1 where plain Levenshtein needs 2. Standard OSA DP
+    * (each substring edited at most once — the automaton's model for
+    * the supported maxEdits ≤ 2).
+    */
+  private[graft] def osaDistance(a: String, b: String): Int = {
+    val (n, m) = (a.length, b.length)
+    val d = Array.ofDim[Int](n + 1, m + 1)
+    var i = 0
+    while (i <= n) { d(i)(0) = i; i += 1 }
+    var j = 0
+    while (j <= m) { d(0)(j) = j; j += 1 }
+    i = 1
+    while (i <= n) {
+      j = 1
+      while (j <= m) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        var v = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + cost)
+        if (i > 1 && j > 1 && a.charAt(i - 1) == b.charAt(j - 2) &&
+            a.charAt(i - 2) == b.charAt(j - 1))
+          v = math.min(v, d(i - 2)(j - 2) + 1)
+        d(i)(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    d(n)(m)
+  }
+
+  /** FuzzyQuery dictionary expansion with the transposition edit model
+    * (the reference default; [[fuzzyTerms]] is the transpositions=false
+    * variant).
+    */
+  def fuzzyTransposeTerms(view: IndexView, term: String,
+                          maxEdits: Int): Seq[String] = {
+    val osaU = udf((t: String) => osaDistance(t, term))
+    expandTerms(view, osaU(col("term")) <= maxEdits)
+  }
+
   /** Leading-wildcard expansion via the REVERSED dictionary — Solr's
     * ReversedWildcardFilterFactory [8x solr/core .../analysis/
     * ReversedWildcardFilterFactory.java, lucene/analysis/common .../

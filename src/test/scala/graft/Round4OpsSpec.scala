@@ -75,6 +75,63 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(got.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("OSA distance: known-answer vectors incl. transposition") {
+    val d = graft.search.MoreQueries.osaDistance _
+    assert(d("spark", "spark") == 0)
+    assert(d("psark", "spark") == 1)   // one adjacent swap
+    assert(d("ab", "ba") == 1)
+    assert(d("kitten", "sitting") == 3)
+    assert(d("merge", "merg") == 1)
+    assert(d("ca", "abc") == 3)        // OSA (restricted) — not true DL's 2
+    assert(d("", "abc") == 3 && d("abc", "") == 3)
+  }
+
+  test("fuzzy_transpose reaches the swapped term plain Levenshtein cannot") {
+    val v = IndexCache.documentsIndex(spark, dir)
+    val trans = graft.search.MoreQueries.fuzzyTransposeTerms(v, "psark", 1)
+    val plain = graft.search.MoreQueries.fuzzyTerms(v, "psark", 1)
+    assert(trans.contains("spark") && !plain.contains("spark"))
+    // transpositions only ADD matches at the same maxEdits
+    assert(plain.toSet.subsetOf(trans.toSet))
+  }
+
+  test("facet_relatedness equals brute-force per-bucket SKG z-score") {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text").as[(Long, String, String)]
+      .collect().toSeq
+    val fg = rows.filter(_._3.split(' ').contains("spark")).map(_._1).toSet
+    val bgn = rows.size.toDouble
+    val fgn = fg.size.toDouble
+    val expected = rows.groupBy(_._2).map { case (src, rs) =>
+      val bg = rs.size.toDouble
+      val f = rs.count(r => fg.contains(r._1)).toDouble
+      val p = bg / bgn
+      val z = (f - fgn * p) / math.sqrt(fgn * p * (1 - p))
+      (src, (f.toLong, bg.toLong, math.round(z * 10000)))
+    }
+    val got = SparkEntry.queries("facet_relatedness")(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected)
+    // both signs must occur or the affinity model is untested
+    assert(got.values.exists(_._3 > 0) && got.values.exists(_._3 < 0))
+  }
+
+  test("index_or_docvalues: doc set equals the conjunction under either lead") {
+    import spark.implicits._
+    val got = SparkEntry.queries("index_or_docvalues")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expected = texts.filter(_._2.split(' ').contains("spark")).map(_._1)
+      .toSet.intersect(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .where(col("n_chars").between(200L, 400L))
+          .select("doc_id").as[Long].collect().toSet)
+    assert(got.map(_._1).toSet == expected)
+    // the lead is constant within a segment
+    assert(got.groupBy(_._2).forall(_._2.map(_._3).distinct.size == 1))
+  }
+
   test("diff(vec, lag) equals brute-force lagged differences") {
     import spark.implicits._
     val vals = graft.operators.MathStreams.run(spark, dir,
