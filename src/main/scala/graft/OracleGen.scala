@@ -304,6 +304,55 @@ object OracleGen {
        |LIMIT $k""".stripMargin
   }
 
+  /** Query-time synonym graph ("w1 w2, syn"): the parsed disjunction
+    * phrase(w1 w2) OR term(syn), each path scored by its own weight,
+    * SHOULD-summed per doc — phrase CTEs as [[phraseScoredSql]], term
+    * path as plain BM25, full-outer coalesce union.
+    */
+  def synonymGraphSql(w1: String, w2: String, syn: String, k: Int): String =
+    s"""WITH $tokCte, $dlCtes, pdf AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+       |  WHERE term IN ('$w1', '$w2') GROUP BY term
+       |), widf AS (
+       |  SELECT sum(ln(1 + (st.n - pdf.df + 0.5) / (pdf.df + 0.5))) AS w
+       |  FROM pdf CROSS JOIN st
+       |), lists AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), tokpos AS (
+       |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+       |  FROM lists
+       |), a AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w1'),
+       |   b AS (SELECT doc_id, pos FROM tokpos WHERE term = '$w2'),
+       |   ph AS (
+       |  SELECT a.doc_id, count(*) AS ptf
+       |  FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |  GROUP BY a.doc_id
+       |), p1 AS (
+       |  SELECT ph.doc_id,
+       |    widf.w * ph.ptf / (ph.ptf + 1.2 * (1 - 0.75
+       |      + 0.75 * norm.ldl / (st.sttf / CAST(st.n AS DOUBLE)))) AS s
+       |  FROM ph JOIN norm ON ph.doc_id = norm.doc_id
+       |  CROSS JOIN widf CROSS JOIN st
+       |), df1 AS (
+       |  SELECT count(DISTINCT doc_id) AS df FROM tokf WHERE term = '$syn'
+       |), t1 AS (
+       |  SELECT doc_id, count(*) AS tf FROM tokf WHERE term = '$syn'
+       |  GROUP BY doc_id
+       |), s1 AS (
+       |  SELECT t1.doc_id,
+       |    ln(1 + (st.n - df1.df + 0.5) / (df1.df + 0.5))
+       |      * t1.tf / (t1.tf + 1.2 * (1 - 0.75
+       |        + 0.75 * norm.ldl / (st.sttf / CAST(st.n AS DOUBLE)))) AS s
+       |  FROM t1 JOIN norm ON t1.doc_id = norm.doc_id
+       |  CROSS JOIN df1 CROSS JOIN st
+       |), u AS (
+       |  SELECT COALESCE(p1.doc_id, s1.doc_id) AS doc_id,
+       |    COALESCE(p1.s, 0) + COALESCE(s1.s, 0) AS score
+       |  FROM p1 FULL OUTER JOIN s1 ON p1.doc_id = s1.doc_id
+       |)
+       |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q
+       |FROM u ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+
   /** Unrolled batch logistic regression (TextLogitStream oracle): the
     * SAME per-iteration arithmetic as the engine — per-doc gradient
     * contributions quantized to 2^24 integers, weight updates in float64

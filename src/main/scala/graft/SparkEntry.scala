@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.search.{BmwSearch, DoubleOracle, ExactSearch, MoreQueries}
+import graft.search.{BmwSearch, DoubleOracle, ExactSearch, MoreQueries, QueryScorers}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -331,6 +331,27 @@ object SparkEntry {
       val v = IndexCache.documentsIndex(s, dir)
       quantize(MoreQueries.phraseScoredTopK(s, v, Seq("hash", "join"),
         0, 10, DoubleOracle))
+    }),
+    "synonym_graph_query" -> ((s, dir) => {
+      // QUERY-time SynonymGraphFilter [8x lucene/analysis/common .../
+      // synonym/SynonymGraphFilter.java + core util/QueryBuilder
+      // .analyzeGraphBoolean]: a multi-word synonym rule
+      // ("big data, spark") makes the parsed query a DISJUNCTION of the
+      // graph's paths — phrase("big data") OR term(spark) — each path
+      // scored by its own weight (PhraseWeight / BM25) and SHOULD-summed
+      // for docs matching both; the graph alternative to the INDEX-time
+      // injection of synonym_index_topk
+      val v = IndexCache.documentsIndex(s, dir)
+      val ph = MoreQueries.phraseScored(s, v, Seq("big", "data"), 0,
+          QueryScorers(v, Seq("big", "data", "spark"), DoubleOracle))
+        .select(col("doc_id"), col("score").as("ps"))
+      val tm = ExactSearch.scored(s, v, Seq("spark"), DoubleOracle)
+        .select(col("doc_id"), col("score").as("ts"))
+      val u = ph.join(tm, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(col("ps"), lit(0.0)) + coalesce(col("ts"), lit(0.0)))
+            .as("score"))
+      quantize(u.orderBy(col("score").desc, col("doc_id").asc).limit(10))
     }),
     "multi_phrase_topk" -> ((s, dir) => {
       // MultiPhraseQuery: "hash (join|merge)" — slot 2 is a union of
@@ -2299,6 +2320,7 @@ object SparkEntry {
     "phrase_slop3" ->
       OracleGen.phraseSlopSharedSql(Seq("hash", "join", "scan"), 3),
     "phrase_scored_topk" -> OracleGen.phraseScoredSql("hash", "join", 10),
+    "synonym_graph_query" -> OracleGen.synonymGraphSql("big", "data", "spark", 10),
     "multi_phrase_topk" ->
       OracleGen.multiPhraseScoredSql(Seq("hash"), Seq("join", "merge"), 10),
     "span_near_query" -> OracleGen.spanNearOrderedSql("hash", "join", 3),

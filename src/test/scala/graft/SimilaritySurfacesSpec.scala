@@ -102,6 +102,32 @@ class SimilaritySurfacesSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("synonym_graph_query equals brute-force phrase-OR-term disjunction") {
+    val n = docs.size.toDouble
+    val sttf = docs.map(_._2.size.toLong).sum.toDouble
+    val avgdl = sttf / n
+    def df(t: String) = docs.count(_._2.contains(t)).toDouble
+    def idf(t: String) = math.log(1d + (n - df(t) + 0.5) / (df(t) + 0.5))
+    val w = idf("big") + idf("data")
+    val expected = docs.map { case (id, ts) =>
+      val ldl = lossy(ts.size).toDouble
+      val den = (f: Double) => f + 1.2 * (1 - 0.75 + 0.75 * ldl / avgdl)
+      val ptf = ts.sliding(2).count(_ == Seq("big", "data")).toDouble
+      val tf = ts.count(_ == "spark").toDouble
+      val ps = if (ptf == 0) 0.0 else w * ptf / den(ptf)
+      val trm = if (tf == 0) 0.0 else idf("spark") * tf / den(tf)
+      (id, math.round((ps + trm) * 10000))
+    }.filter(_._2 != 0L).sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = SparkEntry.queries("synonym_graph_query")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    // the graph must bite: the corpus has phrase-only AND term-only docs
+    val hasPhrase = docs.filter(_._2.sliding(2).contains(Seq("big", "data")))
+      .map(_._1).toSet
+    val hasTerm = docs.filter(_._2.contains("spark")).map(_._1).toSet
+    assert((hasPhrase -- hasTerm).nonEmpty && (hasTerm -- hasPhrase).nonEmpty)
+  }
+
   test("check_index: OK on a fresh index, BROKEN on a tampered one") {
     val v = IndexCache.documentsIndex(spark, dir)
     val ok = graft.index.CheckIndex.report(v).collect()
