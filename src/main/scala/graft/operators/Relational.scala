@@ -439,18 +439,44 @@ object Relational {
     * a pushed filter, so e.g. textLogit's 8 feature terms decode only 8
     * posting lists instead of the whole index.
     */
+  /** Session-scoped cache of the FULL (doc_id, term) posting decode,
+    * one per corpus dir: a dozen dictionary-routed entries (stemming,
+    * filters, significant-terms, fingerprints) read exactly this
+    * projection, so in one JVM (Verify + Bench run every entry) it is
+    * decoded once and shared. Term-FILTERED calls bypass the cache on
+    * purpose — their pushed term predicate prunes the parquet scan to a
+    * few blocks, which is cheaper than filtering a materialized
+    * corpus-wide frame (and at 100 TB the full frame is a table you
+    * materialize deliberately, not per query).
+    */
+  private val docTermsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private[graft] def docTermsFromIndex(s: SparkSession, dir: String,
       termFilter: Option[Column] = None): DataFrame = {
-    import s.implicits._
-    val v = graft.IndexCache.documentsIndex(s, dir)
-    val rows = termFilter.fold(v.postings.toDF())(f => v.postings.where(f).toDF())
-    rows
-      .where(col("field") === graft.index.Indexer.Field)
-      .select(col("term"), col("docs"))
-      .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (t, docs) =>
-        graft.codec.VByte.decodeDeltas(docs).iterator.map(id => (id, t)) })
-      .toDF("doc_id", "term")
+    def decode(rows: DataFrame): DataFrame = {
+      import s.implicits._
+      rows
+        .where(col("field") === graft.index.Indexer.Field)
+        .select(col("term"), col("docs"))
+        .as[(String, Array[Byte])]
+        .mapPartitions(_.flatMap { case (t, docs) =>
+          graft.codec.VByte.decodeDeltas(docs).iterator.map(id => (id, t)) })
+        .toDF("doc_id", "term")
+    }
+    termFilter match {
+      case Some(f) =>
+        decode(graft.IndexCache.documentsIndex(s, dir).postings.where(f).toDF())
+      case None =>
+        val got = docTermsCache.computeIfAbsent(dir, { _ =>
+          decode(graft.IndexCache.documentsIndex(s, dir).postings.toDF())
+            .persist()
+        })
+        if (got.sparkSession.sparkContext.isStopped) {
+          docTermsCache.remove(dir, got)
+          docTermsFromIndex(s, dir, None)
+        } else got
+    }
   }
 
   private def docTermsDistinct(s: SparkSession, dir: String): DataFrame =
