@@ -1087,6 +1087,42 @@ object OracleGen {
        |FROM best b JOIN lists l ON b.doc_id = l.doc_id WHERE rn = 1""".stripMargin
   }
 
+  /** Multi-term-query highlighting oracle: prefix-expanded anchors over
+    * the first-k constant-score docs (docID order), same window scoring
+    * as [[highlightPassagesSql]]. The prefix predicate replays the
+    * dictionary rewrite (stop-filtered like the index dictionary).
+    */
+  def highlightMultiTermSql(prefix: String, k: Int, window: Int): String =
+    s"""WITH lists0 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), tp AS (
+       |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+       |  FROM lists0
+       |), m0 AS (
+       |  SELECT doc_id, term, pos FROM tp
+       |  WHERE term LIKE '$prefix%' AND term NOT IN ($stopList)
+       |), top AS (
+       |  SELECT DISTINCT doc_id FROM m0 ORDER BY doc_id ASC LIMIT $k
+       |), lists AS (
+       |  SELECT l0.doc_id, l0.l FROM lists0 l0 JOIN top USING (doc_id)
+       |), mm AS (
+       |  SELECT m0.doc_id, m0.term, m0.pos FROM m0 JOIN top USING (doc_id)
+       |), wins AS (
+       |  SELECT a.doc_id, a.pos AS anchor,
+       |    count(DISTINCT b.term) * 1000 + count(*) AS p_score
+       |  FROM mm a JOIN mm b ON a.doc_id = b.doc_id
+       |    AND b.pos >= a.pos AND b.pos < a.pos + $window
+       |  GROUP BY a.doc_id, a.pos
+       |), best AS (
+       |  SELECT doc_id, anchor, p_score, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY p_score DESC, anchor ASC) AS rn
+       |  FROM wins
+       |)
+       |SELECT l.doc_id,
+       |  array_to_string(l.l[b.anchor:b.anchor + $window - 1], ' ') AS passage,
+       |  CAST(b.p_score AS BIGINT) AS p_score
+       |FROM best b JOIN lists l ON b.doc_id = l.doc_id WHERE rn = 1""".stripMargin
+
   /** hl.snippets = 2: the two best non-overlapping passages per top-k
     * doc — passage 1 = the [[highlightPassagesSql]] winner, passage 2 =
     * the best candidate at |anchor₂ − anchor₁| ≥ window, NULL when no

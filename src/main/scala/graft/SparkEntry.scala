@@ -766,6 +766,17 @@ object SparkEntry {
       graft.index.Indexer.buildTerms(purged.postings.union(addView.postings))
         .groupBy("term").agg(sum("df").as("df"), sum("ctf").as("ctf"))
     }),
+    "atomic_inc" -> ((s, dir) => {
+      // atomic update `inc` modifier: increments ACCUMULATE across
+      // generations (docs with 'spark' +5, docs with 'merge' +10; a doc
+      // with both gets +15) on the n_chars base docvalue — the
+      // accumulate-vs-last-wins twin of docvalues_update
+      val v = IndexCache.documentsIndex(s, dir)
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars").cast("long").as("base"))
+      MoreQueries.atomicIncrement(s, v, base,
+        Seq(("spark", 5L), ("merge", 10L)))
+    }),
     "realtime_get" -> ((s, dir) => {
       // RealTimeGetComponent (/get) [8x solr handler/component/
       // RealTimeGetComponent.java]: point lookup by id that sees
@@ -1191,6 +1202,14 @@ object SparkEntry {
         .sortBy { case (t, w) => (-w, t) }.take(10)
         .map { case (t, w) => (t, math.round(w * 10000)) }
         .toDF("term", "w_q")
+    }),
+    "highlight_multi_term" -> ((s, dir) => {
+      // UnifiedHighlighter MultiTermHighlighting: a PREFIX query's
+      // dictionary expansion drives the passage anchors (the automaton
+      // extraction path); docs = constant-score match set in docID order
+      val v = IndexCache.documentsIndex(s, dir)
+      MoreQueries.highlightMultiTerm(s, v,
+        s.read.parquet(s"$dir/documents.parquet"), "s", 5, 8)
     }),
     "highlight_topk" -> ((s, dir) => {
       // UnifiedHighlighter analog: per top-k doc, candidate passages
@@ -2646,6 +2665,18 @@ object SparkEntry {
          |ORDER BY dist ASC, df DESC, term ASC LIMIT 5""".stripMargin,
     "highlight_topk" ->
       OracleGen.highlightPassagesSql(Seq("spark", "dup"), 5, 8),
+    "highlight_multi_term" -> OracleGen.highlightMultiTermSql("s", 5, 8),
+    "atomic_inc" ->
+      s"""WITH ${OracleGen.tokCte}, inc AS (
+         |  SELECT doc_id, sum(d) AS inc_total FROM (
+         |    SELECT DISTINCT doc_id, 5 AS d FROM tokf WHERE term = 'spark'
+         |    UNION ALL
+         |    SELECT DISTINCT doc_id, 10 AS d FROM tokf WHERE term = 'merge'
+         |  ) GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS base,
+         |  CAST(d.n_chars + inc.inc_total AS BIGINT) AS value
+         |FROM documents d JOIN inc USING (doc_id)""".stripMargin,
     "highlight_snippets" ->
       OracleGen.highlightSnippetsSql(Seq("spark", "dup"), 5, 8),
     "cursor_page" ->

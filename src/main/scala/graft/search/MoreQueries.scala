@@ -1115,6 +1115,30 @@ object MoreQueries {
       .select(col("doc_id"), col("boost_dv"), col("dl"))
   }
 
+  /** Atomic-update `inc` modifier [8x solr/core .../update/processor/
+    * AtomicUpdateDocumentMerger.java doInc — `{"popularity": {"inc":
+    * 5}}`]: unlike `set` (newest generation wins, [[docValuesUpdate]]),
+    * increments ACCUMULATE — the resolved value is base + Σ of every
+    * generation's delta that touched the doc. Each increment generation
+    * selects its doc set from a term's pushed posting list; the resolve
+    * is one per-doc SUM aggregate over the overlay rows joined to the
+    * base docvalues column — no reindex, no corpus scan.
+    */
+  def atomicIncrement(spark: SparkSession, view: IndexView,
+                      baseCol: DataFrame,
+                      incs: Seq[(String, Long)]): DataFrame = {
+    val overlays = incs.map { case (t, d) =>
+      ExactSearch.decodedPostings(spark, view, Seq(t))
+        .select(col("doc_id"), lit(d).as("delta"))
+    }
+    val summed = overlays.reduce(_ unionByName _)
+      .groupBy("doc_id").agg(sum("delta").as("inc_total"))
+    baseCol
+      .join(summed, Seq("doc_id")) // inner: docs an increment touched
+      .select(col("doc_id"), col("base"),
+        (col("base") + col("inc_total")).as("value"))
+  }
+
   /** SpanPositionRangeQuery [8x search/spans/SpanPositionRangeQuery
     * .java]: keep spans whose start ≥ `start` and end ≤ `end` —
     * SpanFirst is the `start = 0` special case. For single-term spans
@@ -1350,6 +1374,15 @@ object MoreQueries {
       .select("doc_id")
     val docs = corpus.select(col("doc_id"), col("text"))
       .join(broadcast(top), Seq("doc_id"))
+    passageWinsOf(docs, terms, window)
+  }
+
+  /** Scored candidate passages over an arbitrary candidate doc frame:
+    * anchors at analyzed word-boundary matches of `terms`, score =
+    * distinct-term coverage ×1000 + occurrences within the window.
+    */
+  private def passageWinsOf(docs: DataFrame, terms: Seq[String],
+                            window: Int): DataFrame = {
     // analyzed word-boundary matches: token equality, never substring
     val m = docs
       .select(col("doc_id"), col("text"),
@@ -1366,6 +1399,34 @@ object MoreQueries {
         col("a.pos").as("anchor"))
       .agg((countDistinct(col("mterm2")) * 1000 + count(lit(1)))
         .as("p_score"))
+  }
+
+  /** Multi-term-query highlighting [8x lucene/highlighter .../uhighlight/
+    * MultiTermHighlighting.java — UnifiedHighlighter extracts the
+    * automata of wildcard/prefix/fuzzy clauses and highlights ANALYZED
+    * tokens the automaton accepts]: the prefix expands on the term
+    * dictionary (the same rewrite the query path uses), the candidate
+    * docs are the constant-score match set in docID order (a
+    * ConstantScoreQuery collects in index order), and passages rank by
+    * the same coverage score as [[highlightPassages]]. Candidate-bounded
+    * to k docs like every highlight read.
+    */
+  def highlightMultiTerm(spark: SparkSession, view: IndexView,
+                         corpus: DataFrame, prefix: String, k: Int,
+                         window: Int): DataFrame = {
+    val terms = prefixTerms(view, prefix)
+    val top = matchingDocs(spark, view, terms)
+      .orderBy(col("doc_id").asc).limit(k)
+    val docs = corpus.select(col("doc_id"), col("text"))
+      .join(broadcast(top), Seq("doc_id"))
+    passageWinsOf(docs, terms, window)
+      .groupBy("doc_id", "text")
+      .agg(max(struct(col("p_score").as("s"), (-col("anchor")).as("na")))
+        .as("b"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "),
+          -col("b.na") + 1, lit(window))).as("passage"),
+        col("b.s").as("p_score"))
   }
 
   /** hl.snippets = 2 [8x lucene .../uhighlight/UnifiedHighlighter.java

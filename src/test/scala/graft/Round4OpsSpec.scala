@@ -132,6 +132,34 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(got.groupBy(_._2).forall(_._2.map(_._3).distinct.size == 1))
   }
 
+  test("highlight_multi_term: prefix-anchored best passages") {
+    val rows = SparkEntry.queries("highlight_multi_term")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == 5)
+    rows.foreach { case (_, passage, score) =>
+      // anchor token matches the prefix at a word boundary
+      assert(passage.split(' ').head.startsWith("s"))
+      assert(score >= 1001L) // ≥1 distinct term + ≥1 occurrence
+    }
+    // coverage scoring must bite: some passage covers >1 distinct s-term
+    assert(rows.exists(_._3 >= 2000L))
+  }
+
+  test("atomic_inc: increments accumulate across generations") {
+    val got = SparkEntry.queries("atomic_inc")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val byDoc = texts.map { case (id, tx) =>
+      (id, tx.split(' ').toSet) }.toMap
+    got.foreach { case (id, base, value) =>
+      val ts = byDoc(id)
+      val exp = (if (ts("spark")) 5L else 0L) + (if (ts("merge")) 10L else 0L)
+      assert(exp > 0 && value == base + exp)
+    }
+    // the accumulate rule must bite: some doc carries BOTH increments
+    assert(got.exists { case (_, b, v) => v - b == 15L })
+  }
+
   test("diff(vec, lag) equals brute-force lagged differences") {
     import spark.implicits._
     val vals = graft.operators.MathStreams.run(spark, dir,
