@@ -304,6 +304,41 @@ object OracleGen {
        |LIMIT $k""".stripMargin
   }
 
+  /** Two-phase distributed grouping replay: shard proposals → group
+    * election → per-shard per-group cut → merge, with the engine's
+    * shard convention (doc_id // 128). The oracle replays the PROTOCOL
+    * (the reference's distributed grouping is approximate by design),
+    * not the idealized global answer.
+    */
+  def shardedGroupSql(terms: Seq[String], nGroups: Int,
+                      perGroup: Int): String =
+    s"""WITH ${bm25Ctes(terms)}, sg AS (
+       |  SELECT sc.doc_id, sc.score, sc.doc_id // 128 AS shard, d.source
+       |  FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+       |), gbest AS (
+       |  SELECT shard, source, max(score) AS gmax FROM sg GROUP BY 1, 2
+       |), prop AS (
+       |  SELECT shard, source, gmax FROM gbest
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY shard ORDER BY gmax DESC, source ASC) <= $nGroups
+       |), sel AS (
+       |  SELECT source FROM (
+       |    SELECT source, max(gmax) AS gmax FROM prop GROUP BY 1)
+       |  ORDER BY gmax DESC, source ASC LIMIT $nGroups
+       |), ship AS (
+       |  SELECT sg.doc_id, sg.score, sg.shard, sg.source
+       |  FROM sg JOIN sel USING (source)
+       |  QUALIFY row_number() OVER (PARTITION BY shard, source
+       |    ORDER BY score DESC, doc_id ASC) <= $perGroup
+       |), merged AS (
+       |  SELECT source, doc_id, score, row_number() OVER (
+       |    PARTITION BY source ORDER BY score DESC, doc_id ASC) AS grank
+       |  FROM ship
+       |)
+       |SELECT source, CAST(grank AS BIGINT) AS grank, doc_id,
+       |  CAST(round(score * 10000) AS BIGINT) AS score_q
+       |FROM merged WHERE grank <= $perGroup""".stripMargin
+
   /** Query-time synonym graph ("w1 w2, syn"): the parsed disjunction
     * phrase(w1 w2) OR term(syn), each path scored by its own weight,
     * SHOULD-summed per doc — phrase CTEs as [[phraseScoredSql]], term

@@ -641,6 +641,11 @@ object SparkEntry {
           when(col("d").isNotNull, year(col("d")) - 1990)
             .otherwise(lit(-1)).cast("int").as("v"))
     }),
+    "sharded_group_topk" -> ((s, dir) =>
+      // two-phase distributed grouping: shard group proposals → global
+      // group election → per-shard per-group doc cut → merge
+      graft.operators.Relational.shardedGroupTopK(s, dir,
+        Seq("spark", "join"), 2, 3)),
     "sharded_topk" -> ((s, dir) => {
       // distributed search, two-phase [Solr distributed search /
       // TopDocs.merge]: doc-range shards each produce a LOCAL top-k
@@ -3101,6 +3106,8 @@ object SparkEntry {
         |  CAST(max(round(value * 100)) AS BIGINT) AS max_cents
         |FROM events GROUP BY event_type""".stripMargin,
     "sharded_topk" -> OracleGen.bm25TopKSql(Seq("spark", "join"), 10),
+    "sharded_group_topk" ->
+      OracleGen.shardedGroupSql(Seq("spark", "join"), 2, 3),
     "block_join_scored" ->
       """WITH lists AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents

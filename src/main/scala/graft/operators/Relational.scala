@@ -311,6 +311,59 @@ object Relational {
         .cast("long").as("p50_chars_q"),
         count(lit(1)).as("n"))
 
+  /** Two-phase DISTRIBUTED result grouping [8x solr/core .../search/
+    * grouping/distributed/ — TopGroupsShardRequestFactory,
+    * SearchGroupShardResponseProcessor / TopGroupsShardResponseProcessor;
+    * request params group.distributed.first / group.distributed.second]:
+    *
+    *   phase 1: every shard proposes its top `nGroups` groups ranked by
+    *     the group's best doc score; the merger unions the proposals and
+    *     keeps the global top `nGroups` (approximate exactly as the
+    *     reference is — a shard that holds a group's best doc but does
+    *     not PROPOSE the group cannot elect it).
+    *   phase 2: every shard ships its top `perGroup` docs FOR THE
+    *     SELECTED GROUPS ONLY (the shipped set is nGroups × perGroup ×
+    *     #shards rows, never a shard's full hit set); the merger
+    *     re-ranks per group.
+    *
+    * Shards are doc-range slices (the sharded_topk convention); the
+    * per-shard cuts are rank windows partitioned by shard — the
+    * WindowGroupLimit shape, no global sort anywhere before the final
+    * tiny merge.
+    */
+  def shardedGroupTopK(s: SparkSession, dir: String,
+                       terms: Seq[String], nGroups: Int,
+                       perGroup: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = graft.IndexCache.documentsIndex(s, dir)
+    val scored = graft.search.ExactSearch
+      .scored(s, v, terms, graft.search.DoubleOracle)
+      .withColumn("shard", floor(col("doc_id") / 128).cast("long"))
+    val meta = tbl(s, dir, "documents").select(col("doc_id"), col("source"))
+    val sg = scored.join(meta, Seq("doc_id"))
+    // phase 1: per-shard group proposals
+    val gBest = sg.groupBy("shard", "source").agg(max("score").as("gmax"))
+    val w1 = Window.partitionBy("shard")
+      .orderBy(col("gmax").desc, col("source").asc)
+    val proposals = gBest.withColumn("r", row_number().over(w1))
+      .where(col("r") <= nGroups)
+    val selected = proposals.groupBy("source").agg(max("gmax").as("gmax"))
+      .orderBy(col("gmax").desc, col("source").asc).limit(nGroups)
+      .select("source")
+    // phase 2: per-shard per-group doc cut, then the global merge
+    val w2 = Window.partitionBy("shard", "source")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val shipped = sg.join(broadcast(selected), Seq("source"))
+      .withColumn("r", row_number().over(w2)).where(col("r") <= perGroup)
+    val w3 = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    shipped.withColumn("grank", row_number().over(w3))
+      .where(col("grank") <= perGroup)
+      .select(col("source"), col("grank").cast("long").as("grank"),
+        col("doc_id"),
+        round(col("score") * 10000).cast("long").as("score_q"))
+  }
+
   /** JSON facet `relatedness(fg, bg)` — the Semantic Knowledge Graph
     * aggregate [8x solr/core .../search/facet/RelatednessAgg.java; the
     * published scoring model is the z-score of Grainger, Aljadda,

@@ -160,6 +160,23 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(got.exists { case (_, b, v) => v - b == 15L })
   }
 
+  test("sharded_group_topk: two-phase protocol invariants") {
+    val rows = SparkEntry.queries("sharded_group_topk")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val groups = rows.map(_._1).distinct
+    assert(groups.length == 2)
+    groups.foreach { g =>
+      val inG = rows.filter(_._1 == g).sortBy(_._2)
+      assert(inG.map(_._2).toSeq == (1L to inG.length.toLong).toSeq)
+      assert(inG.length <= 3)
+      // within-group rank order is (score desc, doc_id asc)
+      val pairs = inG.map(r => (-r._4, r._3)).toSeq
+      assert(pairs == pairs.sorted)
+    }
+    // phase-2 shipping must have found at least a full first group
+    assert(rows.count(_._2 == 1L) == 2)
+  }
+
   test("diff(vec, lag) equals brute-force lagged differences") {
     import spark.implicits._
     val vals = graft.operators.MathStreams.run(spark, dir,
