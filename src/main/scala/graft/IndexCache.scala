@@ -15,7 +15,8 @@ import graft.index.{IndexReader, IndexView, IndexWriter, Indexer}
   * rows — the FST/skip-list analog at scale (SURVEY.md §1.1).
   */
 object IndexCache {
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, IndexView]()
+  private val cache = new SessionCache[IndexView](
+    v => !v.postings.sparkSession.sparkContext.isStopped)
 
   /** Segment size for the sandbox corpora: small enough that sf0.1
     * (5k docs) spans multiple doc-range segments, exercising per-leaf
@@ -26,8 +27,10 @@ object IndexCache {
   /** Bump when the segment-table format changes. */
   val FormatVersion = "v1"
 
-  def documentsIndex(spark: SparkSession, sfDir: String): IndexView = {
-    val got = cache.computeIfAbsent(s"$sfDir/documents.parquet", { _ =>
+  def documentsIndex(spark: SparkSession, sfDir: String): IndexView =
+    // SessionCache evicts and reloads if the cached view's session has
+    // stopped (the on-disk index is still valid; only the handles died)
+    cache.getOrBuild(s"$sfDir/documents.parquet") {
       val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("doc_id").cast("string").as("url"), col("text"))
       val sfName = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -37,13 +40,5 @@ object IndexCache {
       if (graft.index.IndexStore.currentSnapshot(dir).isEmpty)
         IndexWriter.build(spark, input, dir, TestSegmentSize, nBatches = 2)
       IndexReader.load(spark, dir)
-    })
-    // a cached view bound to a stopped session would throw on use —
-    // evict and reload against the live session (the on-disk index is
-    // still valid; only the DataFrame handles died)
-    if (got.postings.sparkSession.sparkContext.isStopped) {
-      cache.remove(s"$sfDir/documents.parquet", got)
-      documentsIndex(spark, sfDir)
-    } else got
-  }
+    }
 }

@@ -243,15 +243,27 @@ object AnalysisOps {
     Map("data" -> "datum", "column" -> "col")
 
   def stemmerOverrideDf(s: SparkSession, dir: String): DataFrame = {
-    val v = graft.IndexCache.documentsIndex(s, dir)
     val stemU = udf((t: String) => StemOverrides.getOrElse(t, Porter.stem(t)))
+    dictRecount(s, dir, "stem", stemU(col("term")))
+  }
+
+  /** Shared dictionary-rewrite recount pipeline of the single-output
+    * filters (StemmerOverride / PatternReplace / Truncate): rewrite the
+    * DISTINCT dictionary via `mapped`, drop empty outputs, then df
+    * doc-distinct over the rewritten form from the posting pairs and
+    * ctf from the dictionary sums — the corpus is never re-tokenized.
+    */
+  private def dictRecount(s: SparkSession, dir: String, outName: String,
+                          mapped: org.apache.spark.sql.Column): DataFrame = {
+    val v = graft.IndexCache.documentsIndex(s, dir)
     val dict = v.terms.where(col("field") === Indexer.Field)
       .groupBy("term").agg(sum("ctf").as("tctf"))
-      .withColumn("stem", stemU(col("term")))
+      .withColumn(outName, mapped)
+      .where(length(col(outName)) > 0)
     Relational.docTermsFromIndex(s, dir)
-      .join(broadcast(dict.select("term", "stem")), Seq("term"))
-      .groupBy("stem").agg(countDistinct("doc_id").as("df"))
-      .join(dict.groupBy("stem").agg(sum("tctf").as("ctf")), Seq("stem"))
+      .join(broadcast(dict.select("term", outName)), Seq("term"))
+      .groupBy(outName).agg(countDistinct("doc_id").as("df"))
+      .join(dict.groupBy(outName).agg(sum("tctf").as("ctf")), Seq(outName))
   }
 
   /** LengthFilter [8x lucene/analysis/common .../miscellaneous/
@@ -281,17 +293,9 @@ object AnalysisOps {
     */
   val PatternReplaceRegex = "[aeiou]"
 
-  def patternReplaceDf(s: SparkSession, dir: String): DataFrame = {
-    val v = graft.IndexCache.documentsIndex(s, dir)
-    val dict = v.terms.where(col("field") === Indexer.Field)
-      .groupBy("term").agg(sum("ctf").as("tctf"))
-      .withColumn("rep", regexp_replace(col("term"), PatternReplaceRegex, ""))
-      .where(length(col("rep")) > 0)
-    Relational.docTermsFromIndex(s, dir)
-      .join(broadcast(dict.select("term", "rep")), Seq("term"))
-      .groupBy("rep").agg(countDistinct("doc_id").as("df"))
-      .join(dict.groupBy("rep").agg(sum("tctf").as("ctf")), Seq("rep"))
-  }
+  def patternReplaceDf(s: SparkSession, dir: String): DataFrame =
+    dictRecount(s, dir, "rep",
+      regexp_replace(col("term"), PatternReplaceRegex, ""))
 
   /** TruncateTokenFilter [8x lucene/analysis/common .../miscellaneous/
     * TruncateTokenFilter.java] — every token truncated to its first
@@ -301,16 +305,8 @@ object AnalysisOps {
     * over the (possibly merged) truncated form, ctf summed.
     */
   def truncateDf(s: SparkSession, dir: String,
-                 prefixLength: Int = 4): DataFrame = {
-    val v = graft.IndexCache.documentsIndex(s, dir)
-    val dict = v.terms.where(col("field") === Indexer.Field)
-      .groupBy("term").agg(sum("ctf").as("tctf"))
-      .withColumn("trunc", substring(col("term"), 1, prefixLength))
-    Relational.docTermsFromIndex(s, dir)
-      .join(broadcast(dict.select("term", "trunc")), Seq("term"))
-      .groupBy("trunc").agg(countDistinct("doc_id").as("df"))
-      .join(dict.groupBy("trunc").agg(sum("tctf").as("ctf")), Seq("trunc"))
-  }
+                 prefixLength: Int = 4): DataFrame =
+    dictRecount(s, dir, "trunc", substring(col("term"), 1, prefixLength))
 
   def urlEmailTokens(s: SparkSession, dir: String): DataFrame = {
     val line = concat(lit("contact admin@"), col("source"),

@@ -389,12 +389,21 @@ object Relational {
         Seq("doc_id"), "left_outer")
     val agg = d.groupBy("source")
       .agg(count(lit(1)).as("bg_count"), count(col("is_fg")).as("fg_count"))
-    val bgSize = tbl(s, dir, "documents").count()
-    val fgSize = fgDocs.count()
-    val p = col("bg_count").cast("double") / lit(bgSize.toDouble)
-    val z = (col("fg_count").cast("double") - lit(fgSize.toDouble) * p) /
-      sqrt(lit(fgSize.toDouble) * p * (lit(1.0) - p))
-    agg.select(col("source"), col("fg_count"), col("bg_count"),
+    // fg/bg sizes fall out of the SAME aggregate (every doc — and every
+    // fg doc — lands in exactly one bucket), so the sizes are window
+    // sums over the facet-cardinality-sized frame: no second corpus
+    // scan, no second posting decode, no eager driver action
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val sized = agg
+      .withColumn("bgn", sum("bg_count").over(all).cast("double"))
+      .withColumn("fgn", sum("fg_count").over(all).cast("double"))
+    val p = col("bg_count").cast("double") / col("bgn")
+    val z = (col("fg_count").cast("double") - col("fgn") * p) /
+      sqrt(col("fgn") * p * (lit(1.0) - p))
+    sized.select(col("source"), col("fg_count"), col("bg_count"),
       round(z * lit(10000)).cast("long").as("relatedness_q"))
   }
 
@@ -502,8 +511,7 @@ object Relational {
     * corpus-wide frame (and at 100 TB the full frame is a table you
     * materialize deliberately, not per query).
     */
-  private val docTermsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val docTermsCache = graft.SessionCache.frames()
 
   private[graft] def docTermsFromIndex(s: SparkSession, dir: String,
       termFilter: Option[Column] = None): DataFrame = {
@@ -521,14 +529,10 @@ object Relational {
       case Some(f) =>
         decode(graft.IndexCache.documentsIndex(s, dir).postings.where(f).toDF())
       case None =>
-        val got = docTermsCache.computeIfAbsent(dir, { _ =>
+        docTermsCache.getOrBuild(dir) {
           decode(graft.IndexCache.documentsIndex(s, dir).postings.toDF())
             .persist()
-        })
-        if (got.sparkSession.sparkContext.isStopped) {
-          docTermsCache.remove(dir, got)
-          docTermsFromIndex(s, dir, None)
-        } else got
+        }
     }
   }
 

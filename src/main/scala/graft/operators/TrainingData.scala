@@ -715,19 +715,13 @@ object TrainingData {
     * pattern). At scale this is the materialized cluster-assignment
     * table every curation read shares.
     */
-  private val clusterCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val clusterCache = graft.SessionCache.frames()
 
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val got = clusterCache.computeIfAbsent(dir, { _ =>
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterCache.getOrBuild(dir) {
       connectedComponents(dedupMinhashLsh(s, dir).select(col("i"), col("j")))
         .persist()
-    })
-    if (got.sparkSession.sparkContext.isStopped) {
-      clusterCache.remove(dir, got)
-      dedupClusters(s, dir)
-    } else got
-  }
+    }
 
   /** Connected components of an undirected pair set `(i, j)`: one row
     * per node, `cluster_id` = min reachable node id. Min-label

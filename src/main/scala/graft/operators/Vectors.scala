@@ -183,11 +183,11 @@ object Vectors {
     * `persist()` per call (round-2 review finding). At scale this is
     * the precomputed sketch side table.
     */
-  private val sketchCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Long)]()
+  private val sketchCache = new graft.SessionCache[(DataFrame, Long)](
+    v => !v._1.sparkSession.sparkContext.isStopped)
 
-  private[graft] def sketchedCorpus(s: SparkSession, dir: String): (DataFrame, Long) = {
-    val got = sketchCache.computeIfAbsent(dir, { _ =>
+  private[graft] def sketchedCorpus(s: SparkSession, dir: String): (DataFrame, Long) =
+    sketchCache.getOrBuild(dir) {
       import s.implicits._
       val sk = emb(s, dir).select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])]
@@ -195,14 +195,7 @@ object Vectors {
         .toDF("vec_id", "embedding", "sketch")
         .persist()
       (sk, sk.count()) // materialize once; count reused by callers
-    })
-    // a cached frame bound to a stopped session would throw on use —
-    // evict and rebuild against the live session instead
-    if (got._1.sparkSession.sparkContext.isStopped) {
-      sketchCache.remove(dir, got)
-      sketchedCorpus(s, dir)
-    } else got
-  }
+    }
 
   /** Approximate cosine top-k — two-stage SRP-LSH sketch + re-rank (the
     * 100 TB path):

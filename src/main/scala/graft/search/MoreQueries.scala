@@ -1351,9 +1351,15 @@ object MoreQueries {
     */
   def highlightPassages(spark: SparkSession, view: IndexView,
                         corpus: DataFrame, terms: Seq[String], k: Int,
-                        window: Int): DataFrame = {
-    // best passage per doc: one struct-max (score desc, anchor asc)
-    passageWins(spark, view, corpus, terms, k, window)
+                        window: Int): DataFrame =
+    bestPassageOf(passageWins(spark, view, corpus, terms, k, window), window)
+
+  /** Best passage per doc from a candidate-passage frame: one
+    * struct-max (score desc, anchor asc), then the 0-based anchor
+    * sliced out of the text as a 1-based window.
+    */
+  private def bestPassageOf(wins: DataFrame, window: Int): DataFrame =
+    wins
       .groupBy("doc_id", "text")
       .agg(max(struct(col("p_score").as("s"), (-col("anchor")).as("na")))
         .as("b"))
@@ -1361,7 +1367,6 @@ object MoreQueries {
         concat_ws(" ", slice(split(col("text"), " "),
           -col("b.na") + 1, lit(window))).as("passage"),
         col("b.s").as("p_score"))
-  }
 
   /** Scored candidate passages of the top-k docs: (doc_id, text,
     * anchor, p_score) — the shared first stage of [[highlightPassages]]
@@ -1419,14 +1424,7 @@ object MoreQueries {
       .orderBy(col("doc_id").asc).limit(k)
     val docs = corpus.select(col("doc_id"), col("text"))
       .join(broadcast(top), Seq("doc_id"))
-    passageWinsOf(docs, terms, window)
-      .groupBy("doc_id", "text")
-      .agg(max(struct(col("p_score").as("s"), (-col("anchor")).as("na")))
-        .as("b"))
-      .select(col("doc_id"),
-        concat_ws(" ", slice(split(col("text"), " "),
-          -col("b.na") + 1, lit(window))).as("passage"),
-        col("b.s").as("p_score"))
+    bestPassageOf(passageWinsOf(docs, terms, window), window)
   }
 
   /** hl.snippets = 2 [8x lucene .../uhighlight/UnifiedHighlighter.java
