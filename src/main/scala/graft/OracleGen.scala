@@ -59,7 +59,8 @@ object OracleGen {
     * BM25 score (Lucene 8.x formula shape, float64) — and
     * `sc(doc_id, score, n_matched)` — per-doc disjunctive sum.
     */
-  def bm25Ctes(terms: Seq[String]): String = {
+  def bm25Ctes(terms: Seq[String], k1: Double = 1.2,
+               b: Double = 0.75): String = {
     val qs = termList(terms.distinct)
     s"""$tokCte, $dlCtes, df AS (
        |  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
@@ -70,13 +71,20 @@ object OracleGen {
        |), persc AS (
        |  SELECT tf.doc_id, tf.term,
        |    ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
-       |      * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * norm.ldl / (st.sttf / CAST(st.n AS DOUBLE)))) AS s
+       |      * tf.tf / (tf.tf + $k1 * (1 - $b + $b * norm.ldl / (st.sttf / CAST(st.n AS DOUBLE)))) AS s
        |  FROM tf JOIN df USING (term) JOIN norm ON tf.doc_id = norm.doc_id CROSS JOIN st
        |), sc AS (
        |  SELECT doc_id, sum(s) AS score, count(*) AS n_matched
        |  FROM persc GROUP BY doc_id
        |)""".stripMargin
   }
+
+  /** BM25 top-k with schema-tuned k1/b (BM25SimilarityFactory params). */
+  def bm25ParamsSql(terms: Seq[String], k: Int, k1: Double,
+                    b: Double): String =
+    s"""WITH ${bm25Ctes(terms, k1, b)}
+       |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q
+       |FROM sc ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
 
   /** BM25 with norms omitted: ldl replaced by the constant 1 (the
     * normless field's norm value in 8.x), same idf/tf shape.

@@ -97,6 +97,21 @@ object SparkEntry {
       // the Solr factory default) over the same postings + ctf
       quantize(graft.search.Similarities.lmJelinekMercerTopK(
         s, IndexCache.documentsIndex(s, dir), Seq("spark", "join"), 10))),
+    "bm25_params_topk" -> ((s, dir) =>
+      // tenth pluggable similarity: BM25 with the schema-tuned
+      // short-field preset k1=0.9 b=0.4 (BM25SimilarityFactory params)
+      quantize(graft.search.Similarities.bm25ParamsTopK(
+        s, IndexCache.documentsIndex(s, dir), Seq("spark", "join"), 10,
+        0.9, 0.4))),
+    "domain_blocklist" -> ((s, dir) =>
+      // UT1-style domain blocklist gate: broadcast host list,
+      // narrow probe on the canonical host
+      graft.operators.TrainingData.domainBlocklist(s, dir)),
+    "bloom_url_filter" -> ((s, dir) =>
+      // Bloom-filter seen-URL probe: k=3 exact-integer hashes, bitset
+      // built by aggregation + broadcast, fully narrow probe; FPs are
+      // a deterministic property surfaced next to exact membership
+      graft.operators.TrainingData.bloomUrlFilter(s, dir)),
     "sweetspot_topk" -> ((s, dir) =>
       // ninth pluggable similarity: SweetSpotSimilarity — classic
       // TF-IDF with a [30,60] plateau length normalization
@@ -2285,6 +2300,45 @@ object SparkEntry {
     "ib_ll_topk" -> OracleGen.ibLlSql(Seq("spark", "join"), 10),
     "sweetspot_topk" -> OracleGen.sweetSpotSql(Seq("spark", "join"), 10,
       30, 60, 0.5),
+    "bm25_params_topk" ->
+      OracleGen.bm25ParamsSql(Seq("spark", "join"), 10, 0.9, 0.4),
+    "domain_blocklist" -> {
+      val hosts = graft.operators.TrainingData.BlockedHosts
+        .map(h => s"('$h')").mkString(", ")
+      s"""WITH bl(host) AS (VALUES $hosts)
+         |SELECT d.doc_id,
+         |  lower('example' || CAST(d.doc_id % 50 AS VARCHAR) || '.com') AS host,
+         |  CAST(CASE WHEN bl.host IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS blocked
+         |FROM documents d LEFT JOIN bl
+         |  ON bl.host = 'example' || CAST(d.doc_id % 50 AS VARCHAR) || '.com'
+         |""".stripMargin
+    },
+    "bloom_url_filter" -> {
+      val p = graft.operators.TrainingData.BloomP
+      val hs = graft.operators.TrainingData.BloomHashes
+      def pos(i: Int, id: String) =
+        s"(($id * ${hs(i)._1} + ${hs(i)._2}) % $p) % mm.m"
+      s"""WITH seen AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE instr('01234567', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) > 0
+         |), mm AS (
+         |  SELECT greatest(2048, 8 * count(*)) AS m FROM seen
+         |), bits AS (
+         |  SELECT DISTINCT ${pos(0, "doc_id")} AS p FROM seen CROSS JOIN mm
+         |  UNION SELECT DISTINCT ${pos(1, "doc_id")} FROM seen CROSS JOIN mm
+         |  UNION SELECT DISTINCT ${pos(2, "doc_id")} FROM seen CROSS JOIN mm
+         |)
+         |SELECT d.doc_id,
+         |  CAST(${pos(0, "d.doc_id")} IN (SELECT p FROM bits)
+         |   AND ${pos(1, "d.doc_id")} IN (SELECT p FROM bits)
+         |   AND ${pos(2, "d.doc_id")} IN (SELECT p FROM bits) AS BIGINT)
+         |    AS in_bloom,
+         |  CAST(instr('01234567',
+         |    substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) > 0 AS BIGINT)
+         |    AS actually_seen
+         |FROM documents d CROSS JOIN mm""".stripMargin
+    },
     "combined_field_topk" ->
       OracleGen.combinedFieldSql(Seq("spark", "merge"), 10, 2.0),
     "check_index" ->

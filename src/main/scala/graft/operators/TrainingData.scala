@@ -1098,6 +1098,76 @@ object TrainingData {
           lit("?id="), col("idv")).as("norm_url"))
   }
 
+  /** Domain-blocklist filtering (the UT1/adult-blocklist step every CC
+    * curation pipeline runs before content filters — RefinedWeb §3.1
+    * "URL filtering", CCNet, C4 all gate on a domain list): the
+    * blocklist is TINY relative to the corpus, so it broadcasts; the
+    * probe is a narrow left-semi/anti pair on the canonical host from
+    * [[urlNormalize]]'s machinery. Output: per doc, its host and
+    * whether the blocklist dropped it.
+    */
+  val BlockedHosts: Seq[String] =
+    Seq("example3.com", "example17.com", "example41.com")
+
+  def domainBlocklist(s: SparkSession, dir: String): DataFrame = {
+    val hosts = urlNormalize(s, dir).select(col("doc_id"), col("host"))
+    val bl = s.createDataFrame(BlockedHosts.map(Tuple1(_)))
+      .toDF("host").withColumn("blocked", lit(1L))
+    hosts.join(broadcast(bl), Seq("host"), "left_outer")
+      .select(col("doc_id"), col("host"),
+        coalesce(col("blocked"), lit(0L)).as("blocked"))
+  }
+
+  /** Bloom-filter URL dedup probe — the incremental-crawl "have we seen
+    * this URL" primitive (at 100 TB the seen-set is consulted per
+    * fetched page; an exact set is too big to broadcast, a Bloom filter
+    * is the standard compromise — e.g. Heritrix's already-seen module).
+    * Build: k=3 multiplicative hashes over the SEEN key set → distinct
+    * bit positions (an aggregation; m bits ≪ seen set), broadcast.
+    * Probe: fully narrow — each candidate checks its k positions
+    * against the broadcast bitset. False positives are an inherent,
+    * deterministic property of (m, k, seen-set) and are surfaced next
+    * to the exact membership so the FP rate is oracle-visible.
+    * All arithmetic is exact integer (id·a + b mod p mod m) so the
+    * DuckDB oracle replays bit-for-bit.
+    */
+  val BloomP = 2147483647L // 2^31 − 1
+  val BloomHashes: Seq[(Long, Long)] =
+    Seq((1000003L, 12345L), (999983L, 54321L), (1000033L, 7L))
+
+  /** m bits sized FROM the seen-set (8 bits/key, floor 2048) — the
+    * production sizing rule, so the fill factor (and thus the FP rate,
+    * ≈ (1 − e^(−3/8))³ ≈ 3%) is scale-independent.
+    */
+  def bloomBitsFor(nSeen: Long): Long = math.max(2048L, 8L * nSeen)
+
+  /** The "already crawled" half: md5-selected so the seen ids carry no
+    * arithmetic structure the affine hashes could align with (a
+    * parity- or stride-structured seen set puts seen and unseen ids in
+    * DISJOINT residue classes and hides the FP behavior entirely —
+    * found the hard way; md5 is byte-stable in both engines).
+    */
+  private def seenPred(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    instr(lit("01234567"), substring(md5(id.cast("string")), 1, 1)) > 0
+
+  def bloomUrlFilter(s: SparkSession, dir: String): DataFrame = {
+    val seen = docs(s, dir).where(seenPred(col("doc_id")))
+      .select(col("doc_id"))
+    val m = bloomBitsFor(seen.count())
+    def positions(id: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+      BloomHashes.map { case (a, b) =>
+        (id * a + b) % BloomP % m }
+    val bits = seen
+      .select(explode(array(positions(col("doc_id")): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val bcBits = s.sparkContext.broadcast(bits)
+    val inBloomU = udf((ps: Seq[Long]) => if (ps.forall(bcBits.value)) 1L else 0L)
+    docs(s, dir)
+      .select(col("doc_id"),
+        inBloomU(array(positions(col("doc_id")): _*)).as("in_bloom"),
+        seenPred(col("doc_id")).cast("long").as("actually_seen"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling" — hashed n-gram
     * importance weights for domain-targeted pretraining selection):

@@ -237,6 +237,34 @@ object Similarities {
     * lossy norm, ctf from the dictionary; index-only inputs and the
     * same broadcast-stats + hash-agg shape as the Dirichlet path).
     */
+  /** BM25 with schema-tuned k1/b [8x solr/core .../schema/
+    * BM25SimilarityFactory — `<similarity class="solr.
+    * BM25SimilarityFactory"><float name="k1">0.9</float><float
+    * name="b">0.4</float></similarity>`; lucene BM25Similarity(k1, b)]:
+    * the same formula with the per-field parameters a production schema
+    * tunes (k1 0.9 / b 0.4 is the short-field preset) — tenth pluggable
+    * similarity over the same index, same dataflow.
+    */
+  def bm25ParamsTopK(spark: SparkSession, view: IndexView,
+                     terms: Seq[String], k: Int,
+                     k1: Double, b: Double): DataFrame = {
+    val cs = GlobalStats.collectionStats(view)
+    val nD = cs.docCount.toDouble
+    val avgdl = cs.sumTotalTermFreq.toDouble / nD
+    val df = view.terms.where(col("term").isin(terms.distinct: _*))
+      .groupBy("term").agg(sum("df").as("df"))
+    val per = ExactSearch.decodedPostings(spark, view, terms)
+      .join(broadcast(df), Seq("term"))
+      .select(col("doc_id"), col("term"),
+        (log(lit(1.0) + (lit(nD) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * col("tf").cast("double")
+          / (col("tf").cast("double") + lit(k1) * (lit(1.0) - lit(b)
+             + lit(b) * col("lossy_dl").cast("double") / lit(avgdl)))).as("s"))
+    MoreQueries.sumScoresDeterministic(per).select("doc_id", "score")
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** SweetSpotSimilarity top-k [8x lucene/misc .../SweetSpotSimilarity.
     * java; solr schema/SweetSpotSimilarityFactory.java] — the classic
     * TF-IDF tuned with a PLATEAU length normalization: documents whose

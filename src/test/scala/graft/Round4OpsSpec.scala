@@ -177,6 +177,40 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(rows.count(_._2 == 1L) == 2)
   }
 
+  test("bm25_params_topk: tuned k1/b shifts scores off the default curve") {
+    val tuned = SparkEntry.queries("bm25_params_topk")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dflt = SparkEntry.queries("bm25_topk_exact")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(tuned.length == 10 && dflt.length == 10)
+    // same query, different saturation/normalization -> different scores
+    assert(tuned.toMap != dflt.toMap)
+  }
+
+  test("domain_blocklist: exactly the listed hosts are dropped") {
+    val rows = SparkEntry.queries("domain_blocklist")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val blockedMods = Set(3L, 17L, 41L)
+    rows.foreach { case (id, host, blocked) =>
+      assert(host == s"example${id % 50}.com")
+      assert((blocked == 1L) == blockedMods.contains(id % 50))
+    }
+    assert(rows.exists(_._3 == 1L) && rows.exists(_._3 == 0L))
+  }
+
+  test("bloom_url_filter: no false negatives; FPs appear at higher fill") {
+    val rows = SparkEntry.queries("bloom_url_filter")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // a Bloom filter NEVER misses a genuinely-seen key
+    assert(rows.filter(_._3 == 1L).forall(_._2 == 1L))
+    // seen-set-proportional sizing keeps fill ≈ 31% at every SF, so the
+    // FP property is visible (and bounded) right here
+    val fp = rows.count(r => r._2 == 1L && r._3 == 0L)
+    val unseen = rows.count(_._3 == 0L)
+    assert(fp > 0 && fp < unseen / 4, s"fp=$fp unseen=$unseen")
+  }
+
   test("diff(vec, lag) equals brute-force lagged differences") {
     import spark.implicits._
     val vals = graft.operators.MathStreams.run(spark, dir,
