@@ -1403,6 +1403,66 @@ object OracleGen {
        |FROM sc ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
   }
 
+  /** Per-field similarity mixing: title scored by BM25 with the title
+    * field's stats, body by LMDirichlet (μ, body ctf/sttf), dismax
+    * combined per term — field streams as in [[combinedFieldSql]].
+    */
+  def mixedSimSql(terms: Seq[String], tie: Double, mu: Double,
+                  k: Int): String = {
+    val qs = termList(terms.distinct)
+    s"""WITH btok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents
+       |), toks AS (
+       |  SELECT doc_id, 'body' AS field, term FROM btok
+       |  WHERE length(term) > 0 AND term NOT IN ($stopList)
+       |  UNION ALL
+       |  SELECT doc_id, 'title' AS field, term FROM btok
+       |  WHERE pos <= 4 AND length(term) > 0 AND term NOT IN ($stopList)
+       |), fdl AS (
+       |  SELECT doc_id, field, count(*) AS dl FROM toks GROUP BY doc_id, field
+       |), fnorm AS (
+       |  SELECT doc_id, field, dl,
+       |    (SELECT max(v) FROM (VALUES $normValues) AS nv(v) WHERE nv.v <= fdl.dl) AS ldl
+       |  FROM fdl
+       |), fst AS (
+       |  SELECT field, count(*) AS n, sum(dl) AS sttf FROM fdl GROUP BY field
+       |), fdf AS (
+       |  SELECT field, term, count(DISTINCT doc_id) AS df FROM toks
+       |  WHERE term IN ($qs) GROUP BY field, term
+       |), fctf AS (
+       |  SELECT field, term, count(*) AS ctf FROM toks
+       |  WHERE term IN ($qs) GROUP BY field, term
+       |), ftf AS (
+       |  SELECT doc_id, field, term, count(*) AS tf FROM toks
+       |  WHERE term IN ($qs) GROUP BY doc_id, field, term
+       |), fsc AS (
+       |  SELECT ftf.doc_id, ftf.field, ftf.term,
+       |    CASE WHEN ftf.field = 'title' THEN
+       |      ln(1 + (fst.n - fdf.df + 0.5) / (fdf.df + 0.5))
+       |        * ftf.tf / (ftf.tf + 1.2 * (1 - 0.75
+       |            + 0.75 * fnorm.ldl / (fst.sttf / CAST(fst.n AS DOUBLE))))
+       |    ELSE
+       |      greatest(0, ln(1 + ftf.tf / ($mu * fctf.ctf / fst.sttf))
+       |        + ln($mu / (fnorm.ldl + $mu)))
+       |    END AS s
+       |  FROM ftf
+       |  JOIN fdf ON ftf.field = fdf.field AND ftf.term = fdf.term
+       |  JOIN fctf ON ftf.field = fctf.field AND ftf.term = fctf.term
+       |  JOIN fnorm ON ftf.doc_id = fnorm.doc_id AND ftf.field = fnorm.field
+       |  JOIN fst ON fst.field = ftf.field
+       |), pt AS (
+       |  SELECT doc_id, term, max(s) AS mx, sum(s) AS sm
+       |  FROM fsc GROUP BY doc_id, term
+       |), agg AS (
+       |  SELECT doc_id, sum(mx + $tie * (sm - mx)) AS total
+       |  FROM pt GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST(round(total * 10000) AS BIGINT) AS score_q
+       |FROM agg ORDER BY total DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** docCount — docs with ≥1 indexed (non-stop) token. */
   def matchAllCountSql: String =
     s"WITH $tokCte SELECT count(DISTINCT doc_id) AS n FROM tokf"

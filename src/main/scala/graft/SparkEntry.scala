@@ -97,6 +97,36 @@ object SparkEntry {
       // the Solr factory default) over the same postings + ctf
       quantize(graft.search.Similarities.lmJelinekMercerTopK(
         s, IndexCache.documentsIndex(s, dir), Seq("spark", "join"), 10))),
+    "mixed_sim_dismax" -> ((s, dir) =>
+      // per-FIELD similarity mixing (PerFieldSimilarityWrapper / schema
+      // <similarity> per fieldType): title by BM25, body by LMDirichlet,
+      // dismax-combined per term across fields
+      quantize(graft.search.MultiField.mixedSimDismaxTopK(s, dir,
+        Seq("spark", "merge"), 0.3, 10, IndexCache.TestSegmentSize))),
+    "drill_rollup" -> ((s, dir) => {
+      // drill() (Solr 8.2 streaming) [8x solrj io/stream/DrillStream
+      // .java]: a rollup pushed to EVERY shard's /export, the partials
+      // re-aggregated by the coordinator — the explicit two-level
+      // topology Spark's partial+final hash agg performs implicitly;
+      // the per-shard partial frame materializes like DrillStream's
+      // per-replica export streams
+      val partials = s.read.parquet(s"$dir/documents.parquet")
+        .groupBy(floor(col("doc_id") / 128).cast("long").as("shard"),
+          col("lang"))
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      partials.groupBy("lang")
+        .agg(sum("n").as("n_docs"), sum("sum_chars").as("sum_chars"),
+          countDistinct("shard").as("n_shards"))
+    }),
+    "hard_negatives" -> ((s, dir) =>
+      // contrastive-training hard-negative mining: most-similar
+      // NON-near-dup corpus items per anchor (batch-ANN shape with the
+      // duplicate band excluded)
+      graft.operators.Vectors.hardNegatives(s, dir)),
+    "leakage_split" -> ((s, dir) =>
+      // group-wise train/val/test split by canonical host: no host can
+      // span splits, so near-identical re-crawls cannot leak across
+      graft.operators.TrainingData.leakageSplit(s, dir)),
     "bm25_params_topk" -> ((s, dir) =>
       // tenth pluggable similarity: BM25 with the schema-tuned
       // short-field preset k1=0.9 b=0.4 (BM25SimilarityFactory params)
@@ -3428,6 +3458,58 @@ object SparkEntry {
         |          JOIN nrm nb ON dots.qid = nb.vec_id
         |WHERE dots.vec_id <> dots.qid
         |QUALIFY row_number() OVER (PARTITION BY dots.qid ORDER BY sim_q DESC, dots.vec_id ASC) <= 5""".stripMargin,
+    "hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |ev AS (SELECT vec_id, unnest(embedding) AS x,
+        |       generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |qe AS (SELECT qid, unnest(qv) AS x,
+        |       generate_subscripts(qv, 1) AS i FROM q),
+        |dots AS (
+        |  SELECT e.vec_id, v.qid,
+        |    sum(CAST(e.x AS DOUBLE) * CAST(v.x AS DOUBLE)) AS dot
+        |  FROM ev e JOIN qe v USING (i) GROUP BY e.vec_id, v.qid),
+        |nrm AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        |        FROM ev GROUP BY vec_id),
+        |sims AS (
+        |  SELECT dots.qid, dots.vec_id,
+        |    CAST(round(dot / (na.nrm * nb.nrm) * 1e6) AS BIGINT) AS sim_q
+        |  FROM dots JOIN nrm na ON dots.vec_id = na.vec_id
+        |            JOIN nrm nb ON dots.qid = nb.vec_id
+        |  WHERE dots.vec_id <> dots.qid)
+        |SELECT qid, vec_id, sim_q,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim_q DESC, vec_id ASC) AS BIGINT)
+        |    AS neg_rank
+        |FROM sims WHERE sim_q < 950000
+        |QUALIFY neg_rank <= 5""".stripMargin,
+    "drill_rollup" ->
+      """WITH partials AS (
+        |  SELECT doc_id // 128 AS shard, lang, count(*) AS n,
+        |    sum(n_chars) AS sum_chars
+        |  FROM documents GROUP BY 1, 2
+        |)
+        |SELECT lang, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(sum(sum_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT shard) AS n_shards
+        |FROM partials GROUP BY lang""".stripMargin,
+    "leakage_split" ->
+      """WITH hosts AS (
+        |  SELECT doc_id,
+        |    lower('example' || CAST(doc_id % 50 AS VARCHAR) || '.com') AS host
+        |  FROM documents
+        |), sp AS (
+        |  SELECT doc_id, host,
+        |    (instr('0123456789abcdef', substring(md5(host), 1, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substring(md5(host), 2, 1)) - 1)
+        |      AS b0
+        |  FROM hosts
+        |)
+        |SELECT CASE WHEN b0 < 205 THEN 'train'
+        |            WHEN b0 < 230 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, count(DISTINCT host) AS n_hosts
+        |FROM sp GROUP BY 1""".stripMargin,
+    "mixed_sim_dismax" ->
+      OracleGen.mixedSimSql(Seq("spark", "merge"), 0.3, 2000.0, 10),
     "binary_meta" -> TrainingOracles.binaryMeta,
     "let_describe" -> MathOracles.letDescribe,
     "let_score_describe" -> MathOracles.letScoreDescribe,

@@ -1168,6 +1168,27 @@ object TrainingData {
         seenPred(col("doc_id")).cast("long").as("actually_seen"))
   }
 
+  /** Leakage-controlled train/val/test split (§2.9b: row-wise random
+    * splits leak — re-crawls/mirrors of one site end up on both sides
+    * (Lee et al. 2021 §6.2 measure exactly this val/train overlap), so
+    * the standard control splits by GROUP: every doc of one canonical
+    * host lands in ONE split). Split = the host's md5 prefix byte
+    * mapped to 80/10/10 ranges — fully narrow, deterministic, and
+    * by construction no host can span splits. Output: per split, doc
+    * and host counts.
+    */
+  def leakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val hosts = urlNormalize(s, dir).select(col("doc_id"), col("host"))
+    val hx = "0123456789abcdef"
+    val byte0 = (instr(lit(hx), substring(md5(col("host")), 1, 1)) - 1) * 16 +
+      (instr(lit(hx), substring(md5(col("host")), 2, 1)) - 1)
+    val split = when(byte0 < 205, lit("train"))
+      .when(byte0 < 230, lit("val")).otherwise(lit("test"))
+    hosts.withColumn("split", split)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("host").as("n_hosts"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling" — hashed n-gram
     * importance weights for domain-targeted pretraining selection):

@@ -114,6 +114,35 @@ object Vectors {
       .select("qid", "vec_id", "sim_q")
   }
 
+  /** Hard-negative mining (§2.9b: the contrastive-training data prep of
+    * DPR / Contriever-style retriever training — per anchor, the most
+    * SIMILAR corpus items that are NOT near-duplicates make the best
+    * negatives): the [[annBatchTopK]] dataflow with a near-dup band
+    * EXCLUDED (sim ≥ dupTau is a positive/duplicate, not a negative).
+    * Same one-broadcast-join shape; at scale stage 1 swaps to the
+    * sketch/IVF candidate cut exactly as ANN does.
+    */
+  def hardNegatives(s: SparkSession, dir: String, nQueries: Long = 8L,
+                    k: Int = 5, dupTauMicro: Long = 950000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, dir)
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val sims = e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dotD(col("embedding"), col("qv"))
+          / (normD(col("embedding")) * normD(col("qv"))) * 1e6)
+          .cast("long").as("sim_q"))
+      .where(col("sim_q") < dupTauMicro)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim_q").desc, col("vec_id").asc)
+    sims.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("sim_q"),
+        col("rn").cast("long").as("neg_rank"))
+  }
+
   /** SRP-LSH sketch width. 256 sign bits = 32 bytes/vector. Measured on
     * the sf0.1 embeddings (near-random vectors — the HARD case for ANN):
     * recall@10 = 0.94 re-ranking 10% of the corpus, vs 0.28 for the

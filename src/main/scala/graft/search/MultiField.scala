@@ -46,6 +46,74 @@ object MultiField {
     dismaxScoredMm(spark, dir, qTerms, tie, segSize, boosts)
       .select(col("doc_id"), col("score"))
 
+  /** Per-FIELD similarity mixing [8x solr/core .../schema/
+    * SimilarityFactory.java + IndexSchema `<similarity>` per fieldType;
+    * lucene PerFieldSimilarityWrapper]: a schema may score each field
+    * with a different model — here title by BM25 (its own field stats)
+    * and body by LMDirichlet (μ = 2000, body ctf/sttf) — and a
+    * cross-field dismax combines the per-field clause scores exactly as
+    * [[dismaxScoredMm]] does. One posting decode, per-(field, term)
+    * stats broadcast, one per-doc combine.
+    */
+  def mixedSimDismaxTopK(spark: SparkSession, dir: String,
+                         qTerms: Seq[String], tie: Double, k: Int,
+                         segSize: Long, mu: Double = 2000.0): DataFrame = {
+    import spark.implicits._
+    val (view, fstats) = MultiFieldCache.titleBodyIndex(spark, dir, segSize)
+    val fields = Seq("body", "title")
+    val terms = qTerms.distinct.sorted
+    val k1 = graft.spec.LuceneSpec.K1d
+    val b = graft.spec.LuceneSpec.Bd
+    val stats: Map[(String, String), (Long, Long)] = view.terms
+      .filter(col("field").isin(fields: _*) && col("term").isin(terms: _*))
+      .groupBy("field", "term")
+      .agg(sum("df").as("df"), sum("ctf").as("ctf")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val bcStats = spark.sparkContext.broadcast(stats)
+    val bcF = spark.sparkContext.broadcast(fstats)
+    val entries = view.postings
+      .filter(col("field").isin(fields: _*) && col("term").isin(terms: _*))
+      .as[PostingBlockRow]
+      .flatMap { blk =>
+        val d = PostingCodec.decode(blk.docs, blk.freqs, blk.norms)
+        Iterator.tabulate(d.docIds.length)(i =>
+          (d.docIds(i), blk.field, blk.term, d.freqs(i),
+            SmallFloat.byte4ToInt(d.norms(i))))
+      }
+    entries.groupByKey(_._1).mapGroups { (docId, it) =>
+      val rows = it.toArray.sortBy(r => (r._3, r._2))
+      var total = 0.0
+      var i = 0
+      while (i < rows.length) {
+        val term = rows(i)._3
+        var mx = 0.0
+        var sm = 0.0
+        while (i < rows.length && rows(i)._3 == term) {
+          val (_, f, t, tf, ldl) = rows(i)
+          val (nF, sttfF) = bcF.value(f)
+          val (df, ctf) = bcStats.value((f, t))
+          val s =
+            if (f == "title") {
+              val avgdl = sttfF.toDouble / nF
+              math.log(1d + (nF - df + 0.5) / (df + 0.5)) * tf /
+                (tf + k1 * (1 - b + b * ldl / avgdl))
+            } else {
+              math.max(0.0,
+                math.log(1d + tf / (mu * ctf / sttfF.toDouble)) +
+                  math.log(mu / (ldl + mu)))
+            }
+          if (s > mx) mx = s
+          sm += s
+          i += 1
+        }
+        total += mx + tie * (sm - mx)
+      }
+      (docId, total)
+    }.toDF("doc_id", "score")
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+
   /** CombinedFieldQuery — simple BM25F [8x lucene/sandbox .../search/
     * CombinedFieldQuery.java + MultiNormsLeafSimScorer.java,
     * LUCENE-8216: "scores documents with the BM25 formula over the

@@ -211,6 +211,52 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(fp > 0 && fp < unseen / 4, s"fp=$fp unseen=$unseen")
   }
 
+  test("mixed_sim_dismax: Dirichlet body shifts scores off pure-BM25 dismax") {
+    val mixed = SparkEntry.queries("mixed_sim_dismax")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pure = SparkEntry.queries("multifield_dismax")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(mixed.size == 10 && pure.size == 10)
+    assert(mixed != pure) // same query+tie, different body similarity
+  }
+
+  test("drill_rollup equals a direct one-level rollup") {
+    import spark.implicits._
+    val got = SparkEntry.queries("drill_rollup")(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val direct = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+      .as[(Long, String, Long)].collect().toSeq
+    val expected = direct.groupBy(_._2).map { case (lang, rs) =>
+      (lang, (rs.size.toLong, rs.map(_._3).sum,
+        rs.map(_._1 / 128).distinct.size.toLong))
+    }
+    assert(got == expected)
+    // the two-level structure must be real: some lang spans >1 shard
+    assert(got.values.exists(_._3 > 1))
+  }
+
+  test("hard_negatives: near-dup band excluded, ranks dense per anchor") {
+    val rows = SparkEntry.queries("hard_negatives")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 < 950000L))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1L to rs.length.toLong).toSeq)
+      assert(rs.length <= 5)
+    }
+  }
+
+  test("leakage_split: group-wise split partitions docs, hosts never span") {
+    val got = SparkEntry.queries("leakage_split")(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got.values.map(_._1).sum == texts.size.toLong)
+    // every split non-empty and hosts partition (50 distinct hosts total)
+    assert(got.keySet == Set("train", "val", "test"))
+    assert(got.values.map(_._2).sum == 50L)
+  }
+
   test("diff(vec, lag) equals brute-force lagged differences") {
     import spark.implicits._
     val vals = graft.operators.MathStreams.run(spark, dir,
