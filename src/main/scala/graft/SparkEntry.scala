@@ -1035,6 +1035,17 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("n_chars").cast("double").as("f")),
         Seq("spark", "scan"), 1.8, 600.0, 10)),
+    "rank_feature_log" -> ((s, dir) =>
+      // FeatureField.newLogQuery: BM25 + w·ln(a + f) — the unbounded
+      // static-signal boost (popularity-style features)
+      MoreQueries.rankFeatureLogTopK(s, IndexCache.documentsIndex(s, dir),
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("n_chars").cast("double").as("f")),
+        Seq("spark", "scan"), 0.5, 1.0, 10)),
+    "novelty_score" -> ((s, dir) =>
+      // n-gram novelty: fraction of a doc's distinct 8-grams unique to
+      // it corpus-wide (permille) — the data-valuation signal
+      graft.operators.TrainingData.noveltyScore(s, dir)),
     "random_sort_topk" -> ((s, dir) =>
       // Solr RandomSortField [8x solr/core .../schema/RandomSortField
       // .java]: sort=random_<seed> — a deterministic pseudo-random
@@ -2603,6 +2614,34 @@ object SparkEntry {
       OracleGen.wordBreakSql(Seq("sparkjoin", "datatable", "rowscan"), 2L, 10),
     "rank_feature_topk" ->
       OracleGen.rankFeatureSql(Seq("spark", "scan"), 1.8, 600.0, 10),
+    "rank_feature_log" ->
+      s"""WITH ${OracleGen.bm25Ctes(Seq("spark", "scan"))}
+         |SELECT sc.doc_id,
+         |  CAST(round((sc.score + 0.5 * ln(1.0 + d.n_chars))
+         |    * 10000) AS BIGINT) AS score_q
+         |FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+         |ORDER BY sc.score + 0.5 * ln(1.0 + d.n_chars) DESC, sc.doc_id ASC
+         |LIMIT 10""".stripMargin,
+    "novelty_score" -> {
+      val leads = (1 to 7)
+        .map(i => s"lead(term, $i) OVER w").mkString(" || ' ' || ")
+      s"""WITH tp AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         |         generate_subscripts(string_split(text, ' '), 1) AS pos
+         |  FROM documents),
+         |sh0 AS (
+         |  SELECT doc_id, term || ' ' || $leads AS s
+         |  FROM tp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE s IS NOT NULL),
+         |sdf AS (SELECT s, count(*) AS sdf FROM sh GROUP BY 1)
+         |SELECT sh.doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN sdf.sdf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unique,
+         |  CAST((1000 * sum(CASE WHEN sdf.sdf = 1 THEN 1 ELSE 0 END))
+         |    // count(*) AS BIGINT) AS novelty_pm
+         |FROM sh JOIN sdf USING (s)
+         |GROUP BY sh.doc_id""".stripMargin
+    },
     "random_sort_topk" ->
       """SELECT doc_id, md5('random_1337:' || CAST(doc_id AS VARCHAR)) AS rnd
         |FROM documents ORDER BY rnd ASC, doc_id ASC LIMIT 20""".stripMargin,

@@ -1168,6 +1168,25 @@ object TrainingData {
         seenPred(col("doc_id")).cast("long").as("actually_seen"))
   }
 
+  /** N-gram novelty score (§2.9b data-valuation signal — the inverse
+    * read of the duplication mass: the fraction of a doc's DISTINCT
+    * word 8-grams found NOWHERE else in the corpus; boilerplate and
+    * near-dups score toward 0 ‰, original text toward 1000 ‰). One
+    * shingle hash-shuffle (per-shingle corpus df) + join back — the
+    * dup_ngram_prune cost class; at 100 TB the shingle df table is the
+    * same artifact exact-substring dedup already materializes.
+    */
+  def noveltyScore(s: SparkSession, dir: String): DataFrame = {
+    val sh = shinglesDf(docs(s, dir), 8)
+    val sdf = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+    sh.join(sdf, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("sdf") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        expr("(1000 * n_unique) div n_grams").as("novelty_pm"))
+  }
+
   /** Leakage-controlled train/val/test split (§2.9b: row-wise random
     * splits leak — re-crawls/mirrors of one site end up on both sides
     * (Lee et al. 2021 §6.2 measure exactly this val/train overlap), so

@@ -1543,6 +1543,26 @@ object MoreQueries {
         round(col("score") * 10000).cast("long").as("score_q"))
   }
 
+  /** FeatureField.newLogQuery [8x lucene/core .../document/
+    * FeatureField.java LogFunction — score contribution
+    * w · ln(a + f)]: the unbounded twin of the saturation boost
+    * ([[rankFeatureTopK]]) for features whose usefulness keeps growing
+    * (pagerank-style popularity); same one scored pass + pruned
+    * feature join.
+    */
+  def rankFeatureLogTopK(spark: SparkSession, view: IndexView,
+                         feat: DataFrame, terms: Seq[String],
+                         weight: Double, a: Double, k: Int): DataFrame = {
+    ExactSearch.scored(spark, view, terms)
+      .join(feat, Seq("doc_id"))
+      .withColumn("score",
+        col("score") + lit(weight) * log(lit(a) + col("f")))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"),
+        round(col("score") * 10000).cast("long").as("score_q"))
+  }
+
   /** SpanNotQuery [8x search/spans/SpanNotQuery.java]: matches of the
     * include span — the greedy-minimal ordered 2-term near within
     * `slop` (same chain rule as [[spanNearOrdered]]) — that do NOT

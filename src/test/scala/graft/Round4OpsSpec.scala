@@ -257,6 +257,34 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum == 50L)
   }
 
+  test("novelty_score equals brute-force corpus-unique 8-gram fraction") {
+    val grams = texts.map { case (id, tx) =>
+      (id, tx.split(' ').filter(_.nonEmpty).sliding(8)
+        .filter(_.length == 8).map(_.mkString(" ")).toSet)
+    }.filter(_._2.nonEmpty)
+    val df = grams.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    val expected = grams.map { case (id, gs) =>
+      val uniq = gs.count(g => df(g) == 1).toLong
+      (id, (gs.size.toLong, uniq, 1000L * uniq / gs.size))
+    }.toMap
+    val got = SparkEntry.queries("novelty_score")(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected)
+    // both regimes must occur: fully-novel docs and shared-gram docs
+    assert(expected.values.exists(_._3 == 1000L) &&
+           expected.values.exists(_._3 < 1000L))
+  }
+
+  test("rank_feature_log: unbounded boost ranks differently than saturation") {
+    val logB = SparkEntry.queries("rank_feature_log")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val sat = SparkEntry.queries("rank_feature_topk")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(logB.size == 10 && sat.size == 10)
+    assert(logB != sat)
+  }
+
   test("diff(vec, lag) equals brute-force lagged differences") {
     import spark.implicits._
     val vals = graft.operators.MathStreams.run(spark, dir,
