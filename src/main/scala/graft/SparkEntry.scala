@@ -748,6 +748,31 @@ object SparkEntry {
       // skip-window-pruned posting block inversion
       MoreQueries.termVectors(s, IndexCache.documentsIndex(s, dir), 0L, 4L)
     }),
+    "tv_tfidf" -> ((s, dir) => {
+      // TermVectorsComponent tv.tf_idf=true [8x solr/core .../handler/
+      // component/TermVectorComponent.java — the returned "tf-idf" is
+      // literally tf × 1/docFreq]: per (doc, term) of the requested doc
+      // range, on the ppm integer grid; dictionary df broadcast into
+      // the skip-window-pruned doc-range inversion
+      val v = IndexCache.documentsIndex(s, dir)
+      val tv = MoreQueries.termVectors(s, v, 0L, 4L)
+      val df = v.terms.where(col("field") === graft.index.Indexer.Field)
+        .groupBy("term").agg(sum("df").as("df"))
+      tv.join(broadcast(df), Seq("term"))
+        .select(col("doc_id"), col("term"), col("tf"),
+          expr("(tf * 1000000) div df").as("tfidf_ppm"))
+    }),
+    "stats_calcdistinct" -> ((s, dir) =>
+      // StatsComponent stats.calcdistinct=true [8x solr/core .../
+      // handler/component/StatsComponent.java, StatsValuesFactory
+      // countDistinct + distinctValues]: the distinct-value COUNT and
+      // the distinct value SET of a field per bucket — set serialized
+      // sorted so it is hash-stable
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy("lang")
+        .agg(countDistinct("source").as("count_distinct"),
+          concat_ws(",", sort_array(collect_set("source")))
+            .as("distinct_values"))),
     "geo_filter" -> ((s, dir) =>
       graft.operators.Functions.geoFilter(s, dir)),
     "more_like_this" -> ((s, dir) => {
@@ -2493,6 +2518,21 @@ object SparkEntry {
       s"""WITH ${OracleGen.tokCte}
          |SELECT doc_id, term, count(*) AS tf FROM tokf
          |WHERE doc_id BETWEEN 0 AND 4 GROUP BY doc_id, term""".stripMargin,
+    "tv_tfidf" ->
+      s"""WITH ${OracleGen.tokCte}, dfx AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df FROM tokf GROUP BY 1
+         |), tv AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM tokf
+         |  WHERE doc_id BETWEEN 0 AND 4 GROUP BY 1, 2
+         |)
+         |SELECT tv.doc_id, tv.term, tv.tf,
+         |  CAST((tv.tf * 1000000) // dfx.df AS BIGINT) AS tfidf_ppm
+         |FROM tv JOIN dfx USING (term)""".stripMargin,
+    "stats_calcdistinct" ->
+      """SELECT lang, count(DISTINCT source) AS count_distinct,
+        |  string_agg(DISTINCT source, ',' ORDER BY source)
+        |    AS distinct_values
+        |FROM documents GROUP BY lang""".stripMargin,
     "geo_filter" ->
       (s"SELECT c_custkey, dist_10m FROM (${graft.operators.FunctionOracles.geoDist}) g " +
         "WHERE dist_10m <= 300000"),

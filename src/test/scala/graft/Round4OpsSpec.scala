@@ -285,6 +285,35 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(logB != sat)
   }
 
+  test("tv_tfidf equals brute-force tf/df on the requested doc range") {
+    val occ = texts.flatMap { case (id, tx) =>
+      tx.split(' ').filter(t => t.nonEmpty &&
+        !graft.analysis.Analyzer.EnglishStopWords.contains(t)).map((id, _))
+    }
+    val df = occ.distinct.groupBy(_._2).view.mapValues(_.size.toLong)
+    val expected = occ.filter(_._1 <= 4L)
+      .groupBy(identity).map { case ((id, t), rs) =>
+        ((id, t), (rs.size.toLong, 1000000L * rs.size / df(t))) }
+    val got = SparkEntry.queries("tv_tfidf")(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("stats_calcdistinct: sorted distinct sets per bucket") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("stats_calcdistinct")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select("lang", "source").as[(String, String)].collect()
+    rows.foreach { case (lang, n, vals) =>
+      val expect = base.filter(_._1 == lang).map(_._2).distinct.sorted
+      assert(n == expect.length.toLong)
+      assert(vals == expect.mkString(","))
+    }
+  }
+
   test("diff(vec, lag) equals brute-force lagged differences") {
     import spark.implicits._
     val vals = graft.operators.MathStreams.run(spark, dir,
