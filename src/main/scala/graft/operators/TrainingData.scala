@@ -1151,15 +1151,19 @@ object TrainingData {
     instr(lit("01234567"), substring(md5(id.cast("string")), 1, 1)) > 0
 
   def bloomUrlFilter(s: SparkSession, dir: String): DataFrame = {
-    val seen = docs(s, dir).where(seenPred(col("doc_id")))
-      .select(col("doc_id"))
-    val m = bloomBitsFor(seen.count())
+    // one build-side scan: the seen KEYS come back to the driver once
+    // (the bit positions are ≤ k·nSeen longs — by definition smaller
+    // than any exact seen-set a Bloom filter replaces), and both the
+    // size rule and the bitset derive from that single collect
+    val seenIds = docs(s, dir).where(seenPred(col("doc_id")))
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val m = bloomBitsFor(seenIds.length.toLong)
     def positions(id: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
       BloomHashes.map { case (a, b) =>
         (id * a + b) % BloomP % m }
-    val bits = seen
-      .select(explode(array(positions(col("doc_id")): _*)).as("p"))
-      .distinct().collect().map(_.getLong(0)).toSet
+    val bits = seenIds.iterator.flatMap(id =>
+      BloomHashes.iterator.map { case (a, b) => (id * a + b) % BloomP % m })
+      .toSet
     val bcBits = s.sparkContext.broadcast(bits)
     val inBloomU = udf((ps: Seq[Long]) => if (ps.forall(bcBits.value)) 1L else 0L)
     docs(s, dir)

@@ -96,22 +96,34 @@ object Vectors {
     * kernel the sketch path's stage 2 also uses per bucket.
     */
   def annBatchTopK(s: SparkSession, dir: String, nQueries: Long = 8L,
-                   k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                   k: Int = 5): DataFrame =
+    batchCut(batchSims(s, dir, nQueries), k)
+      .select("qid", "vec_id", "sim_q")
+
+  /** Quantized cosine of every (anchor, corpus) pair for the first
+    * `nQueries` anchors — one broadcast cross join, shared by
+    * [[annBatchTopK]] and [[hardNegatives]].
+    */
+  private def batchSims(s: SparkSession, dir: String,
+                        nQueries: Long): DataFrame = {
     val e = emb(s, dir)
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val sims = e.crossJoin(broadcast(q))
+    e.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(dotD(col("embedding"), col("qv"))
           / (normD(col("embedding")) * normD(col("qv"))) * 1e6)
           .cast("long").as("sim_q"))
+  }
+
+  /** Per-anchor top-k cut of a sims frame (rank column kept as `rn`). */
+  private def batchCut(sims: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("qid")
       .orderBy(col("sim_q").desc, col("vec_id").asc)
     sims.withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
-      .select("qid", "vec_id", "sim_q")
   }
 
   /** Hard-negative mining (§2.9b: the contrastive-training data prep of
@@ -123,25 +135,11 @@ object Vectors {
     * sketch/IVF candidate cut exactly as ANN does.
     */
   def hardNegatives(s: SparkSession, dir: String, nQueries: Long = 8L,
-                    k: Int = 5, dupTauMicro: Long = 950000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = emb(s, dir)
-    val q = e.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val sims = e.crossJoin(broadcast(q))
-      .where(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        round(dotD(col("embedding"), col("qv"))
-          / (normD(col("embedding")) * normD(col("qv"))) * 1e6)
-          .cast("long").as("sim_q"))
-      .where(col("sim_q") < dupTauMicro)
-    val w = Window.partitionBy("qid")
-      .orderBy(col("sim_q").desc, col("vec_id").asc)
-    sims.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
+                    k: Int = 5, dupTauMicro: Long = 950000L): DataFrame =
+    batchCut(batchSims(s, dir, nQueries)
+        .where(col("sim_q") < dupTauMicro), k)
       .select(col("qid"), col("vec_id"), col("sim_q"),
         col("rn").cast("long").as("neg_rank"))
-  }
 
   /** SRP-LSH sketch width. 256 sign bits = 32 bytes/vector. Measured on
     * the sf0.1 embeddings (near-random vectors — the HARD case for ANN):

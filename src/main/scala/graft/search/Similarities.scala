@@ -225,18 +225,6 @@ object Similarities {
       .limit(k)
   }
 
-  /** LMJelinekMercerSimilarity top-k (λ = 0.7, the Solr factory default
-    * [8x lucene .../similarities/LMJelinekMercerSimilarity.java; solr
-    * schema/LMJelinekMercerSimilarityFactory.java]):
-    *
-    *   p(t|C)      = ctf_t / sumTotalTermFreq
-    *   score(t, d) = ln(1 + ((1−λ) · tf / dl) / (λ · p(t|C)))
-    *
-    * Always ≥ 0 (log1p of a non-negative ratio) so no clip is needed —
-    * the fourth pluggable similarity over the same index (dl = decoded
-    * lossy norm, ctf from the dictionary; index-only inputs and the
-    * same broadcast-stats + hash-agg shape as the Dirichlet path).
-    */
   /** BM25 with schema-tuned k1/b [8x solr/core .../schema/
     * BM25SimilarityFactory — `<similarity class="solr.
     * BM25SimilarityFactory"><float name="k1">0.9</float><float
@@ -302,6 +290,18 @@ object Similarities {
       .limit(k)
   }
 
+  /** LMJelinekMercerSimilarity top-k (λ = 0.7, the Solr factory default
+    * [8x lucene .../similarities/LMJelinekMercerSimilarity.java; solr
+    * schema/LMJelinekMercerSimilarityFactory.java]):
+    *
+    *   p(t|C)      = ctf_t / sumTotalTermFreq
+    *   score(t, d) = ln(1 + ((1−λ) · tf / dl) / (λ · p(t|C)))
+    *
+    * Always ≥ 0 (log1p of a non-negative ratio) so no clip is needed —
+    * the fourth pluggable similarity over the same index (dl = decoded
+    * lossy norm, ctf from the dictionary; index-only inputs and the
+    * same broadcast-stats + hash-agg shape as the Dirichlet path).
+    */
   def lmJelinekMercerTopK(spark: SparkSession, view: IndexView,
                           terms: Seq[String], k: Int,
                           lambda: Double = 0.7): DataFrame = {

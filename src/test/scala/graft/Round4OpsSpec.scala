@@ -258,8 +258,10 @@ class Round4OpsSpec extends AnyFunSuite {
   }
 
   test("novelty_score equals brute-force corpus-unique 8-gram fraction") {
+    // RAW split positions (empties kept) — shinglesDf/gramArray and the
+    // oracle's lead-window both shingle the raw token array
     val grams = texts.map { case (id, tx) =>
-      (id, tx.split(' ').filter(_.nonEmpty).sliding(8)
+      (id, tx.split(' ').toSeq.sliding(8)
         .filter(_.length == 8).map(_.mkString(" ")).toSet)
     }.filter(_._2.nonEmpty)
     val df = grams.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
