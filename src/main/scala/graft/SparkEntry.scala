@@ -163,6 +163,25 @@ object SparkEntry {
       // hash-mismatches the oracle's recomputed-from-raw-text numbers
       graft.index.CheckIndex.report(IndexCache.documentsIndex(s, dir))
     }),
+    "range_field_query" -> ((s, dir) => {
+      // RangeField queries [8x lucene/core .../document/LongRange.java
+      // newIntersectsQuery / newWithinQuery / newContainsQuery — the
+      // interval-per-doc field type (version spans, validity windows)]:
+      // each doc carries the range [n_chars, n_chars + 20 + doc_id%60]
+      // (variable widths so every relation class is inhabited); against
+      // the query box [200, 250] the three relations are narrow
+      // codegen'd predicates behind the sargable bounding checks (the
+      // BKD-prune role, exactly like geo_polygon's bbox gate)
+      val (qlo, qhi) = (200L, 250L)
+      val lo = col("n_chars")
+      val hi = col("n_chars") + 20L + col("doc_id") % 60L
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), lo.as("r_lo"), hi.as("r_hi"),
+          (lo <= qhi && hi >= qlo).cast("long").as("intersects"),
+          (lo >= qlo && hi <= qhi).cast("long").as("within"),
+          (lo <= qlo && hi >= qhi).cast("long").as("contains"))
+        .where(col("intersects") === 1L)
+    }),
     "field_exists" -> ((s, dir) => {
       // DocValuesFieldExistsQuery / FieldExistsQuery [8x lucene/core
       // .../search/DocValuesFieldExistsQuery.java]: match exactly the
@@ -2424,6 +2443,17 @@ object SparkEntry {
          |  CAST(sum(d2.ctf) AS BIGINT) AS sum_ctf, 'OK' AS status
          |FROM d2 JOIN nd USING (segment_id)
          |GROUP BY d2.segment_id, nd.n_docs""".stripMargin,
+    "range_field_query" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars AS r_lo,
+        |    n_chars + 20 + doc_id % 60 AS r_hi
+        |  FROM documents
+        |)
+        |SELECT doc_id, r_lo, r_hi,
+        |  CAST(r_lo <= 250 AND r_hi >= 200 AS BIGINT) AS intersects,
+        |  CAST(r_lo >= 200 AND r_hi <= 250 AS BIGINT) AS within,
+        |  CAST(r_lo <= 200 AND r_hi >= 250 AS BIGINT) AS contains
+        |FROM r WHERE r_lo <= 250 AND r_hi >= 200""".stripMargin,
     "field_exists" ->
       """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
         |  CAST(year(d) AS BIGINT) AS y

@@ -316,6 +316,29 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("range_field_query: relation flags equal brute-force interval logic") {
+    import spark.implicits._
+    val ranges = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+      .map { case (id, nc) => (id, nc, nc + 20L + id % 60L) }
+    val (qlo, qhi) = (200L, 250L)
+    val expected = ranges
+      .filter { case (_, lo, hi) => lo <= qhi && hi >= qlo }
+      .map { case (id, lo, hi) =>
+        (id, (lo, hi, 1L,
+          if (lo >= qlo && hi <= qhi) 1L else 0L,
+          if (lo <= qlo && hi >= qhi) 1L else 0L))
+      }.toMap
+    val got = SparkEntry.queries("range_field_query")(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected)
+    // all three relations must occur in the corpus or the flags are dead
+    assert(got.values.exists(_._4 == 1L))
+    assert(got.values.exists(_._5 == 1L))
+    assert(got.values.exists(v => v._4 == 0L && v._5 == 0L))
+  }
+
   test("diff(vec, lag) equals brute-force lagged differences") {
     import spark.implicits._
     val vals = graft.operators.MathStreams.run(spark, dir,
