@@ -1228,7 +1228,7 @@ object OracleGen {
     */
   def fuzzyTransposeSql(query: String, maxEdits: Int): String = {
     val pairs = CorpusVocab
-      .map(w => s"('$w', ${graft.search.MoreQueries.osaDistance(w, query)})")
+      .map(w => s"('$w', ${graft.search.MoreQueries.dlDistance(w, query)})")
       .mkString(", ")
     s"""WITH $tokCte, ed(term, d) AS (VALUES $pairs)
        |SELECT DISTINCT doc_id FROM tokf JOIN ed USING (term)

@@ -10,13 +10,25 @@ package graft
 final class SessionCache[V](live: V => Boolean) {
   private val m = new java.util.concurrent.ConcurrentHashMap[String, V]()
 
-  @annotation.tailrec
+  /** At most ONE rebuild attempt: if a freshly-built value fails the
+    * liveness check (e.g. the caller passed an already-stopped
+    * SparkSession so build() can only ever produce dead handles), fail
+    * fast with a descriptive error instead of recursing forever
+    * (round-4 ADVICE finding).
+    */
   def getOrBuild(key: String)(build: => V): V = {
     val got = m.computeIfAbsent(key, _ => build)
     if (live(got)) got
     else {
       m.remove(key, got)
-      getOrBuild(key)(build)
+      val rebuilt = m.computeIfAbsent(key, _ => build)
+      if (live(rebuilt)) rebuilt
+      else {
+        m.remove(key, rebuilt)
+        throw new IllegalStateException(
+          s"SessionCache('$key'): freshly built value is not live — " +
+            "the input session is likely stopped; rebuild cannot succeed")
+      }
     }
   }
 }

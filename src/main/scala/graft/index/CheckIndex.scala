@@ -39,9 +39,18 @@ object CheckIndex {
       .agg(sum("doc_count").as("p_df"), sum("sum_tf").as("p_ctf"),
         min((col("first_doc_id") <= col("last_doc_id")).cast("int"))
           .as("blocks_ok"))
-    dict.join(meta, Seq("segment_id")).join(post, Seq("segment_id"))
-      .select(col("segment_id").cast("long"), col("n_docs"),
-        col("n_terms"), col("sum_df"), col("sum_ctf"),
+    // full_outer: a segment entirely MISSING from dictionary, docmeta or
+    // postings is the worst corruption class an integrity checker exists
+    // to catch — an inner join would silently drop it from the report
+    // (round-4 ADVICE finding). The OK condition evaluates to NULL when
+    // any side is absent, which the otherwise() maps to BROKEN.
+    dict.join(meta, Seq("segment_id"), "full_outer")
+      .join(post, Seq("segment_id"), "full_outer")
+      .select(col("segment_id").cast("long"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        coalesce(col("sum_df"), lit(0L)).as("sum_df"),
+        coalesce(col("sum_ctf"), lit(0L)).as("sum_ctf"),
         when(col("p_df") === col("sum_df") &&
              col("p_ctf") === col("sum_ctf") &&
              col("p_ctf") === col("sum_dl") &&

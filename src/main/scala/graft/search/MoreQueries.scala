@@ -101,39 +101,52 @@ object MoreQueries {
   def fuzzyTerms(view: IndexView, term: String, maxEdits: Int): Seq[String] =
     expandTerms(view, levenshtein(col("term"), lit(term)) <= maxEdits)
 
-  /** Optimal-string-alignment (restricted Damerau-Levenshtein) distance
-    * — the edit model of the reference's DEFAULT FuzzyQuery
+  /** Unrestricted Damerau-Levenshtein distance (Lowrance-Wagner DP) —
+    * the edit model of the reference's DEFAULT FuzzyQuery
     * (`transpositions = true` [8x lucene/core .../search/FuzzyQuery
     * .java; util/automaton/LevenshteinAutomata.java builds the
-    * Schulz-Mihov automaton WITH the transposition primitive]): a swap
-    * of two adjacent chars costs ONE edit, so `psark` matches `spark`
-    * at maxEdits 1 where plain Levenshtein needs 2. Standard OSA DP
-    * (each substring edited at most once — the automaton's model for
-    * the supported maxEdits ≤ 2).
+    * Schulz-Mihov automaton WITH the transposition primitive, which
+    * computes TRUE DL, not restricted OSA]): a swap of two adjacent
+    * chars costs ONE edit, so `psark` matches `spark` at maxEdits 1
+    * where plain Levenshtein needs 2 — and, unlike OSA, a transposed
+    * pair may be edited again (`ca`→`abc` = 2: swap then insert; OSA
+    * says 3). Round-4 ADVICE flagged the OSA/DL divergence at
+    * maxEdits = 2; this is the unrestricted version.
     */
-  private[graft] def osaDistance(a: String, b: String): Int = {
+  private[graft] def dlDistance(a: String, b: String): Int = {
     val (n, m) = (a.length, b.length)
-    val d = Array.ofDim[Int](n + 1, m + 1)
+    if (n == 0) return m
+    if (m == 0) return n
+    val inf = n + m
+    // d is (n+2)×(m+2) with a sentinel row/col of `inf`; da maps each
+    // char to the last row index where it occurred in `a`
+    val d = Array.ofDim[Int](n + 2, m + 2)
+    val da = scala.collection.mutable.Map.empty[Char, Int].withDefaultValue(0)
+    d(0)(0) = inf
     var i = 0
-    while (i <= n) { d(i)(0) = i; i += 1 }
+    while (i <= n) { d(i + 1)(1) = i; d(i + 1)(0) = inf; i += 1 }
     var j = 0
-    while (j <= m) { d(0)(j) = j; j += 1 }
+    while (j <= m) { d(1)(j + 1) = j; d(0)(j + 1) = inf; j += 1 }
     i = 1
     while (i <= n) {
+      var db = 0
       j = 1
       while (j <= m) {
-        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
-        var v = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
-          d(i - 1)(j - 1) + cost)
-        if (i > 1 && j > 1 && a.charAt(i - 1) == b.charAt(j - 2) &&
-            a.charAt(i - 2) == b.charAt(j - 1))
-          v = math.min(v, d(i - 2)(j - 2) + 1)
-        d(i)(j) = v
+        val k = da(b.charAt(j - 1))
+        val l = db
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 } else 1
+        val subst = d(i)(j) + cost
+        val insert = d(i + 1)(j) + 1
+        val delete = d(i)(j + 1) + 1
+        val transp = d(k)(l) + (i - 1 - k) + 1 + (j - 1 - l)
+        d(i + 1)(j + 1) =
+          math.min(math.min(subst, insert), math.min(delete, transp))
         j += 1
       }
+      da(a.charAt(i - 1)) = i
       i += 1
     }
-    d(n)(m)
+    d(n + 1)(m + 1)
   }
 
   /** FuzzyQuery dictionary expansion with the transposition edit model
@@ -142,8 +155,8 @@ object MoreQueries {
     */
   def fuzzyTransposeTerms(view: IndexView, term: String,
                           maxEdits: Int): Seq[String] = {
-    val osaU = udf((t: String) => osaDistance(t, term))
-    expandTerms(view, osaU(col("term")) <= maxEdits)
+    val dlU = udf((t: String) => dlDistance(t, term))
+    expandTerms(view, dlU(col("term")) <= maxEdits)
   }
 
   /** Leading-wildcard expansion via the REVERSED dictionary — Solr's
@@ -1764,17 +1777,36 @@ object MoreQueries {
     * usual dictionary rewrite; the scored pass is one decoded-postings
     * aggregate with the (term, boost) frame broadcast.
     */
-  def fuzzyScoredTopK(spark: SparkSession, view: IndexView,
-                      query: String, maxEdits: Int, k: Int): DataFrame = {
-    import spark.implicits._
-    val cs = graft.stats.GlobalStats.collectionStats(view)
-    val avgdlD = cs.sumTotalTermFreq.toDouble / cs.docCount.toDouble
-    val exp = view.terms
+  /** The reference's top-terms rewrite bound [8x search/FuzzyQuery.java
+    * `defaultMaxExpansions = 50`]: the dictionary rewrite keeps only the
+    * 50 highest-docFreq candidates, so maxEdits=2 against a short term
+    * on a real (corpus-scale) dictionary expands to ≤ 50 clauses, never
+    * thousands. Tie-break on term keeps the cut deterministic.
+    */
+  val FuzzyMaxExpansions = 50
+
+  /** The capped (term, df, ed) expansion of [[fuzzyScoredTopK]] —
+    * factored out so the cap is independently test-enforceable against
+    * a dictionary that exceeds it.
+    */
+  private[graft] def fuzzyExpansion(view: IndexView, query: String,
+                                    maxEdits: Int, maxExpansions: Int)
+    : Seq[(String, Long, Int)] =
+    view.terms
       .groupBy("term").agg(sum("df").as("df"))
       .select(col("term"), col("df"),
         levenshtein(col("term"), lit(query)).as("ed"))
       .where(col("ed") <= maxEdits) // ed computed once, filtered after
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .orderBy(col("df").desc, col("term").asc).limit(maxExpansions)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+
+  def fuzzyScoredTopK(spark: SparkSession, view: IndexView,
+                      query: String, maxEdits: Int, k: Int,
+                      maxExpansions: Int = FuzzyMaxExpansions): DataFrame = {
+    import spark.implicits._
+    val cs = graft.stats.GlobalStats.collectionStats(view)
+    val avgdlD = cs.sumTotalTermFreq.toDouble / cs.docCount.toDouble
+    val exp = fuzzyExpansion(view, query, maxEdits, maxExpansions)
     require(exp.nonEmpty, s"no terms within $maxEdits of '$query'")
     val dfBlended = exp.map(_._2).max
     val idfB = math.log(1d +

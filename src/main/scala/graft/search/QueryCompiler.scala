@@ -274,15 +274,62 @@ object QueryCompiler {
 
   /** Rewrite + compile: matching (doc_id, score) rows. */
   def compile(spark: SparkSession, view: IndexView, q: Query,
-              mode: ScoreMode = DoubleOracle): DataFrame = {
-    val rw = rewrite(view, q)
+              mode: ScoreMode = DoubleOracle): DataFrame =
+    compileRewritten(spark, view, rewrite(view, q), mode)
+
+  private def compileRewritten(spark: SparkSession, view: IndexView,
+                               rw: Query, mode: ScoreMode): DataFrame = {
     val scorers = QueryScorers(view, allTerms(rw).distinct, mode)
     compileScored(spark, view, scorers, rw)
   }
 
-  /** Rewrite + compile + reference top-k cut (score desc, docID asc). */
+  /** The flat distinct-Term bag of a clause list, when that is ALL the
+    * list contains — the shape the block-max kernels implement natively.
+    * Duplicate terms bail out (the exact path scores a repeated SHOULD
+    * term twice; the kernels score each dictionary term once).
+    */
+  private def pureTermBag(qs: Seq[Query]): Option[Seq[String]] = {
+    val ts = qs.collect { case Term(t) => t }
+    if (ts.length == qs.length && ts.distinct.length == ts.length) Some(ts)
+    else None
+  }
+
+  /** Kernel routing for a REWRITTEN tree — the reference gives WAND to
+    * every top-k run automatically ([8x search/WANDScorer.java,
+    * IndexSearcher.java#search builds a WANDScorer for any scoring
+    * disjunction, BlockMaxConjunctionScorer for conjunctions]); mirror
+    * that here so user-typed query strings (QueryParser → topK) get the
+    * block-max kernels, not just the dedicated bench entries. Pure
+    * distinct-term disjunctions (msm ≤ 1 — the kernel's ≥1-match rule)
+    * route to BMW; pure distinct-term conjunctions to block-max AND;
+    * anything mixed (phrases, boosts, filters, MUST_NOT, msm ≥ 2)
+    * keeps the exact Catalyst path. Both kernels are rank- AND
+    * score-identical to the exact path (SearchSpec rank-identity suite),
+    * so routing is purely a physical-plan choice.
+    */
+  private[graft] def kernelChoice(rw: Query): Option[(Seq[String], Boolean)] =
+    rw match {
+      case Term(t) => Some((Seq(t), false))
+      case Bool(sh, Nil, Nil, Nil, msm) if msm <= 1 && sh.nonEmpty =>
+        pureTermBag(sh).map(ts => (ts, false))
+      case Bool(Nil, mu, Nil, Nil, 0) if mu.size >= 2 =>
+        pureTermBag(mu).map(ts => (ts, true))
+      case _ => None
+    }
+
+  /** Rewrite + compile + reference top-k cut (score desc, docID asc).
+    * Pure term disjunctions/conjunctions lower to the block-max kernels
+    * (see [[kernelChoice]]); everything else takes the exact path.
+    */
   def topK(spark: SparkSession, view: IndexView, q: Query, k: Int,
-           mode: ScoreMode = DoubleOracle): DataFrame =
-    compile(spark, view, q, mode)
-      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+           mode: ScoreMode = DoubleOracle): DataFrame = {
+    val rw = rewrite(view, q)
+    kernelChoice(rw) match {
+      case Some((ts, false)) => BmwSearch.topK(spark, view, ts, k, mode)
+      case Some((ts, true))  => BmwSearch.topKAnd(spark, view, ts, k, mode)
+      case None =>
+        compileRewritten(spark, view, rw, mode)
+          .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    }
+  }
 }

@@ -222,4 +222,47 @@ class QueryCompilerSpec extends AnyFunSuite {
       q.copy(minShouldMatch = 1), DoubleOracle))
     assert(strict.keySet == allow.intersect(s5.keySet))
   }
+
+  test("kernel routing: pure term trees lower to the block-max kernels") {
+    import graft.search.QueryParser
+    def choice(q: Q) = QueryCompiler.kernelChoice(QueryCompiler.rewrite(view, q))
+    // pure distinct-term disjunction (incl. a parsed user string) → BMW
+    assert(choice(Q.Bool(should = Seq(Q.Term("a"), Q.Term("b"))))
+      == Some((Seq("a", "b"), false)))
+    assert(choice(QueryParser.parse("a b c")) == Some((Seq("a", "b", "c"), false)))
+    // single term → BMW (1-term disjunction)
+    assert(choice(Q.Term("a")) == Some((Seq("a"), false)))
+    // pure conjunction → block-max AND
+    assert(choice(QueryParser.parse("a AND b")) == Some((Seq("a", "b"), true)))
+    // mixed/complex trees keep the exact path
+    assert(choice(Q.Bool(should = Seq(Q.Term("a"), Q.Phrase(Seq("b", "c"))))).isEmpty)
+    assert(choice(Q.Bool(should = Seq(Q.Term("a"), Q.Boost(Q.Term("b"), 2.0)))).isEmpty)
+    assert(choice(Q.Bool(must = Seq(Q.Term("a")), mustNot = Seq(Q.Term("b")))).isEmpty)
+    assert(choice(Q.Bool(must = Seq(Q.Term("a")), filter = Seq(Q.Term("b")))).isEmpty)
+    assert(choice(Q.Bool(should = Seq(Q.Term("a"), Q.Term("b")), minShouldMatch = 2)).isEmpty)
+    // duplicate SHOULD term scores twice on the exact path — must NOT route
+    assert(choice(Q.Bool(should = Seq(Q.Term("a"), Q.Term("a")))).isEmpty)
+  }
+
+  test("parsed front door through BMW == exact path, ranks AND scores") {
+    import graft.search.QueryParser
+    def routedTopK(q: Q) =
+      QueryCompiler.topK(spark, view, q, 10, DoubleOracle)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    def exactTopK(terms: Seq[String], msm: Int) =
+      ExactSearch.topK(spark, view, terms, 10, DoubleOracle, minShouldMatch = msm)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val cases = Seq(
+      ("w0001 w0010 w0100", Seq("w0001", "w0010", "w0100"), 1), // user OR string
+      ("w0000 AND w0001", Seq("w0000", "w0001"), 2),            // user AND string
+      ("w0005", Seq("w0005"), 1),                               // single term
+      ("w0002 zzznotfound w0008",
+        Seq("w0002", "zzznotfound", "w0008"), 1))               // missing term in OR
+    cases.foreach { case (str, terms, msm) =>
+      val q = QueryParser.parse(str)
+      assert(QueryCompiler.kernelChoice(QueryCompiler.rewrite(view, q)).nonEmpty,
+        s"expected kernel routing for '$str'")
+      assert(routedTopK(q) == exactTopK(terms, msm), s"kernel != exact for '$str'")
+    }
+  }
 }

@@ -75,15 +75,27 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(got.sorted.toSeq == again.sorted.toSeq)
   }
 
-  test("OSA distance: known-answer vectors incl. transposition") {
-    val d = graft.search.MoreQueries.osaDistance _
+  test("Damerau-Levenshtein distance: known-answer vectors incl. transposition") {
+    val d = graft.search.MoreQueries.dlDistance _
     assert(d("spark", "spark") == 0)
     assert(d("psark", "spark") == 1)   // one adjacent swap
     assert(d("ab", "ba") == 1)
     assert(d("kitten", "sitting") == 3)
     assert(d("merge", "merg") == 1)
-    assert(d("ca", "abc") == 3)        // OSA (restricted) — not true DL's 2
+    assert(d("ca", "abc") == 2)        // TRUE DL: swap then insert (OSA says 3)
+    assert(d("a cat", "a abct") == 2)  // classic unrestricted-DL vector
     assert(d("", "abc") == 3 && d("abc", "") == 3)
+    // DL never exceeds plain Levenshtein, and differs by at most the
+    // number of transpositions — cross-check on random short strings
+    val rnd = new scala.util.Random(5)
+    def randW() = (1 to (rnd.nextInt(6) + 1)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    (1 to 200).foreach { _ =>
+      val (x, y) = (randW(), randW())
+      val lev = org.apache.commons.text.similarity.LevenshteinDistance
+        .getDefaultInstance.apply(x, y)
+      assert(d(x, y) <= lev, s"DL($x,$y) > Levenshtein")
+      assert(d(x, y) == d(y, x), s"DL not symmetric on ($x,$y)")
+    }
   }
 
   test("fuzzy_transpose reaches the swapped term plain Levenshtein cannot") {

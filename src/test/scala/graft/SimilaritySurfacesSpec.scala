@@ -146,6 +146,24 @@ class SimilaritySurfacesSpec extends AnyFunSuite {
     // untouched segments still report OK
     assert(rep.filterNot(_._1 == first.segment_id.toLong)
       .values.forall(_ == "OK"))
+    // a segment ENTIRELY missing from one side table must surface as
+    // BROKEN, not silently vanish from the report (full_outer joins —
+    // round-4 ADVICE: the worst corruption class an integrity checker
+    // exists to catch). Drop segment 0 from each side in turn.
+    val seg0 = 0L
+    val noDict = graft.index.IndexView(
+      v.postings, v.terms.filter(col("segment_id") =!= 0), v.docmeta)
+    val noMeta = graft.index.IndexView(
+      v.postings, v.terms, v.docmeta.filter(d => d.segment_id != 0))
+    val noPost = graft.index.IndexView(
+      v.postings.filter(p => p.segment_id != 0), v.terms, v.docmeta)
+    Seq(noDict, noMeta, noPost).foreach { broken =>
+      val r2 = graft.index.CheckIndex.report(broken).collect()
+        .map(r => (r.getLong(0), r.getString(5))).toMap
+      assert(r2.get(seg0).contains("BROKEN"),
+        s"missing-side segment must be reported BROKEN, got ${r2.get(seg0)}")
+      assert(r2.filterNot(_._1 == seg0).values.forall(_ == "OK"))
+    }
   }
 
   test("export_sorted: dense ranks in exact (n_chars desc, doc_id) order") {
