@@ -369,18 +369,31 @@ object SparkEntry {
       // before the per-doc window) — hit-set-sized, not corpus-sized.
       import s.implicits._
       val v = IndexCache.documentsIndex(s, dir)
-      val hits = ExactSearch.topK(s, v, Seq("spark"), 100, DoubleOracle)
-        .select("doc_id")
+      // the hit set is k-sized (100 ids) — broadcast it INTO the decode
+      // so positions are only materialized for hit docs: block rows are
+      // pruned by the sargable doc-range columns first (parquet min/max
+      // prune at production scale), then a block decodes its docID list
+      // and skips the position payload entirely when no hit doc is
+      // present — the decode cost is hit-set-bounded, not corpus-bounded
+      val hitIds = ExactSearch.topK(s, v, Seq("spark"), 100, DoubleOracle)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val bcHits = s.sparkContext.broadcast(hitIds)
+      val (loHit, hiHit) = (hitIds.min, hitIds.max)
       val occ = v.postings
-        .filter(col("field") === graft.index.Indexer.Field)
+        .filter(col("field") === graft.index.Indexer.Field &&
+          col("last_doc_id") >= loHit && col("first_doc_id") <= hiHit)
         .flatMap { b =>
           val d = graft.codec.PostingCodec.decode(b.docs, b.freqs, b.norms)
-          val ps = graft.codec.PostingCodec.decodePositions(b.positions, d.freqs)
-          Iterator.range(0, d.docIds.length).flatMap(i =>
-            ps(i).iterator.map(p => (d.docIds(i), b.term, p)))
+          val keep = Array.range(0, d.docIds.length)
+            .filter(i => bcHits.value.contains(d.docIds(i)))
+          if (keep.isEmpty) Iterator.empty
+          else {
+            val ps = graft.codec.PostingCodec.decodePositions(b.positions, d.freqs)
+            keep.iterator.flatMap(i =>
+              ps(i).iterator.map(p => (d.docIds(i), b.term, p)))
+          }
         }
         .toDF("doc_id", "term", "pos")
-        .join(broadcast(hits), Seq("doc_id"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("pos")
       occ
