@@ -2102,6 +2102,63 @@ object OracleGen {
        |GROUP BY term, nt
        |ORDER BY n_docs DESC, label ASC LIMIT 5""".stripMargin
 
+  /** STC binary cluster merge over the top-10 base clusters of
+    * [[clusterLabelsPhraseSql]]: edges where the member overlap
+    * exceeds half of BOTH clusters, components via a recursive-CTE
+    * transitive closure, component label = lexicographic minimum.
+    */
+  def clusterMergeStcSql(term: String, k: Int): String =
+    s"""WITH RECURSIVE ${bm25Ctes(Seq(term))}, hits AS (
+       |  SELECT doc_id FROM sc ORDER BY score DESC, doc_id ASC LIMIT $k
+       |), tokp AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents
+       |), tokfp AS (
+       |  SELECT t.doc_id, t.term, t.pos FROM tokp t JOIN hits USING (doc_id)
+       |  WHERE length(t.term) > 0 AND t.term NOT IN ($stopList)
+       |), sh AS (
+       |  SELECT doc_id, term, pos,
+       |    lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nt,
+       |    lead(pos)  OVER (PARTITION BY doc_id ORDER BY pos) AS np
+       |  FROM tokfp
+       |), lab AS (
+       |  SELECT DISTINCT doc_id, term || ' ' || nt AS label FROM sh
+       |  WHERE np = pos + 1 AND term <> '$term' AND nt <> '$term'
+       |), base AS (
+       |  SELECT label, count(*) AS n FROM lab GROUP BY 1
+       |  ORDER BY n DESC, label ASC LIMIT 10
+       |), mem AS (
+       |  SELECT l.label, l.doc_id FROM lab l JOIN base USING (label)
+       |), sz AS (
+       |  SELECT label, count(*) AS n FROM mem GROUP BY 1
+       |), ov AS (
+       |  SELECT a.label AS la, b.label AS lb, count(*) AS n_both
+       |  FROM mem a JOIN mem b ON a.doc_id = b.doc_id AND a.label < b.label
+       |  GROUP BY 1, 2
+       |), edges AS (
+       |  SELECT la, lb FROM ov
+       |  JOIN sz sa ON sa.label = ov.la JOIN sz sb ON sb.label = ov.lb
+       |  WHERE n_both * 2 > sa.n AND n_both * 2 > sb.n
+       |), sym AS (
+       |  SELECT la AS a, lb AS b FROM edges
+       |  UNION ALL SELECT lb, la FROM edges
+       |), reach(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+       |), root AS (
+       |  SELECT bl.label,
+       |    least(bl.label, coalesce(min(r.b), bl.label)) AS root
+       |  FROM base bl LEFT JOIN reach r ON r.a = bl.label
+       |  GROUP BY bl.label
+       |)
+       |SELECT root.root AS cluster_label,
+       |  CAST(count(DISTINCT root.label) AS BIGINT) AS n_base,
+       |  CAST(count(DISTINCT m.doc_id) AS BIGINT) AS n_docs
+       |FROM root JOIN mem m ON m.label = root.label
+       |GROUP BY 1""".stripMargin
+
   /** FreeTextSuggester: next-word candidates after `prev` by raw
     * corpus bigram frequency (the suggester's analyzer has no stop
     * filter, so the RAW token stream is the right source).

@@ -407,6 +407,75 @@ object SparkEntry {
           (col("n_docs") * 2).as("score"))
         .orderBy(col("n_docs").desc, col("label").asc).limit(5)
     }),
+    "cluster_merge_stc" -> ((s, dir) => {
+      // STC's binary cluster MERGE step [Zamir & Etzioni 1998 §4.3;
+      // 8x solr/contrib/clustering CarrotClusteringEngine]: the top-10
+      // base clusters (phrase labels of cluster_labels_phrase) merge
+      // when their member overlap exceeds half of BOTH clusters
+      // (|A∩B|/|A| > 0.5 AND /|B| > 0.5); merged cluster = connected
+      // component of the merge graph, labeled by its lexicographically
+      // first base label. The graph is k-bounded (10 base clusters ×
+      // ≤100 hit docs), so closure runs driver-side on the collected
+      // membership — cluster-count-sized, never corpus-sized; the
+      // heavy lifting (hit search + hit-bounded bigram induction)
+      // stays distributed.
+      import s.implicits._
+      val v = IndexCache.documentsIndex(s, dir)
+      val hitIds = ExactSearch.topK(s, v, Seq("spark"), 100, DoubleOracle)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val bcHits = s.sparkContext.broadcast(hitIds)
+      val (loHit, hiHit) = (hitIds.min, hitIds.max)
+      val lab = v.postings
+        .filter(col("field") === graft.index.Indexer.Field &&
+          col("last_doc_id") >= loHit && col("first_doc_id") <= hiHit)
+        .flatMap { b =>
+          val d = graft.codec.PostingCodec.decode(b.docs, b.freqs, b.norms)
+          val keep = Array.range(0, d.docIds.length)
+            .filter(i => bcHits.value.contains(d.docIds(i)))
+          if (keep.isEmpty) Iterator.empty
+          else {
+            val ps = graft.codec.PostingCodec.decodePositions(b.positions, d.freqs)
+            keep.iterator.flatMap(i =>
+              ps(i).iterator.map(p => (d.docIds(i), b.term, p)))
+          }
+        }
+        .toDF("doc_id", "term", "pos")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val pairs = lab
+        .select(col("doc_id"), col("term"), col("pos"),
+          lead("term", 1).over(w).as("nt"), lead("pos", 1).over(w).as("np"))
+        .where(col("np") === col("pos") + 1 &&
+          col("term") =!= "spark" && col("nt") =!= "spark")
+        .select(col("doc_id"),
+          concat_ws(" ", col("term"), col("nt")).as("label"))
+        .distinct()
+      val base = pairs.groupBy("label").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("label").asc).limit(10)
+      val mem = pairs.join(broadcast(base.select("label")), Seq("label"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).toSet }
+      // driver-side merge closure over the ≤10-node graph
+      val labels = mem.keys.toSeq.sorted
+      val parent = scala.collection.mutable.Map(labels.map(l => l -> l): _*)
+      def find(l: String): String =
+        if (parent(l) == l) l else { val r = find(parent(l)); parent(l) = r; r }
+      for {
+        a <- labels; b <- labels if a < b
+        both = (mem(a) intersect mem(b)).size
+        if both * 2 > mem(a).size && both * 2 > mem(b).size
+      } {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by min label keeps roots deterministic
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      labels.groupBy(find)
+        .map { case (root, ls) =>
+          (root, ls.size.toLong,
+            ls.flatMap(mem).toSet.size.toLong)
+        }.toSeq.toDF("cluster_label", "n_base", "n_docs")
+    }),
     "contamination_score" -> ((s, dir) =>
       // per-doc contamination fraction: distinct 8-gram overlap with
       // the held-out benchmark set, permille grid — the score behind
@@ -2487,6 +2556,7 @@ object SparkEntry {
          |SELECT term AS label, count(*) AS n_docs FROM dom
          |GROUP BY term ORDER BY n_docs DESC, label ASC LIMIT 5""".stripMargin,
     "cluster_labels_phrase" -> OracleGen.clusterLabelsPhraseSql("spark", 100),
+    "cluster_merge_stc" -> OracleGen.clusterMergeStcSql("spark", 100),
     "contamination_score" -> TrainingOracles.contaminationScore,
     "classic_tfidf_topk" -> OracleGen.classicTfidfSql(Seq("spark", "join"), 10),
     "bm25_omit_norms" -> OracleGen.bm25OmitNormsSql(Seq("spark", "join"), 10),
