@@ -909,7 +909,12 @@ object OracleGen {
        |  SELECT term, count(DISTINCT doc_id) AS df,
        |    levenshtein(term, '$query') AS ed
        |  FROM tokf GROUP BY term
-       |), exp AS (SELECT term, df, ed FROM dfm WHERE ed <= $maxEdits),
+       |), exp AS (
+       |  SELECT term, df, ed FROM dfm WHERE ed <= $maxEdits
+       |  QUALIFY row_number() OVER (ORDER BY
+       |    1.0 - CAST(ed AS DOUBLE)
+       |      / CAST(least(length(term), ${query.length}) AS DOUBLE) DESC,
+       |    term ASC) <= ${graft.search.MoreQueries.FuzzyMaxExpansions}),
        |bl AS (SELECT max(df) AS dfb FROM exp),
        |tf AS (
        |  SELECT doc_id, term, count(*) AS tf FROM tokf

@@ -17,6 +17,52 @@ object SparkEntry {
     df.select(col("doc_id"),
       round(col("score") * 10000).cast("long").as("score_q"))
 
+  /** (doc_id, label) adjacent-position bigram occurrences of `query`'s
+    * top-`k` hit docs — the shared frame behind the STC entries
+    * (cluster_labels_phrase / cluster_merge_stc). The hit set is
+    * k-sized, so it is broadcast INTO the decode: block rows are pruned
+    * by the sargable doc-range columns first (parquet min/max prune at
+    * production scale), then a block decodes its docID list and skips
+    * the position payload entirely when no hit doc is present — decode
+    * cost is hit-set-bounded, not corpus-bounded. Stopword position
+    * gaps suppress spanning bigrams; bigrams containing the query term
+    * are excluded (Carrot2's query-word label filter). Empty hit set →
+    * empty frame (no min/max on an empty set).
+    */
+  private def hitBigramLabels(s: SparkSession, v: graft.index.IndexView,
+                              query: String, k: Int): DataFrame = {
+    import s.implicits._
+    val hitIds = ExactSearch.topK(s, v, Seq(query), k, DoubleOracle)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    if (hitIds.isEmpty)
+      return Seq.empty[(Long, String)].toDF("doc_id", "label")
+    val bcHits = s.sparkContext.broadcast(hitIds)
+    val (loHit, hiHit) = (hitIds.min, hitIds.max)
+    val occ = v.postings
+      .filter(col("field") === graft.index.Indexer.Field &&
+        col("last_doc_id") >= loHit && col("first_doc_id") <= hiHit)
+      .flatMap { b =>
+        val d = graft.codec.PostingCodec.decode(b.docs, b.freqs, b.norms)
+        val keep = Array.range(0, d.docIds.length)
+          .filter(i => bcHits.value.contains(d.docIds(i)))
+        if (keep.isEmpty) Iterator.empty
+        else {
+          val ps = graft.codec.PostingCodec.decodePositions(b.positions, d.freqs)
+          keep.iterator.flatMap(i =>
+            ps(i).iterator.map(p => (d.docIds(i), b.term, p)))
+        }
+      }
+      .toDF("doc_id", "term", "pos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    occ
+      .select(col("doc_id"), col("term"), col("pos"),
+        lead("term", 1).over(w).as("nt"), lead("pos", 1).over(w).as("np"))
+      .where(col("np") === col("pos") + 1 &&
+        col("term") =!= query && col("nt") =!= query)
+      .select(col("doc_id"), concat_ws(" ", col("term"), col("nt")).as("label"))
+  }
+
   /** Stage a single parquet FILE as a directory for the file-stream
     * source (which requires one). Deterministic per input path and
     * created once — repeated gate runs reuse it instead of leaking a
@@ -369,40 +415,8 @@ object SparkEntry {
       // before the per-doc window) — hit-set-sized, not corpus-sized.
       import s.implicits._
       val v = IndexCache.documentsIndex(s, dir)
-      // the hit set is k-sized (100 ids) — broadcast it INTO the decode
-      // so positions are only materialized for hit docs: block rows are
-      // pruned by the sargable doc-range columns first (parquet min/max
-      // prune at production scale), then a block decodes its docID list
-      // and skips the position payload entirely when no hit doc is
-      // present — the decode cost is hit-set-bounded, not corpus-bounded
-      val hitIds = ExactSearch.topK(s, v, Seq("spark"), 100, DoubleOracle)
-        .select("doc_id").collect().map(_.getLong(0)).toSet
-      val bcHits = s.sparkContext.broadcast(hitIds)
-      val (loHit, hiHit) = (hitIds.min, hitIds.max)
-      val occ = v.postings
-        .filter(col("field") === graft.index.Indexer.Field &&
-          col("last_doc_id") >= loHit && col("first_doc_id") <= hiHit)
-        .flatMap { b =>
-          val d = graft.codec.PostingCodec.decode(b.docs, b.freqs, b.norms)
-          val keep = Array.range(0, d.docIds.length)
-            .filter(i => bcHits.value.contains(d.docIds(i)))
-          if (keep.isEmpty) Iterator.empty
-          else {
-            val ps = graft.codec.PostingCodec.decodePositions(b.positions, d.freqs)
-            keep.iterator.flatMap(i =>
-              ps(i).iterator.map(p => (d.docIds(i), b.term, p)))
-          }
-        }
-        .toDF("doc_id", "term", "pos")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-      occ
-        .select(col("doc_id"), col("term"), col("pos"),
-          lead("term", 1).over(w).as("nt"), lead("pos", 1).over(w).as("np"))
-        .where(col("np") === col("pos") + 1 &&
-          col("term") =!= "spark" && col("nt") =!= "spark")
-        .groupBy(concat_ws(" ", col("term"), col("nt")).as("label"))
-        .agg(countDistinct("doc_id").as("n_docs"))
+      hitBigramLabels(s, v, "spark", 100)
+        .groupBy("label").agg(countDistinct("doc_id").as("n_docs"))
         .select(col("label"), col("n_docs"),
           (col("n_docs") * 2).as("score"))
         .orderBy(col("n_docs").desc, col("label").asc).limit(5)
@@ -421,35 +435,7 @@ object SparkEntry {
       // stays distributed.
       import s.implicits._
       val v = IndexCache.documentsIndex(s, dir)
-      val hitIds = ExactSearch.topK(s, v, Seq("spark"), 100, DoubleOracle)
-        .select("doc_id").collect().map(_.getLong(0)).toSet
-      val bcHits = s.sparkContext.broadcast(hitIds)
-      val (loHit, hiHit) = (hitIds.min, hitIds.max)
-      val lab = v.postings
-        .filter(col("field") === graft.index.Indexer.Field &&
-          col("last_doc_id") >= loHit && col("first_doc_id") <= hiHit)
-        .flatMap { b =>
-          val d = graft.codec.PostingCodec.decode(b.docs, b.freqs, b.norms)
-          val keep = Array.range(0, d.docIds.length)
-            .filter(i => bcHits.value.contains(d.docIds(i)))
-          if (keep.isEmpty) Iterator.empty
-          else {
-            val ps = graft.codec.PostingCodec.decodePositions(b.positions, d.freqs)
-            keep.iterator.flatMap(i =>
-              ps(i).iterator.map(p => (d.docIds(i), b.term, p)))
-          }
-        }
-        .toDF("doc_id", "term", "pos")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-      val pairs = lab
-        .select(col("doc_id"), col("term"), col("pos"),
-          lead("term", 1).over(w).as("nt"), lead("pos", 1).over(w).as("np"))
-        .where(col("np") === col("pos") + 1 &&
-          col("term") =!= "spark" && col("nt") =!= "spark")
-        .select(col("doc_id"),
-          concat_ws(" ", col("term"), col("nt")).as("label"))
-        .distinct()
+      val pairs = hitBigramLabels(s, v, "spark", 100).distinct()
       val base = pairs.groupBy("label").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("label").asc).limit(10)
       val mem = pairs.join(broadcast(base.select("label")), Seq("label"))
@@ -2626,11 +2612,16 @@ object SparkEntry {
          |    count(*) AS n_docs
          |  FROM documents GROUP BY 1
          |)
-         |SELECT d2.segment_id, nd.n_docs, count(*) AS n_terms,
-         |  CAST(sum(d2.df) AS BIGINT) AS sum_df,
-         |  CAST(sum(d2.ctf) AS BIGINT) AS sum_ctf, 'OK' AS status
-         |FROM d2 JOIN nd USING (segment_id)
-         |GROUP BY d2.segment_id, nd.n_docs""".stripMargin,
+         |-- driven from the DOCUMENTS-derived segment set (every segment
+         |-- has docs) so a segment with zero indexed tokens still gets
+         |-- its all-zero OK row, matching the engine's coalesced report
+         |SELECT nd.segment_id, nd.n_docs,
+         |  CAST(count(d2.term) AS BIGINT) AS n_terms,
+         |  CAST(coalesce(sum(d2.df), 0) AS BIGINT) AS sum_df,
+         |  CAST(coalesce(sum(d2.ctf), 0) AS BIGINT) AS sum_ctf,
+         |  'OK' AS status
+         |FROM nd LEFT JOIN d2 USING (segment_id)
+         |GROUP BY nd.segment_id, nd.n_docs""".stripMargin,
     "range_field_query" ->
       """WITH r AS (
         |  SELECT doc_id, n_chars AS r_lo,

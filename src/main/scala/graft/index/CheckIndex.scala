@@ -40,10 +40,14 @@ object CheckIndex {
         min((col("first_doc_id") <= col("last_doc_id")).cast("int"))
           .as("blocks_ok"))
     // full_outer: a segment entirely MISSING from dictionary, docmeta or
-    // postings is the worst corruption class an integrity checker exists
-    // to catch — an inner join would silently drop it from the report
-    // (round-4 ADVICE finding). The OK condition evaluates to NULL when
-    // any side is absent, which the otherwise() maps to BROKEN.
+    // postings must surface in the report — an inner join would silently
+    // drop it (round-4 ADVICE finding). Absent-side aggregates coalesce
+    // to 0 BEFORE the cross-checks, so a legitimately empty side (e.g. a
+    // segment whose docs all analyze to zero tokens: docmeta present,
+    // dictionary/postings rightly absent, all sums 0) checks out OK,
+    // while a side missing opposite NONZERO counterparts (dropped
+    // dictionary rows, vanished postings, lost docmeta) fails the
+    // equalities and reports BROKEN.
     dict.join(meta, Seq("segment_id"), "full_outer")
       .join(post, Seq("segment_id"), "full_outer")
       .select(col("segment_id").cast("long"),
@@ -51,10 +55,10 @@ object CheckIndex {
         coalesce(col("n_terms"), lit(0L)).as("n_terms"),
         coalesce(col("sum_df"), lit(0L)).as("sum_df"),
         coalesce(col("sum_ctf"), lit(0L)).as("sum_ctf"),
-        when(col("p_df") === col("sum_df") &&
-             col("p_ctf") === col("sum_ctf") &&
-             col("p_ctf") === col("sum_dl") &&
-             col("blocks_ok") === 1, lit("OK"))
+        when(coalesce(col("p_df"), lit(0L)) === coalesce(col("sum_df"), lit(0L)) &&
+             coalesce(col("p_ctf"), lit(0L)) === coalesce(col("sum_ctf"), lit(0L)) &&
+             coalesce(col("p_ctf"), lit(0L)) === coalesce(col("sum_dl"), lit(0L)) &&
+             coalesce(col("blocks_ok"), lit(1)) === 1, lit("OK"))
           .otherwise(lit("BROKEN")).as("status"))
   }
 }

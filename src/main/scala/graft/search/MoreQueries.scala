@@ -1778,10 +1778,14 @@ object MoreQueries {
     * aggregate with the (term, boost) frame broadcast.
     */
   /** The reference's top-terms rewrite bound [8x search/FuzzyQuery.java
-    * `defaultMaxExpansions = 50`]: the dictionary rewrite keeps only the
-    * 50 highest-docFreq candidates, so maxEdits=2 against a short term
-    * on a real (corpus-scale) dictionary expands to ≤ 50 clauses, never
-    * thousands. Tie-break on term keeps the cut deterministic.
+    * `defaultMaxExpansions = 50`, MultiTermQuery.java
+    * TOP_TERMS_BLENDED_FREQ_SCORING_REWRITE]: the priority queue keeps
+    * the 50 HIGHEST-BOOST candidates — boost = 1 − ed/min(|query|,
+    * |term|), i.e. closest edits first (FuzzyTermsEnum's
+    * BoostAttribute), term tie-break — so maxEdits=2 against a short
+    * term on a real (corpus-scale) dictionary expands to ≤ 50 clauses,
+    * never thousands, and an exact match can never be evicted by a
+    * high-df misspelling.
     */
   val FuzzyMaxExpansions = 50
 
@@ -1797,7 +1801,10 @@ object MoreQueries {
       .select(col("term"), col("df"),
         levenshtein(col("term"), lit(query)).as("ed"))
       .where(col("ed") <= maxEdits) // ed computed once, filtered after
-      .orderBy(col("df").desc, col("term").asc).limit(maxExpansions)
+      .orderBy((lit(1.0) - col("ed").cast("double") /
+          least(length(col("term")), lit(query.length)).cast("double")).desc,
+        col("term").asc)
+      .limit(maxExpansions)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
 
   def fuzzyScoredTopK(spark: SparkSession, view: IndexView,

@@ -21,21 +21,27 @@ class Round5OpsSpec extends AnyFunSuite {
     v
   }
 
-  test("fuzzy scored expansion is capped at maxExpansions, top-df-first") {
+  test("fuzzy scored expansion is capped at maxExpansions, top-boost-first") {
+    val query = "w0000"
     val uncapped = search.MoreQueries.fuzzyExpansion(
-      synthView, "w0000", 2, Int.MaxValue)
+      synthView, query, 2, Int.MaxValue)
     assert(uncapped.size > search.MoreQueries.FuzzyMaxExpansions,
       s"fixture must exceed the cap (got ${uncapped.size})")
     val capped = search.MoreQueries.fuzzyExpansion(
-      synthView, "w0000", 2, search.MoreQueries.FuzzyMaxExpansions)
+      synthView, query, 2, search.MoreQueries.FuzzyMaxExpansions)
     assert(capped.size == search.MoreQueries.FuzzyMaxExpansions)
-    // the cap keeps exactly the highest-df candidates (term tie-break)
-    val expected = uncapped.sortBy { case (t, df, _) => (-df, t) }
+    // the cap keeps the HIGHEST-BOOST candidates (closest edits first,
+    // the reference's TopTermsBlendedFreq queue), term tie-break
+    def boost(t: String, ed: Int): Double =
+      1.0 - ed.toDouble / math.min(t.length, query.length).toDouble
+    val expected = uncapped.sortBy { case (t, _, ed) => (-boost(t, ed), t) }
       .take(search.MoreQueries.FuzzyMaxExpansions).toSet
     assert(capped.toSet == expected)
+    // an exact/near match can never be evicted by high-df far edits
+    assert(capped.exists(_._1 == query))
     // and the capped scored pass still returns a full top-k
     val topk = search.MoreQueries.fuzzyScoredTopK(
-      spark, synthView, "w0000", 2, 10).collect()
+      spark, synthView, query, 2, 10).collect()
     assert(topk.length == 10)
   }
 

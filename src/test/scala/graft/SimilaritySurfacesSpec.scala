@@ -164,6 +164,20 @@ class SimilaritySurfacesSpec extends AnyFunSuite {
         s"missing-side segment must be reported BROKEN, got ${r2.get(seg0)}")
       assert(r2.filterNot(_._1 == seg0).values.forall(_ == "OK"))
     }
+    // a legitimately EMPTY segment — docs whose text analyzes to zero
+    // tokens: docmeta rows with dl=0, rightly NO dictionary/postings
+    // rows — is a consistent index state and must report OK (all-zero
+    // cross-checks), not BROKEN: empty != missing-with-nonzero-counterpart
+    import spark.implicits._
+    val emptyMeta = Seq(
+      graft.index.DocMetaRow(999, 999000L, "u999", 0, 0, 0)).toDS()
+    val withEmpty = graft.index.IndexView(
+      v.postings, v.terms, v.docmeta.union(emptyMeta))
+    val r3 = graft.index.CheckIndex.report(withEmpty).collect()
+      .map(r => (r.getLong(0), r.getString(5))).toMap
+    assert(r3.get(999L).contains("OK"),
+      s"empty segment must be OK, got ${r3.get(999L)}")
+    assert(r3.filterNot(_._1 == 999L).values.forall(_ == "OK"))
   }
 
   test("export_sorted: dense ranks in exact (n_chars desc, doc_id) order") {
