@@ -29,8 +29,8 @@ object SparkEntry {
     * are excluded (Carrot2's query-word label filter). Empty hit set →
     * empty frame (no min/max on an empty set).
     */
-  private def hitBigramLabels(s: SparkSession, v: graft.index.IndexView,
-                              query: String, k: Int): DataFrame = {
+  private[graft] def hitBigramLabels(s: SparkSession, v: graft.index.IndexView,
+                                     query: String, k: Int): DataFrame = {
     import s.implicits._
     val hitIds = ExactSearch.topK(s, v, Seq(query), k, DoubleOracle)
       .select("doc_id").collect().map(_.getLong(0)).toSet

@@ -83,6 +83,17 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(rows.filter(_._3 == 1L).forall(_._2 == 1L))
   }
 
+  test("STC bigram frame: empty hit set yields an empty frame, not a crash") {
+    val v = IndexCache.documentsIndex(spark, dir)
+    val none = SparkEntry.hitBigramLabels(spark, v, "zzznosuchterm", 100)
+    assert(none.collect().isEmpty)
+    assert(none.columns.toSeq == Seq("doc_id", "label"))
+    // and a real query produces hit-bounded rows
+    val some = SparkEntry.hitBigramLabels(spark, v, "spark", 100)
+    assert(some.select("doc_id").distinct().count() <= 100)
+    assert(some.count() > 0)
+  }
+
   test("SessionCache: dead-session build fails fast instead of spinning") {
     val cache = new SessionCache[String](_ => false) // nothing is ever live
     val err = intercept[IllegalStateException] {
