@@ -2056,6 +2056,20 @@ object OracleGen {
        |FROM tokf JOIN sm USING (term) GROUP BY 1, 2""".stripMargin
   }
 
+  /** Snowball (Porter2) `text_en` chain twin of [[textEnChainSql]]:
+    * the stem map is generated from Porter2.stem applied DIRECTLY to
+    * the possessive form — step 0 of the published algorithm strips
+    * `'s`, so no separate possessive strip appears anywhere.
+    */
+  def textEnPorter2Sql: String = {
+    val pairs = CorpusVocab
+      .map(w => s"('$w', '$w''s', '${graft.analysis.Porter2.stem(w + "'s")}')")
+      .mkString(", ")
+    s"""WITH $tokCte, sm(term, poss, stem) AS (VALUES $pairs)
+       |SELECT sm.poss, sm.stem, count(DISTINCT doc_id) AS df
+       |FROM tokf JOIN sm USING (term) GROUP BY 1, 2""".stripMargin
+  }
+
   /** Shingle (bigram) dictionary: tokenize with ordinality, stop-filter
     * KEEPING the original positions (the index's position-gap
     * semantics), shingle only position-adjacent survivors.

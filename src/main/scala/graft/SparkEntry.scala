@@ -1971,6 +1971,10 @@ object SparkEntry {
       graft.operators.AnalysisOps.asciiFolding(s, dir)),
     "text_en_chain" -> ((s, dir) =>
       graft.operators.AnalysisOps.textEnChain(s, dir)),
+    "text_en_porter2_df" -> ((s, dir) =>
+      // Snowball text_en variant: Porter2's own step 0 strips `'s`,
+      // so the chain drops the possessive filter entirely
+      graft.operators.AnalysisOps.textEnPorter2Chain(s, dir)),
     "shingle_df" -> ((s, dir) =>
       graft.operators.AnalysisOps.shingleDf(s, dir)),
     "char_ngram_df" -> ((s, dir) =>
@@ -3000,6 +3004,7 @@ object SparkEntry {
     "word_delimiter_parts" -> OracleGen.wordDelimiterSql,
     "ascii_folding" -> OracleGen.asciiFoldingSql,
     "text_en_chain" -> OracleGen.textEnChainSql,
+    "text_en_porter2_df" -> OracleGen.textEnPorter2Sql,
     "shingle_df" -> OracleGen.shingleDfSql,
     "limit_token_count" -> OracleGen.limitTokenCountSql(40),
     "path_hierarchy_df" -> OracleGen.pathHierarchySql,

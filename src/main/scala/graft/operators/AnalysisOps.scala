@@ -102,6 +102,28 @@ object AnalysisOps {
       .groupBy("poss", "stem").agg(countDistinct("doc_id").as("df"))
   }
 
+  /** The Snowball variant of the `text_en` chain [8x solr stock
+    * `text_en` with SnowballPorterFilterFactory language="English"]:
+    * unlike the classic chain (EnglishPossessiveFilter THEN
+    * PorterStemFilter — [[textEnChain]]), the Snowball English stemmer
+    * strips `'s` ITSELF (Porter2 step 0), so the chain needs no
+    * separate possessive filter — the possessive forms here go
+    * straight through [[graft.analysis.Porter2]]. Same dictionary-sized
+    * dataflow: stems computed once on the distinct vocabulary,
+    * df doc-distinct off the decoded postings.
+    */
+  def textEnPorter2Chain(s: SparkSession, dir: String): DataFrame = {
+    val v = graft.IndexCache.documentsIndex(s, dir)
+    val chainU = udf((t: String) => graft.analysis.Porter2.stem(t))
+    val dict = v.terms.where(col("field") === Indexer.Field)
+      .select("term").distinct()
+      .withColumn("poss", concat(col("term"), lit("'s")))
+      .withColumn("stem", chainU(col("poss")))
+    Relational.docTermsFromIndex(s, dir)
+      .join(broadcast(dict.select("term", "poss", "stem")), Seq("term"))
+      .groupBy("poss", "stem").agg(countDistinct("doc_id").as("df"))
+  }
+
   /** FingerprintFilter [8x lucene/analysis/common .../miscellaneous/
     * FingerprintFilter.java, solr FingerprintFilterFactory]: collapse a
     * document's whole token stream into ONE fingerprint token — the

@@ -25,6 +25,14 @@ class Porter2Spec extends AnyFunSuite {
     assert(s("succeed") == "succeed")
   }
 
+  test("step 0 strips possessives natively (no separate filter needed)") {
+    Seq("spark", "merge", "table", "window", "running").foreach { word =>
+      assert(s(word + "'s") == s(word),
+        s"'$word's' must stem like '$word'")
+    }
+    assert(s("dogs'") == s("dogs")) // trailing bare apostrophe
+  }
+
   test("short words and step 0/1a plurals") {
     assert(s("a") == "a" && s("is") == "is" && s("as") == "as")
     assert(s("caresses") == "caress")  // sses -> ss
