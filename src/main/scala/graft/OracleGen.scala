@@ -2047,9 +2047,16 @@ object OracleGen {
     * possessive strip itself is what the engine must get right for the
     * stems to line up.
     */
-  def textEnChainSql: String = {
+  def textEnChainSql: String =
+    possessiveChainSql(w => graft.analysis.Porter.stem(w))
+
+  /** Shared skeleton of the two `text_en` chain oracles: a VALUES map
+    * (term, possessive form, stem-of-vocab-word) joined against the
+    * tokenized corpus; only the stem generator differs per variant.
+    */
+  private def possessiveChainSql(stemOf: String => String): String = {
     val pairs = CorpusVocab
-      .map(w => s"('$w', '$w''s', '${graft.analysis.Porter.stem(w)}')")
+      .map(w => s"('$w', '$w''s', '${stemOf(w)}')")
       .mkString(", ")
     s"""WITH $tokCte, sm(term, poss, stem) AS (VALUES $pairs)
        |SELECT sm.poss, sm.stem, count(DISTINCT doc_id) AS df
@@ -2061,14 +2068,8 @@ object OracleGen {
     * the possessive form — step 0 of the published algorithm strips
     * `'s`, so no separate possessive strip appears anywhere.
     */
-  def textEnPorter2Sql: String = {
-    val pairs = CorpusVocab
-      .map(w => s"('$w', '$w''s', '${graft.analysis.Porter2.stem(w + "'s")}')")
-      .mkString(", ")
-    s"""WITH $tokCte, sm(term, poss, stem) AS (VALUES $pairs)
-       |SELECT sm.poss, sm.stem, count(DISTINCT doc_id) AS df
-       |FROM tokf JOIN sm USING (term) GROUP BY 1, 2""".stripMargin
-  }
+  def textEnPorter2Sql: String =
+    possessiveChainSql(w => graft.analysis.Porter2.stem(w + "'s"))
 
   /** Shingle (bigram) dictionary: tokenize with ordinality, stop-filter
     * KEEPING the original positions (the index's position-gap

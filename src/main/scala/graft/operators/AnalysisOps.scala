@@ -90,9 +90,17 @@ object AnalysisOps {
     * (term, stem) map is generated from `Porter.stem` alone, so the
     * possessive strip is the part under test.
     */
-  def textEnChain(s: SparkSession, dir: String): DataFrame = {
+  def textEnChain(s: SparkSession, dir: String): DataFrame =
+    possessiveChain(s, dir, t => Porter.stem(Possessive.strip(t)))
+
+  /** Shared dataflow of the two `text_en` chain variants: the chain
+    * function runs on the possessive surface form of every dictionary
+    * term (`spark's` → `spark`), df from decoded posting pairs.
+    */
+  private def possessiveChain(s: SparkSession, dir: String,
+                              chain: String => String): DataFrame = {
     val v = graft.IndexCache.documentsIndex(s, dir)
-    val chainU = udf((t: String) => Porter.stem(Possessive.strip(t)))
+    val chainU = udf(chain)
     val dict = v.terms.where(col("field") === Indexer.Field)
       .select("term").distinct()
       .withColumn("poss", concat(col("term"), lit("'s")))
@@ -112,17 +120,8 @@ object AnalysisOps {
     * dataflow: stems computed once on the distinct vocabulary,
     * df doc-distinct off the decoded postings.
     */
-  def textEnPorter2Chain(s: SparkSession, dir: String): DataFrame = {
-    val v = graft.IndexCache.documentsIndex(s, dir)
-    val chainU = udf((t: String) => graft.analysis.Porter2.stem(t))
-    val dict = v.terms.where(col("field") === Indexer.Field)
-      .select("term").distinct()
-      .withColumn("poss", concat(col("term"), lit("'s")))
-      .withColumn("stem", chainU(col("poss")))
-    Relational.docTermsFromIndex(s, dir)
-      .join(broadcast(dict.select("term", "poss", "stem")), Seq("term"))
-      .groupBy("poss", "stem").agg(countDistinct("doc_id").as("df"))
-  }
+  def textEnPorter2Chain(s: SparkSession, dir: String): DataFrame =
+    possessiveChain(s, dir, graft.analysis.Porter2.stem)
 
   /** FingerprintFilter [8x lucene/analysis/common .../miscellaneous/
     * FingerprintFilter.java, solr FingerprintFilterFactory]: collapse a
