@@ -2093,6 +2093,63 @@ object OracleGen {
        |  count(*) AS ctf
        |FROM sh WHERE np = pos + 1 GROUP BY 1""".stripMargin
 
+  /** LatLonShape polygon-vs-polygon replay: the same integer diamond
+    * construction, bbox candidate cut, and CCW cross-product tests as
+    * [[graft.search.Shapes]] — separation = some edge with the other
+    * shape strictly outside (SAT), containment = all vertices
+    * inside-or-on all edges. Pentagon vertices mirror the entry's.
+    */
+  def shapePolygonSql: String =
+    s"""WITH shapes AS (
+       |  SELECT doc_id, (doc_id*37)%1000 AS cx, (doc_id*73)%1000 AS cy,
+       |    10 + (doc_id%40)*25 AS w, 10 + (doc_id%30)*30 AS h
+       |  FROM documents
+       |), cand AS (
+       |  SELECT * FROM shapes
+       |  WHERE cx-w <= 760 AND cx+w >= 280 AND cy-h <= 760 AND cy+h >= 280
+       |), pv AS (
+       |  SELECT doc_id, 0 AS i, cx AS x, cy-h AS y FROM cand UNION ALL
+       |  SELECT doc_id, 1, cx+w, cy FROM cand UNION ALL
+       |  SELECT doc_id, 2, cx, cy+h FROM cand UNION ALL
+       |  SELECT doc_id, 3, cx-w, cy FROM cand
+       |), pe AS (
+       |  SELECT a.doc_id, a.i, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by_
+       |  FROM pv a JOIN pv b ON a.doc_id = b.doc_id AND b.i = (a.i+1)%4
+       |), qv(i, x, y) AS (VALUES
+       |  (0,300,300),(1,700,280),(2,760,600),(3,520,760),(4,280,620)
+       |), qe AS (
+       |  SELECT a.i, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by_
+       |  FROM qv a JOIN qv b ON b.i = (a.i+1)%5
+       |), sep_p AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT pe.doc_id, pe.i,
+       |      max((pe.bx-pe.ax)*(q.y-pe.ay) - (pe.by_-pe.ay)*(q.x-pe.ax)) AS mx
+       |    FROM pe CROSS JOIN qv q GROUP BY pe.doc_id, pe.i) WHERE mx < 0
+       |), sep_q AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT pv.doc_id, qe.i,
+       |      max((qe.bx-qe.ax)*(pv.y-qe.ay) - (qe.by_-qe.ay)*(pv.x-qe.ax)) AS mx
+       |    FROM qe CROSS JOIN pv GROUP BY pv.doc_id, qe.i) WHERE mx < 0
+       |), win AS (
+       |  SELECT pv.doc_id, min(CASE WHEN
+       |    (qe.bx-qe.ax)*(pv.y-qe.ay) - (qe.by_-qe.ay)*(pv.x-qe.ax) >= 0
+       |    THEN 1 ELSE 0 END) AS w
+       |  FROM pv CROSS JOIN qe GROUP BY pv.doc_id
+       |), con AS (
+       |  SELECT pe.doc_id, min(CASE WHEN
+       |    (pe.bx-pe.ax)*(q.y-pe.ay) - (pe.by_-pe.ay)*(q.x-pe.ax) >= 0
+       |    THEN 1 ELSE 0 END) AS c
+       |  FROM pe CROSS JOIN qv q GROUP BY pe.doc_id
+       |)
+       |SELECT c.doc_id,
+       |  CAST(CASE WHEN sp.doc_id IS NULL AND sq.doc_id IS NULL
+       |    THEN 1 ELSE 0 END AS BIGINT) AS intersects,
+       |  CAST(win.w AS BIGINT) AS within,
+       |  CAST(con.c AS BIGINT) AS contains
+       |FROM cand c
+       |LEFT JOIN sep_p sp USING (doc_id) LEFT JOIN sep_q sq USING (doc_id)
+       |JOIN win USING (doc_id) JOIN con USING (doc_id)""".stripMargin
+
   /** STC base-cluster phrase labels over the top-`k` hits of `term`:
     * adjacent-position bigrams (position semantics identical to
     * [[shingleDfSql]]) restricted to hit docs, query-term bigrams

@@ -94,6 +94,41 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(some.count() > 0)
   }
 
+  test("Shapes: convexity, SAT separation, containment known answers") {
+    import graft.search.Shapes._
+    val q: Array[(Long, Long)] = Array(
+      (300L, 300L), (700L, 280L), (760L, 600L), (520L, 760L), (280L, 620L))
+    assert(isConvexCcw(q))
+    assert(isConvexCcw(diamond(10, 10, 5, 7)))
+    // small diamond well inside the pentagon: intersects + within
+    assert(relations(diamond(520, 520, 20, 20), q) == ((1L, 1L, 0L)))
+    // far-away diamond: fully disjoint
+    assert(relations(diamond(50, 50, 10, 10), q) == ((0L, 0L, 0L)))
+    // huge diamond engulfing the pentagon: intersects + contains
+    assert(relations(diamond(520, 520, 985, 880), q) == ((1L, 0L, 1L)))
+    // boundary touch at the pentagon vertex (300,300): touch = intersect
+    val touch = relations(diamond(280, 300, 30, 30), q)
+    assert(touch == ((1L, 0L, 0L)))
+    // implications over the whole entry construction (ids 0..999)
+    (0L until 1000L).foreach { id =>
+      val p = diamond((id * 37) % 1000, (id * 73) % 1000,
+        10 + (id % 40) * 25, 10 + (id % 30) * 30)
+      val (i, wn, c) = relations(p, q)
+      if (wn == 1L || c == 1L)
+        assert(i == 1L, s"within/contains must imply intersects (id $id)")
+      // SAT symmetry: separation found from either side means disjoint both ways
+      assert(intersects(p, q) == intersects(q, p), s"SAT asymmetry id $id")
+    }
+    // the corpus construction exercises all three relations (id 119
+    // carries the engulfing diamond; small-extent ids sit inside)
+    val rels = (0L until 1000L).map { id =>
+      relations(diamond((id * 37) % 1000, (id * 73) % 1000,
+        10 + (id % 40) * 25, 10 + (id % 30) * 30), q)
+    }
+    assert(rels.exists(_._1 == 1L) && rels.exists(_._2 == 1L) &&
+      rels.exists(_._3 == 1L))
+  }
+
   test("SessionCache: dead-session build fails fast instead of spinning") {
     val cache = new SessionCache[String](_ => false) // nothing is ever live
     val err = intercept[IllegalStateException] {
