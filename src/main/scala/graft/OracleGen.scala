@@ -2097,16 +2097,23 @@ object OracleGen {
     * construction, bbox candidate cut, and CCW cross-product tests as
     * [[graft.search.Shapes]] — separation = some edge with the other
     * shape strictly outside (SAT), containment = all vertices
-    * inside-or-on all edges. Pentagon vertices mirror the entry's.
+    * inside-or-on all edges. The pentagon and its bbox come from the
+    * SAME shared constant the entry uses ([[graft.search.Shapes
+    * .QueryPentagon]]) — one source of truth, like geoPolygonSql.
     */
-  def shapePolygonSql: String =
+  def shapePolygonSql: String = {
+    val q = graft.search.Shapes.QueryPentagon
+    val n = q.length
+    val (qx0, qx1, qy0, qy1) = graft.search.Shapes.bbox(q)
+    val qVals = q.zipWithIndex
+      .map { case ((x, y), i) => s"($i,$x,$y)" }.mkString(",")
     s"""WITH shapes AS (
        |  SELECT doc_id, (doc_id*37)%1000 AS cx, (doc_id*73)%1000 AS cy,
        |    10 + (doc_id%40)*25 AS w, 10 + (doc_id%30)*30 AS h
        |  FROM documents
        |), cand AS (
        |  SELECT * FROM shapes
-       |  WHERE cx-w <= 760 AND cx+w >= 280 AND cy-h <= 760 AND cy+h >= 280
+       |  WHERE cx-w <= $qx1 AND cx+w >= $qx0 AND cy-h <= $qy1 AND cy+h >= $qy0
        |), pv AS (
        |  SELECT doc_id, 0 AS i, cx AS x, cy-h AS y FROM cand UNION ALL
        |  SELECT doc_id, 1, cx+w, cy FROM cand UNION ALL
@@ -2116,10 +2123,10 @@ object OracleGen {
        |  SELECT a.doc_id, a.i, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by_
        |  FROM pv a JOIN pv b ON a.doc_id = b.doc_id AND b.i = (a.i+1)%4
        |), qv(i, x, y) AS (VALUES
-       |  (0,300,300),(1,700,280),(2,760,600),(3,520,760),(4,280,620)
+       |  $qVals
        |), qe AS (
        |  SELECT a.i, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by_
-       |  FROM qv a JOIN qv b ON b.i = (a.i+1)%5
+       |  FROM qv a JOIN qv b ON b.i = (a.i+1)%$n
        |), sep_p AS (
        |  SELECT DISTINCT doc_id FROM (
        |    SELECT pe.doc_id, pe.i,
@@ -2149,6 +2156,7 @@ object OracleGen {
        |FROM cand c
        |LEFT JOIN sep_p sp USING (doc_id) LEFT JOIN sep_q sq USING (doc_id)
        |JOIN win USING (doc_id) JOIN con USING (doc_id)""".stripMargin
+  }
 
   /** STC base-cluster phrase labels over the top-`k` hits of `term`:
     * adjacent-position bigrams (position semantics identical to

@@ -26,6 +26,20 @@ object Shapes {
 
   type Pt = (Long, Long)
 
+  /** The fixed convex CCW query pentagon shared by the engine entry and
+    * the DuckDB oracle (single source of truth — same pattern as
+    * `Functions.PolygonVerts` for the geo ray-cast filter).
+    */
+  val QueryPentagon: Array[Pt] = Array(
+    (300L, 300L), (700L, 280L), (760L, 600L), (520L, 760L), (280L, 620L))
+
+  /** Bounding box (minX, maxX, minY, maxY) of a vertex set — the coarse
+    * candidate cut both sides derive from the SAME vertices.
+    */
+  def bbox(poly: Array[Pt]): (Long, Long, Long, Long) =
+    (poly.map(_._1).min, poly.map(_._1).max,
+      poly.map(_._2).min, poly.map(_._2).max)
+
   /** CCW diamond (rotated quad) centered (cx, cy), half-extents w/h. */
   def diamond(cx: Long, cy: Long, w: Long, h: Long): Array[Pt] =
     Array((cx, cy - h), (cx + w, cy), (cx, cy + h), (cx - w, cy))

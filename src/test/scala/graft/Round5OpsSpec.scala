@@ -106,18 +106,32 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(relations(diamond(50, 50, 10, 10), q) == ((0L, 0L, 0L)))
     // huge diamond engulfing the pentagon: intersects + contains
     assert(relations(diamond(520, 520, 985, 880), q) == ((1L, 0L, 1L)))
-    // boundary touch at the pentagon vertex (300,300): touch = intersect
-    val touch = relations(diamond(280, 300, 30, 30), q)
-    assert(touch == ((1L, 0L, 0L)))
-    // implications over the whole entry construction (ids 0..999)
+    // overlapping the pentagon's corner region: intersect, no containment
+    assert(relations(diamond(280, 300, 30, 30), q) == ((1L, 0L, 0L)))
+    // GENUINE single-point touch: diamond(270,300,30,30)'s right vertex
+    // is exactly the pentagon vertex (300,300) and nothing else is
+    // shared — pins the strictness convention (touch = intersect; a
+    // `cross <= 0` separation rule would call this disjoint)
+    assert(relations(diamond(270, 300, 30, 30), q) == ((1L, 0L, 0L)))
+    assert(!separates(diamond(270, 300, 30, 30), q) &&
+      !separates(q, diamond(270, 300, 30, 30)))
+    // implications + a DISCRIMINATING lattice cross-check over the
+    // entry construction: any 25-step lattice point inside both shapes
+    // forces intersects=1, and intersects=0 forbids any shared point
     (0L until 1000L).foreach { id =>
       val p = diamond((id * 37) % 1000, (id * 73) % 1000,
         10 + (id % 40) * 25, 10 + (id % 30) * 30)
       val (i, wn, c) = relations(p, q)
       if (wn == 1L || c == 1L)
         assert(i == 1L, s"within/contains must imply intersects (id $id)")
-      // SAT symmetry: separation found from either side means disjoint both ways
-      assert(intersects(p, q) == intersects(q, p), s"SAT asymmetry id $id")
+      if (id < 300) {
+        val common = (0L to 1000L by 25).exists(x =>
+          (0L to 1000L by 25).exists { y =>
+            val pt = Array((x, y))
+            allInside(p, pt) && allInside(q, pt)
+          })
+        if (common) assert(i == 1L, s"shared lattice point but not intersecting (id $id)")
+      }
     }
     // the corpus construction exercises all three relations (id 119
     // carries the engulfing diamond; small-extent ids sit inside)
