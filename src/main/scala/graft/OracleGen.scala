@@ -965,24 +965,48 @@ object OracleGen {
     * key-derived coordinates — identical IEEE expression shape to the
     * engine's per-edge crossing test so the doubles agree bit-for-bit.
     */
-  def geoPolygonSql(verts: Seq[(Int, Int)]): String = {
-    val edges = verts.indices.map { i =>
+  private def edgeValues(verts: Seq[(Int, Int)]): String =
+    verts.indices.map { i =>
       val (y1, x1) = verts(i)
       val (y2, x2) = verts((i + 1) % verts.length)
       s"($y1, $x1, $y2, $x2)"
     }.mkString(", ")
+
+  def geoPolygonSql(verts: Seq[(Int, Int)]): String =
     s"""WITH pts AS (
        |  SELECT c_custkey,
        |    CAST((c_custkey % 180) - 90 AS DOUBLE) + 0.5 AS lat,
        |    CAST(((c_custkey * 7) % 360) - 180 AS DOUBLE) + 0.5 AS lon
        |  FROM customer
-       |), edges(y1, x1, y2, x2) AS (VALUES $edges)
+       |), edges(y1, x1, y2, x2) AS (VALUES ${edgeValues(verts)})
        |SELECT c_custkey FROM pts
        |WHERE (SELECT count(*) FROM edges e
        |       WHERE ((e.y1 > pts.lat) <> (e.y2 > pts.lat))
        |         AND pts.lon < (e.x2 - e.x1) * (pts.lat - e.y1)
        |                       / (e.y2 - e.y1) + e.x1) % 2 = 1""".stripMargin
-  }
+
+  /** Polygon-with-holes replay: inside the outer ring (odd crossings)
+    * and NOT inside the hole ring (even crossings), both counts the
+    * same IEEE expression shape as [[geoPolygonSql]].
+    */
+  def geoPolygonHolesSql(outer: Seq[(Int, Int)],
+                         hole: Seq[(Int, Int)]): String =
+    s"""WITH pts AS (
+       |  SELECT c_custkey,
+       |    CAST((c_custkey % 180) - 90 AS DOUBLE) + 0.5 AS lat,
+       |    CAST(((c_custkey * 7) % 360) - 180 AS DOUBLE) + 0.5 AS lon
+       |  FROM customer
+       |), oe(y1, x1, y2, x2) AS (VALUES ${edgeValues(outer)}),
+       |he(y1, x1, y2, x2) AS (VALUES ${edgeValues(hole)})
+       |SELECT c_custkey FROM pts
+       |WHERE (SELECT count(*) FROM oe e
+       |       WHERE ((e.y1 > pts.lat) <> (e.y2 > pts.lat))
+       |         AND pts.lon < (e.x2 - e.x1) * (pts.lat - e.y1)
+       |                       / (e.y2 - e.y1) + e.x1) % 2 = 1
+       |  AND (SELECT count(*) FROM he e
+       |       WHERE ((e.y1 > pts.lat) <> (e.y2 > pts.lat))
+       |         AND pts.lon < (e.x2 - e.x1) * (pts.lat - e.y1)
+       |                       / (e.y2 - e.y1) + e.x1) % 2 = 0""".stripMargin
 
   /** Context-filtered prefix suggester: context-df-weighted dictionary
     * terms under a prefix, context = a stored-field predicate.
@@ -1101,6 +1125,64 @@ object OracleGen {
     s"""WITH $tokCte, sm(term, stem) AS (VALUES $pairs)
        |SELECT sm.stem, count(DISTINCT doc_id) AS df, count(*) AS ctf
        |FROM tokf JOIN sm USING (term) GROUP BY 1""".stripMargin
+  }
+
+  /** Atomic multivalued add / add-distinct / remove replay: the three
+    * generations as successive CTE rewrites of the [source, lang] tags
+    * list — list_append / list_contains guard / list_filter are the
+    * modifier algebra; generation membership from the tokenized corpus
+    * (same docs the engine selects via decoded postings).
+    */
+  def atomicAddRemoveSql(addT: String, disT: String, remT: String): String =
+    s"""WITH $tokCte, m AS (
+       |  SELECT doc_id,
+       |    max(CASE WHEN term = '$addT' THEN 1 ELSE 0 END) AS f_add,
+       |    max(CASE WHEN term = '$disT' THEN 1 ELSE 0 END) AS f_dis,
+       |    max(CASE WHEN term = '$remT' THEN 1 ELSE 0 END) AS f_rem
+       |  FROM tokf WHERE term IN ('$addT', '$disT', '$remT')
+       |  GROUP BY doc_id
+       |), j AS (
+       |  SELECT d.doc_id, d.source, d.lang,
+       |    coalesce(m.f_add, 0) AS f_add, coalesce(m.f_dis, 0) AS f_dis,
+       |    coalesce(m.f_rem, 0) AS f_rem
+       |  FROM documents d LEFT JOIN m USING (doc_id)
+       |), t1 AS (
+       |  SELECT doc_id, lang, f_dis, f_rem,
+       |    CASE WHEN f_add = 1 THEN [source, lang, 'hot']
+       |         ELSE [source, lang] END AS tags FROM j
+       |), t2 AS (
+       |  SELECT doc_id, lang, f_rem,
+       |    CASE WHEN f_dis = 1 AND NOT list_contains(tags, 'hot')
+       |         THEN list_append(tags, 'hot') ELSE tags END AS tags FROM t1
+       |), t3 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN f_rem = 1 THEN list_filter(tags, x -> x <> lang)
+       |         ELSE tags END AS tags FROM t2
+       |)
+       |SELECT doc_id, len(tags) AS n_tags,
+       |  array_to_string(tags, ' ') AS tags_str FROM t3""".stripMargin
+
+  /** `/analysis/field` stage oracle: the per-stage token streams are an
+    * inline VALUES map generated from
+    * [[graft.operators.AnalysisOps.fieldStages]] (single source of
+    * truth — the chain pieces are pinned by AnalyzerSpec/PorterSpec);
+    * DuckDB independently computes the DISTINCT raw vocabulary and
+    * joins. A corpus token missing from the map drops from the join
+    * and mismatches loudly.
+    */
+  def analysisStagesSql: String = {
+    val rows = CorpusVocab.flatMap { w =>
+      graft.operators.AnalysisOps.fieldStages(w).map {
+        case (o, st, tok) => s"('$w', $o, '$st', '$tok')"
+      }
+    }.mkString(", ")
+    s"""WITH raw AS (
+       |  SELECT DISTINCT term FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+       |  ) WHERE length(term) > 0
+       |), st(term, stage_ord, stage, token) AS (VALUES $rows)
+       |SELECT st.term, st.stage_ord, st.stage, st.token
+       |FROM raw JOIN st ON raw.term = st.term""".stripMargin
   }
 
   /** Snowball English (Porter2) twin of [[porterStemDfSql]]; the map

@@ -701,6 +701,12 @@ object SparkEntry {
     "mixture_weights" -> ((s, dir) =>
       // temperature-smoothed source-mixture sampling weights (α = 0.5)
       graft.operators.TrainingData.mixtureWeights(s, dir)),
+    "epoch_shuffle" -> ((s, dir) =>
+      // reproducible seeded training-order permutation + shard
+      // assignment — global positions via the prefix-sum shape (range
+      // shuffle + local ranks + partition offsets), never a
+      // single-partition window
+      graft.operators.TrainingData.epochShuffle(s, dir)),
     "multivalue_pos_gap" -> ((s, dir) =>
       // multiValued field with positionIncrementGap=100: the exact
       // phrase runs on the 2-value split index — a (hash, join) pair
@@ -1010,6 +1016,18 @@ object SparkEntry {
       MoreQueries.atomicIncrement(s, v, base,
         Seq(("spark", 5L), ("merge", 10L)))
     }),
+    "atomic_add_remove" -> ((s, dir) => {
+      // the multivalued modifier family add / add-distinct / remove
+      // replayed over a tags field seeded [source, lang]: docs with
+      // 'spark' get `add: hot`, docs with 'merge' get `add-distinct:
+      // hot` (no-op where gen 1 already appended), docs with 'dup' get
+      // `remove: <lang>` — completes the atomic-update modifiers
+      // beside set (docvalues_update) and inc (atomic_inc)
+      val v = IndexCache.documentsIndex(s, dir)
+      MoreQueries.atomicAddRemove(s, v,
+        s.read.parquet(s"$dir/documents.parquet"),
+        "spark", "merge", "dup")
+    }),
     "realtime_get" -> ((s, dir) => {
       // RealTimeGetComponent (/get) [8x solr handler/component/
       // RealTimeGetComponent.java]: point lookup by id that sees
@@ -1205,6 +1223,12 @@ object SparkEntry {
         .groupBy("stem").agg(countDistinct("doc_id").as("df"))
         .join(dict.groupBy("stem").agg(sum("tctf").as("ctf")), Seq("stem"))
     }),
+    "analysis_field_stages" -> ((s, dir) =>
+      // FieldAnalysisRequestHandler (/analysis/field, the admin
+      // Analysis screen): per-stage token streams of the index chain
+      // over the DISTINCT corpus vocabulary — shows exactly where a
+      // stop-dropped token disappears and what porter rewrites
+      graft.operators.AnalysisOps.analysisStages(s, dir)),
     "session_window_agg" -> ((s, dir) => {
       // session windows (30-minute gap) per user over the events table —
       // the session_window operator exercised in batch (its streaming
@@ -1375,6 +1399,11 @@ object SparkEntry {
       // LatLonPoint.newPolygonQuery analog: even-odd ray cast as a
       // narrow codegen expression behind a sargable bounding-box band
       graft.operators.Functions.geoPolygon(s, dir)),
+    "geo_polygon_holes" -> ((s, dir) =>
+      // Polygon WITH interior rings [8x geo/Polygon.java holes]:
+      // inside the outer ring AND NOT inside the hole — two crossing
+      // counts, one narrow predicate, same sargable outer bbox
+      graft.operators.Functions.geoPolygonHoles(s, dir)),
     "facet_excl_tag" -> ((s, dir) => {
       // Multi-select faceting ({!tag=r}fq + facet {!ex=r}) [8x solr
       // request/SimpleFacets.java excludeTags]: n_chars range buckets
@@ -1782,6 +1811,22 @@ object SparkEntry {
       // routing (BlockMaxConjunctionScorer analog)
       val v = IndexCache.documentsIndex(s, dir)
       val q = graft.search.QueryParser.parse("spark AND merge")
+      quantize(graft.search.QueryCompiler.topK(s, v, q, 10, DoubleOracle))
+    }),
+    "qparse_json" -> ((s, dir) => {
+      // the JSON Request API front door [8x solr request/json/
+      // RequestUtil.java, search/JsonQParserPlugin.java]: the bool DSL
+      // with string-shorthand clauses, parsed to the SAME Query AST as
+      // the classic string — tree equality with the string face is
+      // test-pinned, so this entry and qparse_lucene replay the same
+      // oracle by construction
+      val v = IndexCache.documentsIndex(s, dir)
+      val q = graft.search.JsonQueryParser.parse(
+        """{"bool": {
+          |  "must": [{"lucene": {"query": "spark"}}, "join OR merge"],
+          |  "must_not": "dup",
+          |  "should": ["scan^2", {"prefix": {"f": "text", "query": "sl"}}]
+          |}}""".stripMargin)
       quantize(graft.search.QueryCompiler.topK(s, v, q, 10, DoubleOracle))
     }),
     "qparse_edismax" -> ((s, dir) => {
@@ -2895,6 +2940,7 @@ object SparkEntry {
          |GROUP BY 1""".stripMargin,
     "porter_stem_df" -> OracleGen.porterStemDfSql,
     "porter2_stem_df" -> OracleGen.porter2StemDfSql,
+    "analysis_field_stages" -> OracleGen.analysisStagesSql,
     "phonetic_dmetaphone" -> OracleGen.dmetaphoneSql,
     "block_join_facet" -> OracleGen.blockJoinFacetSql("spark", 10),
     "block_join_facet_unique" ->
@@ -2983,6 +3029,9 @@ object SparkEntry {
       Seq("spark" -> 2.0, "join" -> 1.0, "scan" -> 1.5), 10),
     "geo_polygon" ->
       OracleGen.geoPolygonSql(graft.operators.Functions.PolygonVerts),
+    "geo_polygon_holes" ->
+      OracleGen.geoPolygonHolesSql(graft.operators.Functions.PolygonVerts,
+        graft.operators.Functions.HoleVerts),
     "phrase_prefix" -> OracleGen.phrasePrefixScoredSql("hash", "s", 10),
     "complex_phrase" -> OracleGen.complexPhraseScoredSql("s%a%", "table", 10),
     "geodist_sort" ->
@@ -3094,6 +3143,8 @@ object SparkEntry {
     "highlight_topk" ->
       OracleGen.highlightPassagesSql(Seq("spark", "dup"), 5, 8),
     "highlight_multi_term" -> OracleGen.highlightMultiTermSql("s", 5, 8),
+    "atomic_add_remove" ->
+      OracleGen.atomicAddRemoveSql("spark", "merge", "dup"),
     "atomic_inc" ->
       s"""WITH ${OracleGen.tokCte}, inc AS (
          |  SELECT doc_id, sum(d) AS inc_total FROM (
@@ -3296,6 +3347,9 @@ object SparkEntry {
     "match_all_count" -> OracleGen.matchAllCountSql,
     "query_compile_nested" -> OracleGen.queryCompileNestedSql,
     "qparse_lucene" -> OracleGen.qparseLuceneSql(10),
+    // qparse_json parses to the identical AST as qparse_lucene's string
+    // (tree equality test-pinned) — same replay oracle by construction
+    "qparse_json" -> OracleGen.qparseLuceneSql(10),
     "qparse_lucene_or" ->
       OracleGen.bm25TopKSql(Seq("join", "scan", "window"), 10),
     "qparse_lucene_and" ->
@@ -3715,6 +3769,7 @@ object SparkEntry {
         |SELECT source, n_docs, n_chars,
         |  CAST((sq * 1000000) // sq_total AS BIGINT) AS weight_ppm
         |FROM ps CROSS JOIN t""".stripMargin,
+    "epoch_shuffle" -> TrainingOracles.epochShuffle("ep1", 8),
     "chunk_documents" -> TrainingOracles.chunkDocuments(40, 10),
     "repetition_ratio" ->
       """WITH tp AS (

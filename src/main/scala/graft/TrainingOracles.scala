@@ -790,4 +790,22 @@ object TrainingOracles {
        |    PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM d2)
        |WHERE rn = 1""".stripMargin
   }
+
+  /** Deterministic epoch shuffle: the whole permutation replayed as one
+    * global row_number over the same md5(seed:doc_id) sort key (md5 and
+    * long→VARCHAR casts are byte-identical across engines — the
+    * leakage_split precedent). The oracle's single window is the
+    * SMALL-SCALE REPLAY of what the engine computes with the prefix-sum
+    * shape (no single-partition window on the engine side).
+    */
+  def epochShuffle(seed: String, nShards: Int): String =
+    s"""WITH perm AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (
+       |      ORDER BY md5('$seed:' || CAST(doc_id AS VARCHAR)), doc_id)
+       |      - 1 AS epoch_pos
+       |  FROM documents
+       |)
+       |SELECT doc_id, epoch_pos, epoch_pos % $nShards AS shard
+       |FROM perm""".stripMargin
 }

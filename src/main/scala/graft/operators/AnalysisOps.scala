@@ -345,4 +345,39 @@ object AnalysisOps {
       .groupBy("token", "ttype")
       .agg(countDistinct("doc_id").as("df"))
   }
+
+  /** Per-stage token stream of the `text_en`-style chain for one raw
+    * token — the FieldAnalysisRequestHandler's per-filter breakdown [8x
+    * solr/core/.../handler/FieldAnalysisRequestHandler.java, admin UI
+    * "Analysis" screen]: each row is (stage_ord, stage, token) after
+    * that stage; a stop-dropped token's stream ends after `lowercase`
+    * (the handler shows exactly where a token disappears). Shared with
+    * the DuckDB oracle's VALUES map (single source of truth; the chain
+    * pieces are pinned by AnalyzerSpec/PorterSpec).
+    */
+  def fieldStages(raw: String): Seq[(Int, String, String)] = {
+    val lower = raw.toLowerCase
+    val head = Seq((1, "tokenizer", raw), (2, "lowercase", lower))
+    if (graft.analysis.Analyzer.EnglishStopWords.contains(lower)) head
+    else head ++ Seq((3, "stop", lower), (4, "porter", Porter.stem(lower)))
+  }
+
+  /** `/analysis/field` over the corpus vocabulary: for every DISTINCT
+    * raw token of the documents corpus, the stage-by-stage token stream
+    * of the index chain (tokenizer → lowercase → stop → porter).
+    * Dictionary-sized and fully narrow after the distinct (the one
+    * shuffle): at 100 TB the vocabulary is ~10⁶ rows while occurrences
+    * are trillions — the handler introspects the schema chain, it never
+    * re-reads the corpus per probe.
+    */
+  def analysisStages(s: SparkSession, dir: String): DataFrame = {
+    val stagesU = udf((t: String) => fieldStages(t))
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .distinct()
+      .select(col("term"), explode(stagesU(col("term"))).as("st"))
+      .select(col("term"), col("st._1").as("stage_ord"),
+        col("st._2").as("stage"), col("st._3").as("token"))
+  }
 }

@@ -135,10 +135,13 @@ object Functions {
     * the exact per-edge crossing test runs only on the box survivors.
     * The oracle replays the identical IEEE expression shape.
     */
-  def geoPolygon(s: SparkSession, dir: String): DataFrame = {
-    val (lat, lon) = synthLatLon
-    val verts = PolygonVerts
-    val crossings = verts.indices.map { i =>
+  /** Even-odd ray-cast crossing count for one ring as a codegen'd
+    * column expression — shared by [[geoPolygon]] and
+    * [[geoPolygonHoles]] (and replayed IEEE-identically by the oracle).
+    */
+  private def ringCrossings(verts: Seq[(Int, Int)],
+                            lat: Column, lon: Column): Column =
+    verts.indices.map { i =>
       val (y1, x1) = verts(i)
       val (y2, x2) = verts((i + 1) % verts.length)
       when((lit(y1.toDouble) > lat) =!= (lit(y2.toDouble) > lat),
@@ -146,11 +149,43 @@ object Functions {
           / lit((y2 - y1).toDouble)) + lit(x1.toDouble), 1).otherwise(0))
         .otherwise(0)
     }.reduce(_ + _)
+
+  def geoPolygon(s: SparkSession, dir: String): DataFrame = {
+    val (lat, lon) = synthLatLon
+    val verts = PolygonVerts
+    val crossings = ringCrossings(verts, lat, lon)
     val (minY, maxY) = (verts.map(_._1).min, verts.map(_._1).max)
     val (minX, maxX) = (verts.map(_._2).min, verts.map(_._2).max)
     tbl(s, dir, "customer")
       .where(lat.between(minY, maxY) && lon.between(minX, maxX))
       .where(crossings % 2 === 1)
+      .select(col("c_custkey"))
+  }
+
+  /** The hole ring for [[geoPolygonHoles]] — a diamond strictly inside
+    * [[PolygonVerts]]; integer vertices again so the .5-grid points
+    * never sit on a vertex latitude.
+    */
+  private[graft] val HoleVerts: Seq[(Int, Int)] =
+    Seq((30, 0), (0, 60), (-30, 0), (0, -60))
+
+  /** Polygon query WITH HOLES [Lucene Polygon(holes…) / Polygon2D [8x
+    * lucene/core/.../geo/Polygon.java, Polygon2D.java]; Solr polygons
+    * accept interior rings]: contains = inside the outer ring AND NOT
+    * inside any hole — two even-odd crossing counts over the same
+    * point, still one narrow codegen'd predicate behind the outer
+    * ring's sargable bbox (the BKD-prune role; the reference's
+    * Polygon2D also tests holes only inside the outer bbox).
+    */
+  def geoPolygonHoles(s: SparkSession, dir: String): DataFrame = {
+    val (lat, lon) = synthLatLon
+    val outer = ringCrossings(PolygonVerts, lat, lon)
+    val hole = ringCrossings(HoleVerts, lat, lon)
+    val (minY, maxY) = (PolygonVerts.map(_._1).min, PolygonVerts.map(_._1).max)
+    val (minX, maxX) = (PolygonVerts.map(_._2).min, PolygonVerts.map(_._2).max)
+    tbl(s, dir, "customer")
+      .where(lat.between(minY, maxY) && lon.between(minX, maxX))
+      .where(outer % 2 === 1 && hole % 2 === 0)
       .select(col("c_custkey"))
   }
 

@@ -1577,4 +1577,48 @@ object TrainingData {
       .select(col("source"), col("n_docs"), col("n_chars"),
         expr("(sq * 1000000) div sq_total").as("weight_ppm"))
   }
+
+  /** Deterministic epoch shuffle (§2.9b): the reproducible global
+    * training-order permutation every pretraining run needs — examples
+    * visited in seeded-hash order, identical across re-runs, resumes
+    * and cluster sizes (the data-order twin of the docID determinism
+    * invariant). Sort key = md5(seed:doc_id); the global position is
+    * assigned WITHOUT a single-partition window: range-shuffle on the
+    * key, local ranks from one per-partition linear scan, partition
+    * offsets from a partition-count-sized aggregate (the
+    * [[packSequencesDf]] prefix-sum shape — the collect is bounded by
+    * the partition count, never the corpus). `shard` = pos mod nShards
+    * is the per-worker file assignment. At 100 TB the output IS the
+    * run's training-order manifest: materialized once (localCheckpoint
+    * here; a table write in production) and read back by rank.
+    */
+  def epochShuffle(s: SparkSession, dir: String, seed: String = "ep1",
+                   parts: Int = 8, nShards: Int = 8): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val keyed = docs(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        md5(concat_ws(":", lit(seed), col("doc_id").cast("string")))
+          .as("k"))
+      .repartitionByRange(parts, col("k"), col("doc_id"))
+      .sortWithinPartitions("k", "doc_id")
+      .as[(Long, String)]
+    // pid/local_rank pinned across the two reads (counts, final map)
+    val local = keyed.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var rank = 0L
+      it.map { case (id, _) => val r = rank; rank += 1L; (pid, id, r) }
+    }.toDF("pid", "doc_id", "local_rank").persist()
+    val counts = local.groupBy("pid").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L)((acc, p) =>
+      acc + counts.getOrElse(p, 0L)).toArray
+    val off = element_at(typedLit(offsets.toSeq), col("pid") + 1)
+    val out = local
+      .select(col("doc_id"), (off + col("local_rank")).as("epoch_pos"))
+      .withColumn("shard", pmod(col("epoch_pos"), lit(nShards.toLong)))
+      .localCheckpoint(true)
+    local.unpersist()
+    out
+  }
 }

@@ -1,0 +1,161 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.search.{JsonQueryParser, QueryCompiler, QueryParser, Query => Q}
+
+/** Round-5 continuation surfaces: the JSON Request API front door
+  * (AST-equality with the classic string face + kernel routing), the
+  * /analysis/field stage handler, and the deterministic epoch shuffle
+  * (permutation + cross-parallelism identity).
+  */
+class JsonApiAndPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("json DSL parses to the identical AST as the classic string") {
+    val json =
+      """{"bool": {
+        |  "must": [{"lucene": {"query": "spark"}}, "join OR merge"],
+        |  "must_not": "dup",
+        |  "should": ["scan^2", {"prefix": {"f": "text", "query": "sl"}}]
+        |}}""".stripMargin
+    val fromJson = JsonQueryParser.parse(json)
+    val fromString =
+      QueryParser.parse("spark AND (join OR merge) -dup scan^2 sl*")
+    assert(fromJson == fromString)
+  }
+
+  test("json bool: filter clauses, single-clause shorthand, nesting") {
+    val q = JsonQueryParser.parse(
+      """{"bool": {"must": "spark", "filter": ["join", {"bool": {"should": ["a", "b"]}}]}}""")
+    assert(q == Q.Bool(
+      must = Seq(Q.Term("spark")),
+      filter = Seq(Q.Term("join"),
+        Q.Bool(should = Seq(Q.Term("a"), Q.Term("b"))))))
+    // prefix under a named field keys through the fieldterm layout
+    val p = JsonQueryParser.parse("""{"prefix": {"f": "title", "query": "sl"}}""")
+    assert(p == Q.Prefix("title" + graft.index.Indexer.FieldSep + "sl"))
+  }
+
+  test("json DSL front door routes pure bags to the block-max kernels") {
+    val v = IndexCache.documentsIndex(spark, dir)
+    val or = QueryCompiler.rewrite(v,
+      JsonQueryParser.parse("""{"bool": {"should": ["join", "scan", "window"]}}"""))
+    assert(QueryCompiler.kernelChoice(or)
+      == Some((Seq("join", "scan", "window"), false)))
+    val and = QueryCompiler.rewrite(v,
+      JsonQueryParser.parse("""{"bool": {"must": ["spark", "merge"]}}"""))
+    assert(QueryCompiler.kernelChoice(and) == Some((Seq("spark", "merge"), true)))
+    // a mixed tree (must_not present) keeps the exact path
+    val mixed = QueryCompiler.rewrite(v,
+      JsonQueryParser.parse("""{"bool": {"should": ["join"], "must_not": "dup"}}"""))
+    assert(QueryCompiler.kernelChoice(mixed).isEmpty)
+  }
+
+  test("json reader: escapes, errors with positions") {
+    assert(JsonQueryParser.parse("\"sp\\u0061rk\"") == Q.Term("spark"))
+    intercept[JsonQueryParser.JsonParseException] {
+      JsonQueryParser.parse("""{"bool": {}, "lucene": {}}""")
+    }
+    intercept[JsonQueryParser.JsonParseException] {
+      JsonQueryParser.parse("""{"knn": {"query": "x"}}""")
+    }
+    intercept[JsonQueryParser.JsonParseException] {
+      JsonQueryParser.parse("""{"bool": {"must": "a"}} trailing""")
+    }
+  }
+
+  test("fieldStages: stop tokens end after lowercase; porter rewrites") {
+    assert(operators.AnalysisOps.fieldStages("the")
+      == Seq((1, "tokenizer", "the"), (2, "lowercase", "the")))
+    assert(operators.AnalysisOps.fieldStages("query")
+      == Seq((1, "tokenizer", "query"), (2, "lowercase", "query"),
+        (3, "stop", "query"), (4, "porter", analysis.Porter.stem("query"))))
+    assert(operators.AnalysisOps.fieldStages("query").last._3 == "queri")
+  }
+
+  test("analysis_field_stages covers the corpus vocabulary per stage") {
+    val rows = operators.AnalysisOps.analysisStages(spark, dir).collect()
+    val byTerm = rows.groupBy(_.getString(0))
+    val vocab = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .where(length(col("t")) > 0).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(byTerm.keySet == vocab)
+    vocab.foreach { t =>
+      val expect = operators.AnalysisOps.fieldStages(t)
+        .map { case (o, st, tok) => (o, st, tok) }.toSet
+      val got = byTerm(t)
+        .map(r => (r.getInt(1), r.getString(2), r.getString(3))).toSet
+      assert(got == expect, s"stage rows for '$t'")
+    }
+  }
+
+  test("atomic add/add-distinct/remove modifier algebra") {
+    val v = IndexCache.documentsIndex(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = search.MoreQueries
+      .atomicAddRemove(spark, v, docs, "spark", "merge", "dup")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2))).toMap
+    val flags = docs.select(col("doc_id"), col("source"), col("lang"),
+        split(col("text"), " ").as("ts")).collect().map { r =>
+      val ts = r.getSeq[String](3).toSet
+      r.getLong(0) -> (r.getString(1), r.getString(2),
+        ts("spark"), ts("merge"), ts("dup"))
+    }.toMap
+    assert(out.keySet == flags.keySet)
+    flags.foreach { case (id, (src, lang, hasS, hasM, hasD)) =>
+      var tags = Vector(src, lang)
+      if (hasS) tags :+= "hot"                        // add
+      if (hasM && !tags.contains("hot")) tags :+= "hot" // add-distinct
+      if (hasD) tags = tags.filterNot(_ == lang)      // remove (all)
+      assert(out(id) == (tags.size.toLong, tags.mkString(" ")),
+        s"doc $id")
+      // the distinct discriminator: never two 'hot's
+      assert(out(id)._2.split(" ").count(_ == "hot") <= 1)
+    }
+  }
+
+  test("geo_polygon_holes: hole is discriminating and strictly nested") {
+    val outer = operators.Functions.geoPolygon(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val withHoles = operators.Functions.geoPolygonHoles(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    // holes only ever REMOVE points, and must remove at least one
+    // (otherwise the fixture doesn't exercise the hole path)
+    assert(withHoles.subsetOf(outer))
+    assert(withHoles.size < outer.size,
+      s"hole removed nothing (outer=${outer.size})")
+    // every removed point ray-casts inside the hole ring
+    val removed = outer -- withHoles
+    def inside(ring: Seq[(Int, Int)], lat: Double, lon: Double): Boolean =
+      ring.indices.count { i =>
+        val (y1, x1) = ring(i)
+        val (y2, x2) = ring((i + 1) % ring.length)
+        ((y1 > lat) != (y2 > lat)) &&
+          lon < (x2 - x1).toDouble * (lat - y1) / (y2 - y1).toDouble + x1
+      } % 2 == 1
+    removed.foreach { ck =>
+      val lat = (ck % 180) - 90 + 0.5
+      val lon = ((ck * 7) % 360) - 180 + 0.5
+      assert(inside(operators.Functions.HoleVerts, lat, lon), s"cust $ck")
+    }
+  }
+
+  test("epoch_shuffle: exact permutation, shard rule, parallelism-proof") {
+    val out = operators.TrainingData.epochShuffle(spark, dir).collect()
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.length == n)
+    assert(out.map(_.getLong(1)).sorted.toSeq == (0L until n))
+    assert(out.forall(r => r.getLong(2) == r.getLong(1) % 8))
+    // the permutation is a pure function of the data, not of the
+    // partitioning: the docID-determinism invariant applied to order
+    val m8 = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m3 = operators.TrainingData.epochShuffle(spark, dir, parts = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m3 == m8)
+  }
+}
