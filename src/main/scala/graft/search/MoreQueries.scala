@@ -1152,6 +1152,49 @@ object MoreQueries {
         (col("base") + col("inc_total")).as("value"))
   }
 
+  /** Atomic-update multivalued modifiers `add` / `add-distinct` /
+    * `remove` [8x solr/core/.../update/processor/
+    * AtomicUpdateDocumentMerger.java doAdd/doAddDistinct/doRemove] —
+    * the remaining modifier family beside `set` (docvalues_update) and
+    * `inc` (atomicIncrement). Three generations replayed over a
+    * multivalued `tags` field seeded [source, lang] per doc:
+    * gen 1 `add: hot` to docs matching `addTerm`; gen 2
+    * `add-distinct: hot` to docs matching `distinctTerm` (a no-op
+    * where gen 1 already appended — THE distinct discriminator);
+    * gen 3 `remove: <lang>` on docs matching `removeTerm` (removes
+    * every equal element, the reference's removeAll contract).
+    * Generation selection is index-routed (decoded postings → one
+    * doc-flag aggregate), then the modifier algebra is a NARROW
+    * array expression per doc — at 100 TB: one posting-bounded
+    * shuffle for the flags, zero corpus re-tokenization.
+    */
+  def atomicAddRemove(spark: SparkSession, view: IndexView,
+                      docsDf: DataFrame, addTerm: String,
+                      distinctTerm: String, removeTerm: String): DataFrame = {
+    val flags = ExactSearch.decodedPostings(
+        spark, view, Seq(addTerm, distinctTerm, removeTerm))
+      .groupBy("doc_id")
+      .agg(
+        max(when(col("term") === addTerm, 1).otherwise(0)).as("f_add"),
+        max(when(col("term") === distinctTerm, 1).otherwise(0)).as("f_dis"),
+        max(when(col("term") === removeTerm, 1).otherwise(0)).as("f_rem"))
+    val j = docsDf.select(col("doc_id"), col("source"), col("lang"))
+      .join(flags, Seq("doc_id"), "left")
+      .na.fill(0, Seq("f_add", "f_dis", "f_rem"))
+    val g1 = when(col("f_add") === 1,
+        array(col("source"), col("lang"), lit("hot")))
+      .otherwise(array(col("source"), col("lang")))
+    val withG1 = j.withColumn("tags", g1)
+    val g2 = when(col("f_dis") === 1 && !array_contains(col("tags"), "hot"),
+        concat(col("tags"), array(lit("hot")))).otherwise(col("tags"))
+    val withG2 = withG1.withColumn("tags", g2)
+    val g3 = when(col("f_rem") === 1, array_remove(col("tags"), col("lang")))
+      .otherwise(col("tags"))
+    withG2.withColumn("tags", g3)
+      .select(col("doc_id"), size(col("tags")).cast("long").as("n_tags"),
+        array_join(col("tags"), " ").as("tags_str"))
+  }
+
   /** SpanPositionRangeQuery [8x search/spans/SpanPositionRangeQuery
     * .java]: keep spans whose start ≥ `start` and end ≤ `end` —
     * SpanFirst is the `start = 0` special case. For single-term spans
