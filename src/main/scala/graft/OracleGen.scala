@@ -117,6 +117,19 @@ object OracleGen {
        |FROM sc WHERE n_matched >= $minShouldMatch
        |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
 
+  /** Filtered top-k replay (`fq` semantics): score only over `terms`,
+    * restrict candidates to docs containing `filterTerm` — the filter
+    * never contributes to the score, exactly Occur.FILTER.
+    */
+  def bm25FilteredTopKSql(terms: Seq[String], filterTerm: String,
+                          k: Int): String =
+    s"""WITH ${bm25Ctes(terms)}
+       |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q
+       |FROM sc
+       |WHERE doc_id IN (
+       |  SELECT DISTINCT doc_id FROM tokf WHERE term = '$filterTerm')
+       |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+
   /** explain()/debugQuery: per-term decomposition rows of the top-k
     * docs' BM25 scores — contribution, idf, tf, df, lossy dl per
     * matched (doc, term), plus the doc total they sum to (the CheckHits

@@ -1829,6 +1829,15 @@ object SparkEntry {
           |}}""".stripMargin)
       quantize(graft.search.QueryCompiler.topK(s, v, q, 10, DoubleOracle))
     }),
+    "qparse_json_request" -> ((s, dir) => {
+      // the FULL JSON request envelope: query + filter (non-scoring
+      // fq, broadcast semi-join) + limit, through QueryCompiler.search
+      // — the /select?q=…&fq=…&rows=… analog posted as JSON
+      val v = IndexCache.documentsIndex(s, dir)
+      val req = graft.search.JsonQueryParser.parseRequest(
+        """{"query": "spark join", "filter": "merge", "limit": 10}""")
+      quantize(graft.search.QueryCompiler.search(s, v, req, DoubleOracle))
+    }),
     "qparse_edismax" -> ((s, dir) => {
       // edismax main behavior [8x Solr ExtendedDismaxQParser.java]:
       // bare-term q + qf field boosts → one DisjunctionMaxQuery per
@@ -3350,6 +3359,8 @@ object SparkEntry {
     // qparse_json parses to the identical AST as qparse_lucene's string
     // (tree equality test-pinned) — same replay oracle by construction
     "qparse_json" -> OracleGen.qparseLuceneSql(10),
+    "qparse_json_request" ->
+      OracleGen.bm25FilteredTopKSql(Seq("spark", "join"), "merge", 10),
     "qparse_lucene_or" ->
       OracleGen.bm25TopKSql(Seq("join", "scan", "window"), 10),
     "qparse_lucene_and" ->

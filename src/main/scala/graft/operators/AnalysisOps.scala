@@ -356,7 +356,9 @@ object AnalysisOps {
     * pieces are pinned by AnalyzerSpec/PorterSpec).
     */
   def fieldStages(raw: String): Seq[(Int, String, String)] = {
-    val lower = raw.toLowerCase
+    // Locale.ROOT to match the indexed chain exactly (Analyzer
+    // tokenizeRaw) — the default locale would misreport e.g. tr_TR 'I'
+    val lower = raw.toLowerCase(java.util.Locale.ROOT)
     val head = Seq((1, "tokenizer", raw), (2, "lowercase", lower))
     if (graft.analysis.Analyzer.EnglishStopWords.contains(lower)) head
     else head ++ Seq((3, "stop", lower), (4, "porter", Porter.stem(lower)))

@@ -24,7 +24,10 @@ package graft.search
   *
   * The JSON itself is parsed by a ~60-line recursive-descent reader
   * (objects/arrays/strings/numbers/literals, `\uXXXX` escapes) — no
-  * library dependency, deterministic errors with positions.
+  * library dependency. Lexical errors carry the input position;
+  * semantic errors (unknown qparser/property, missing member) name
+  * the offending key instead (the JSON value model does not retain
+  * source offsets).
   */
 object JsonQueryParser {
   import Query._
@@ -51,6 +54,41 @@ object JsonQueryParser {
               QueryParser.defaultTermKey): Query =
     toQuery(new JP(json).parseTop(), termKey)
 
+  /** Parse a whole JSON request BODY to a [[QueryRequest]] — the
+    * envelope the JSON Request API actually posts: `query` (required),
+    * `filter` (one clause or an array; each becomes a non-scoring `fq`,
+    * exactly `&fq=`), `limit` (rows, default 10). Unknown members
+    * error, as the reference rejects unknown top-level JSON keys.
+    */
+  def parseRequest(json: String,
+                   termKey: (Option[String], String) => String =
+                     QueryParser.defaultTermKey): QueryRequest = {
+    val o = new JP(json).parseTop() match {
+      case j: JObj => j
+      case other =>
+        throw JsonParseException(s"request body must be an object, got $other", 0)
+    }
+    val known = Set("query", "filter", "limit")
+    o.fields.map(_._1).foreach { k =>
+      if (!known(k))
+        throw JsonParseException(s"unknown request member '$k'", 0)
+    }
+    val q = o.fields.find(_._1 == "query").map(_._2)
+      .getOrElse(throw JsonParseException("request needs 'query'", 0))
+    val fq = o.fields.find(_._1 == "filter").map(_._2) match {
+      case None           => Nil
+      case Some(JArr(vs)) => vs.map(toQuery(_, termKey))
+      case Some(single)   => Seq(toQuery(single, termKey))
+    }
+    val k = o.fields.find(_._1 == "limit").map(_._2) match {
+      case None         => 10
+      case Some(JNum(d)) if d == d.toInt.toDouble && d.toInt > 0 => d.toInt
+      case Some(other)  =>
+        throw JsonParseException(s"'limit' must be a positive integer, got $other", 0)
+    }
+    QueryRequest(toQuery(q, termKey), fq, k)
+  }
+
   private def toQuery(j: J,
                       termKey: (Option[String], String) => String): Query =
     j match {
@@ -60,6 +98,16 @@ object JsonQueryParser {
           QueryParser.parse(str(member(body, "query", name)), termKey)
         case "bool" =>
           val o = obj(body, name)
+          // the reference's BoolQParser rejects unknown properties —
+          // a misspelled occur key must error, never drop a clause
+          val known = Set("should", "must", "must_not", "filter")
+          o.fields.map(_._1).foreach { k =>
+            if (!known(k))
+              throw JsonParseException(s"unknown bool property '$k'", 0)
+          }
+          val dup = o.fields.map(_._1).diff(o.fields.map(_._1).distinct)
+          if (dup.nonEmpty)
+            throw JsonParseException(s"duplicate bool property '${dup.head}'", 0)
           def clauses(k: String): Seq[Query] =
             o.fields.find(_._1 == k).map(_._2) match {
               case None             => Nil
@@ -179,7 +227,12 @@ object JsonQueryParser {
             case 't'  => b += '\t'
             case 'u' =>
               if (i + 4 >= s.length) fail("bad \\u escape")
-              b += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+              val hex = s.substring(i + 1, i + 5)
+              // exactly four hex DIGITS — parseInt alone would accept
+              // a sign and throw a foreign exception type on junk
+              if (!hex.forall(c => Character.digit(c, 16) >= 0))
+                fail(s"bad \\u escape '$hex'")
+              b += Integer.parseInt(hex, 16).toChar
               i += 4
             case c => fail(s"bad escape '\\$c'")
           }

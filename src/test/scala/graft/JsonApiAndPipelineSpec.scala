@@ -65,6 +65,42 @@ class JsonApiAndPipelineSpec extends AnyFunSuite {
     intercept[JsonQueryParser.JsonParseException] {
       JsonQueryParser.parse("""{"bool": {"must": "a"}} trailing""")
     }
+    // BoolQParser rejects unknown properties: a misspelled occur key
+    // must ERROR, never silently drop the clause
+    intercept[JsonQueryParser.JsonParseException] {
+      JsonQueryParser.parse("""{"bool": {"must": "a", "mustNot": "dup"}}""")
+    }
+    intercept[JsonQueryParser.JsonParseException] {
+      JsonQueryParser.parse("""{"bool": {"must": "a", "must": "b"}}""")
+    }
+    // \u escape is exactly four hex DIGITS — signed or junk hex is a
+    // parse error (in the parser's own exception type), not a
+    // silently-wrong character
+    intercept[JsonQueryParser.JsonParseException] {
+      JsonQueryParser.parse("\"\\u+061\"")
+    }
+    intercept[JsonQueryParser.JsonParseException] {
+      JsonQueryParser.parse("\"\\uZZZZ\"")
+    }
+  }
+
+  test("json request envelope: query + filter + limit → QueryRequest") {
+    val req = JsonQueryParser.parseRequest(
+      """{"query": "spark join", "filter": ["merge", {"prefix": {"query": "sl"}}], "limit": 7}""")
+    assert(req.q == Q.Bool(should = Seq(Q.Term("spark"), Q.Term("join"))))
+    assert(req.fq == Seq(Q.Term("merge"), Q.Prefix("sl")))
+    assert(req.k == 7)
+    // defaults and strictness
+    assert(JsonQueryParser.parseRequest("""{"query": "a"}""").k == 10)
+    intercept[JsonQueryParser.JsonParseException] {
+      JsonQueryParser.parseRequest("""{"query": "a", "rows": 5}""")
+    }
+    intercept[JsonQueryParser.JsonParseException] {
+      JsonQueryParser.parseRequest("""{"filter": "a"}""")
+    }
+    intercept[JsonQueryParser.JsonParseException] {
+      JsonQueryParser.parseRequest("""{"query": "a", "limit": 2.5}""")
+    }
   }
 
   test("fieldStages: stop tokens end after lowercase; porter rewrites") {
