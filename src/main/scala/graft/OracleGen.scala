@@ -130,22 +130,6 @@ object OracleGen {
        |  SELECT DISTINCT doc_id FROM tokf WHERE term = '$filterTerm')
        |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
 
-  /** CursorMark page-2 replay: the cursor CTE picks the k-th row of
-    * the canonical order; page 2 is the strict tuple predicate after
-    * it. Both engines compare the SAME IEEE doubles (the DoubleOracle
-    * replay contract), so the boundary behaves identically.
-    */
-  def cursorMarkSql(terms: Seq[String], k: Int): String =
-    s"""WITH ${bm25Ctes(terms)}, cur AS (
-       |  SELECT score, doc_id FROM sc
-       |  ORDER BY score DESC, doc_id ASC LIMIT 1 OFFSET ${k - 1}
-       |)
-       |SELECT sc.doc_id, CAST(round(sc.score * 10000) AS BIGINT) AS score_q
-       |FROM sc, cur
-       |WHERE sc.score < cur.score
-       |   OR (sc.score = cur.score AND sc.doc_id > cur.doc_id)
-       |ORDER BY sc.score DESC, sc.doc_id ASC LIMIT $k""".stripMargin
-
   /** explain()/debugQuery: per-term decomposition rows of the top-k
     * docs' BM25 scores — contribution, idf, tf, df, lossy dl per
     * matched (doc, term), plus the doc total they sum to (the CheckHits

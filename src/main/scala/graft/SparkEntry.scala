@@ -1829,13 +1829,6 @@ object SparkEntry {
           |}}""".stripMargin)
       quantize(graft.search.QueryCompiler.topK(s, v, q, 10, DoubleOracle))
     }),
-    "cursor_mark" -> ((s, dir) => {
-      // CursorMark deep paging: page 2 of (score desc, doc_id asc) via
-      // the strict tuple predicate after page 1's last row — keyset,
-      // never offset, so page depth never multiplies shard traffic
-      val v = IndexCache.documentsIndex(s, dir)
-      quantize(MoreQueries.cursorMarkPage(s, v, Seq("spark", "join"), 10))
-    }),
     "qparse_json_request" -> ((s, dir) => {
       // the FULL JSON request envelope: query + filter (non-scoring
       // fq, broadcast semi-join) + limit, through QueryCompiler.search
@@ -3368,7 +3361,6 @@ object SparkEntry {
     "qparse_json" -> OracleGen.qparseLuceneSql(10),
     "qparse_json_request" ->
       OracleGen.bm25FilteredTopKSql(Seq("spark", "join"), "merge", 10),
-    "cursor_mark" -> OracleGen.cursorMarkSql(Seq("spark", "join"), 10),
     "qparse_lucene_or" ->
       OracleGen.bm25TopKSql(Seq("join", "scan", "window"), 10),
     "qparse_lucene_and" ->

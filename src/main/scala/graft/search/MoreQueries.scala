@@ -1152,33 +1152,6 @@ object MoreQueries {
         (col("base") + col("inc_total")).as("value"))
   }
 
-  /** CursorMark deep paging [8x solr/core/.../search/CursorMark.java,
-    * solrj CursorMarkParams]: keyset pagination over the canonical
-    * (score desc, docID asc) sort. The cursor is the LAST (score,
-    * doc_id) of the previous page; the next page is a strict tuple
-    * predicate — NEVER an offset — so page N costs the same as page 1
-    * at any depth (offset paging re-collects N·k rows per shard and
-    * melts down exactly where 10^12 docs need paging most; this is the
-    * reference's documented deep-paging rationale). The cursor itself
-    * is ONE collected row — the client round-trips it opaquely in the
-    * reference, a bounded driver value here. Returns page 2.
-    */
-  def cursorMarkPage(spark: SparkSession, view: IndexView,
-                     terms: Seq[String], k: Int): DataFrame = {
-    val scored = ExactSearch.scored(spark, view, terms)
-    val tail = scored.orderBy(col("score").desc, col("doc_id").asc)
-      .limit(k)
-      .orderBy(col("score").asc, col("doc_id").desc).limit(1)
-      .collect() // the page-1 cursor: exactly one bounded row
-    if (tail.isEmpty) return scored.limit(0)
-    val (cId, cScore) = (tail(0).getLong(0), tail(0).getDouble(1))
-    scored
-      .where(col("score") < cScore ||
-        (col("score") === cScore && col("doc_id") > cId))
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(k)
-  }
-
   /** Atomic-update multivalued modifiers `add` / `add-distinct` /
     * `remove` [8x solr/core/.../update/processor/
     * AtomicUpdateDocumentMerger.java doAdd/doAddDistinct/doRemove] —

@@ -155,22 +155,6 @@ class JsonApiAndPipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("cursor_mark page 2 equals rows k+1..2k of the global order") {
-    val v = IndexCache.documentsIndex(spark, dir)
-    val terms = Seq("spark", "join")
-    val k = 10
-    val full = search.ExactSearch.scored(spark, v, terms)
-      .collect().map(r => (r.getLong(0), r.getDouble(1)))
-      .sortBy { case (id, s) => (-s, id) }
-    assert(full.length > 2 * k, "fixture needs > 2 pages")
-    val page2 = search.MoreQueries.cursorMarkPage(spark, v, terms, k)
-      .collect().map(r => (r.getLong(0), r.getDouble(1)))
-    assert(page2.toSeq == full.slice(k, 2 * k).toSeq)
-    // disjoint from page 1 by construction of the strict predicate
-    assert(page2.map(_._1).toSet.intersect(
-      full.take(k).map(_._1).toSet).isEmpty)
-  }
-
   test("geo_polygon_holes: hole is discriminating and strictly nested") {
     val outer = operators.Functions.geoPolygon(spark, dir)
       .collect().map(_.getLong(0)).toSet
