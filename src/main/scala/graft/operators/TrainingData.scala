@@ -1621,4 +1621,35 @@ object TrainingData {
     local.unpersist()
     out
   }
+
+  /** AUDIT-ONLY lazy twin of [[epochShuffle]]: the same dataflow with
+    * placeholder offsets and no persist/collect/checkpoint, so the
+    * plan dump (ExplainDump) can show the staging shape — range
+    * exchange on the md5 key, running-rank mapPartitions, narrow
+    * offset map, no window. Never use for results (the offsets are
+    * not derived from an execution).
+    */
+  private[graft] def epochShufflePlan(s: SparkSession, dir: String,
+                                      seed: String = "ep1",
+                                      parts: Int = 8,
+                                      nShards: Int = 8): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val keyed = docs(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        md5(concat_ws(":", lit(seed), col("doc_id").cast("string")))
+          .as("k"))
+      .repartitionByRange(parts, col("k"), col("doc_id"))
+      .sortWithinPartitions("k", "doc_id")
+      .as[(Long, String)]
+    val local = keyed.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var rank = 0L
+      it.map { case (id, _) => val r = rank; rank += 1L; (pid, id, r) }
+    }.toDF("pid", "doc_id", "local_rank")
+    val off = element_at(typedLit(Seq.fill(parts)(0L)), col("pid") + 1)
+    local
+      .select(col("doc_id"), (off + col("local_rank")).as("epoch_pos"))
+      .withColumn("shard", pmod(col("epoch_pos"), lit(nShards.toLong)))
+  }
 }

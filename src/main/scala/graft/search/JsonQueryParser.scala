@@ -15,7 +15,9 @@ package graft.search
   * Supported qparser objects (the published JSON-DSL core):
   *   - `"…"` (bare string) — classic syntax via [[QueryParser.parse]]
   *     (the DSL's documented shorthand for the lucene qparser)
-  *   - `{"lucene": {"query": "…"}}` — explicit lucene qparser
+  *   - `{"lucene": {"query": "…", "df": field?}}` — explicit lucene
+  *     qparser; `df` sets the default field of the embedded classic
+  *     parse (explicit `field:` prefixes still win)
   *   - `{"bool": {"must": X, "should": X, "must_not": X, "filter": X}}`
   *     where X is one clause or an array of clauses; `filter` clauses
   *     match without scoring (Occur.FILTER), exactly the BoolQParser
@@ -63,16 +65,12 @@ object JsonQueryParser {
   def parseRequest(json: String,
                    termKey: (Option[String], String) => String =
                      QueryParser.defaultTermKey): QueryRequest = {
-    val o = new JP(json).parseTop() match {
+    val top = new JP(json).parseTop() match {
       case j: JObj => j
       case other =>
         throw JsonParseException(s"request body must be an object, got $other", 0)
     }
-    val known = Set("query", "filter", "limit")
-    o.fields.map(_._1).foreach { k =>
-      if (!known(k))
-        throw JsonParseException(s"unknown request member '$k'", 0)
-    }
+    val o = strictObj(top, Set("query", "filter", "limit"), "request")
     val q = o.fields.find(_._1 == "query").map(_._2)
       .getOrElse(throw JsonParseException("request needs 'query'", 0))
     val fq = o.fields.find(_._1 == "filter").map(_._2) match {
@@ -80,11 +78,12 @@ object JsonQueryParser {
       case Some(JArr(vs)) => vs.map(toQuery(_, termKey))
       case Some(single)   => Seq(toQuery(single, termKey))
     }
+    // limit 0 is legal in the reference (rows=0, count-only requests)
     val k = o.fields.find(_._1 == "limit").map(_._2) match {
       case None         => 10
-      case Some(JNum(d)) if d == d.toInt.toDouble && d.toInt > 0 => d.toInt
+      case Some(JNum(d)) if d == d.toInt.toDouble && d.toInt >= 0 => d.toInt
       case Some(other)  =>
-        throw JsonParseException(s"'limit' must be a positive integer, got $other", 0)
+        throw JsonParseException(s"'limit' must be a non-negative integer, got $other", 0)
     }
     QueryRequest(toQuery(q, termKey), fq, k)
   }
@@ -95,19 +94,22 @@ object JsonQueryParser {
       case JStr(s) => QueryParser.parse(s, termKey)
       case JObj(Vector((name, body))) => name match {
         case "lucene" =>
-          QueryParser.parse(str(member(body, "query", name)), termKey)
-        case "bool" =>
-          val o = obj(body, name)
-          // the reference's BoolQParser rejects unknown properties —
-          // a misspelled occur key must error, never drop a clause
-          val known = Set("should", "must", "must_not", "filter")
-          o.fields.map(_._1).foreach { k =>
-            if (!known(k))
-              throw JsonParseException(s"unknown bool property '$k'", 0)
+          val o = strictObj(body, Set("query", "df"), name)
+          // df sets the DEFAULT field of the embedded classic parse —
+          // explicit field: prefixes still win, exactly Solr's df
+          val tk = o.fields.find(_._1 == "df").map(v => str(v._2)) match {
+            case None     => termKey
+            case Some(df) =>
+              (f: Option[String], t: String) =>
+                termKey(f.orElse(Some(df)), t)
           }
-          val dup = o.fields.map(_._1).diff(o.fields.map(_._1).distinct)
-          if (dup.nonEmpty)
-            throw JsonParseException(s"duplicate bool property '${dup.head}'", 0)
+          QueryParser.parse(str(member(body, "query", name)), tk)
+        case "bool" =>
+          // the reference's BoolQParser rejects unknown properties —
+          // a misspelled/duplicate occur key must error, never drop a
+          // clause
+          val o = strictObj(body,
+            Set("should", "must", "must_not", "filter"), name)
           def clauses(k: String): Seq[Query] =
             o.fields.find(_._1 == k).map(_._2) match {
               case None             => Nil
@@ -117,7 +119,7 @@ object JsonQueryParser {
           Bool(should = clauses("should"), must = clauses("must"),
             mustNot = clauses("must_not"), filter = clauses("filter"))
         case "prefix" =>
-          val o = obj(body, name)
+          val o = strictObj(body, Set("f", "query"), name)
           val f = o.fields.find(_._1 == "f").map(v => str(v._2))
           val value = str(member(body, "query", name))
           // prefix under a non-default field keys through termKey, the
@@ -132,6 +134,23 @@ object JsonQueryParser {
       case other =>
         throw JsonParseException(s"expected string or object, got $other", 0)
     }
+
+  /** A qparser/request body object with ONLY `known` keys, each at most
+    * once — unknown and duplicate properties ERROR (the reference
+    * rejects unknown JSON properties; a duplicate would silently drop
+    * a clause via first-wins lookup).
+    */
+  private def strictObj(j: J, known: Set[String], ctx: String): JObj = {
+    val o = obj(j, ctx)
+    o.fields.map(_._1).foreach { k =>
+      if (!known(k))
+        throw JsonParseException(s"unknown '$ctx' property '$k'", 0)
+    }
+    val dup = o.fields.map(_._1).diff(o.fields.map(_._1).distinct)
+    if (dup.nonEmpty)
+      throw JsonParseException(s"duplicate '$ctx' property '${dup.head}'", 0)
+    o
+  }
 
   private def obj(j: J, ctx: String): JObj = j match {
     case o: JObj => o

@@ -84,6 +84,30 @@ class JsonApiAndPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("json strictness: df honored, qparser bodies reject junk keys") {
+    // lucene df sets the embedded parse's default field; an explicit
+    // field: prefix still wins — Solr's df contract
+    val sep = graft.index.Indexer.FieldSep
+    assert(JsonQueryParser.parse("""{"lucene": {"df": "title", "query": "sl*"}}""")
+      == Q.Prefix("title" + sep + "sl"))
+    assert(JsonQueryParser.parse(
+      """{"lucene": {"df": "title", "query": "text:spark"}}""")
+      == Q.Term("spark"))
+    // unknown/duplicate properties in ANY body error — never a silent drop
+    intercept[JsonQueryParser.JsonParseException] {
+      JsonQueryParser.parse("""{"lucene": {"query": "a", "qf": "title"}}""")
+    }
+    intercept[JsonQueryParser.JsonParseException] {
+      JsonQueryParser.parse("""{"prefix": {"f": "t", "query": "a", "x": 1}}""")
+    }
+    intercept[JsonQueryParser.JsonParseException] {
+      JsonQueryParser.parseRequest(
+        """{"query": "a", "filter": "b", "filter": "c"}""")
+    }
+    // limit 0 is the reference's count-only request — accepted
+    assert(JsonQueryParser.parseRequest("""{"query": "a", "limit": 0}""").k == 0)
+  }
+
   test("json request envelope: query + filter + limit → QueryRequest") {
     val req = JsonQueryParser.parseRequest(
       """{"query": "spark join", "filter": ["merge", {"prefix": {"query": "sl"}}], "limit": 7}""")
