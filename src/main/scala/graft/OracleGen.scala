@@ -1175,6 +1175,34 @@ object OracleGen {
        |SELECT doc_id, len(tags) AS n_tags,
        |  array_to_string(tags, ' ') AS tags_str FROM t3""".stripMargin
 
+  /** Simple-parser entry replay for `spark + (join | merge) -dup sl*`:
+    * the AND-group scores (spark + matching of join/merge) only when
+    * BOTH sides match, the prefix adds constant 1, at least one SHOULD
+    * side must match, dup docs are prohibited — the left-assoc fold's
+    * Bool(should=[must-group, prefix], mustNot=[dup]) semantics.
+    */
+  def qparseSimpleSql(k: Int): String =
+    s"""WITH ${bm25Ctes(Seq("spark", "join", "merge"))}, agg AS (
+       |  SELECT doc_id, sum(s) AS total,
+       |    count(*) FILTER (WHERE term = 'spark') AS n_spark,
+       |    count(*) FILTER (WHERE term IN ('join', 'merge')) AS n_grp
+       |  FROM persc GROUP BY doc_id
+       |), wc AS (SELECT DISTINCT doc_id FROM tokf WHERE term LIKE 'sl%'),
+       |uni AS (
+       |  SELECT coalesce(a.doc_id, w.doc_id) AS doc_id,
+       |    CASE WHEN a.doc_id IS NOT NULL AND a.n_spark > 0 AND a.n_grp > 0
+       |         THEN a.total ELSE 0.0 END
+       |      + CASE WHEN w.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS sc,
+       |    CASE WHEN a.doc_id IS NOT NULL AND a.n_spark > 0 AND a.n_grp > 0
+       |         THEN 1 ELSE 0 END
+       |      + CASE WHEN w.doc_id IS NOT NULL THEN 1 ELSE 0 END AS n_sh
+       |  FROM agg a FULL OUTER JOIN wc w ON a.doc_id = w.doc_id
+       |)
+       |SELECT doc_id, CAST(round(sc * 10000) AS BIGINT) AS score_q
+       |FROM uni WHERE n_sh >= 1
+       |  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tokf WHERE term = 'dup')
+       |ORDER BY sc DESC, doc_id ASC LIMIT $k""".stripMargin
+
   /** `/analysis/field` stage oracle: the per-stage token streams are an
     * inline VALUES map generated from
     * [[graft.operators.AnalysisOps.fieldStages]] (single source of

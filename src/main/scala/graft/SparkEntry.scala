@@ -1829,6 +1829,15 @@ object SparkEntry {
           |}}""".stripMargin)
       quantize(graft.search.QueryCompiler.topK(s, v, q, 10, DoubleOracle))
     }),
+    "qparse_simple" -> ((s, dir) => {
+      // the error-tolerant end-user parser face [8x queryparser/simple/
+      // SimpleQueryParser.java; Solr {!simple}]: +/|/- operators,
+      // left-assoc fold, trailing-* prefix — same AST, same compiler
+      val v = IndexCache.documentsIndex(s, dir)
+      val q = graft.search.SimpleQueryParser.parse(
+        "spark + (join | merge) -dup sl*")
+      quantize(graft.search.QueryCompiler.topK(s, v, q, 10, DoubleOracle))
+    }),
     "qparse_json_request" -> ((s, dir) => {
       // the FULL JSON request envelope: query + filter (non-scoring
       // fq, broadcast semi-join) + limit, through QueryCompiler.search
@@ -3361,6 +3370,7 @@ object SparkEntry {
     "qparse_json" -> OracleGen.qparseLuceneSql(10),
     "qparse_json_request" ->
       OracleGen.bm25FilteredTopKSql(Seq("spark", "join"), "merge", 10),
+    "qparse_simple" -> OracleGen.qparseSimpleSql(10),
     "qparse_lucene_or" ->
       OracleGen.bm25TopKSql(Seq("join", "scan", "window"), 10),
     "qparse_lucene_and" ->

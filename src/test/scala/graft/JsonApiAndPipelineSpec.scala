@@ -52,6 +52,13 @@ class JsonApiAndPipelineSpec extends AnyFunSuite {
     val mixed = QueryCompiler.rewrite(v,
       JsonQueryParser.parse("""{"bool": {"should": ["join"], "must_not": "dup"}}"""))
     assert(QueryCompiler.kernelChoice(mixed).isEmpty)
+    // the simple face's pure OR/AND folds route to the kernels too
+    assert(QueryCompiler.kernelChoice(QueryCompiler.rewrite(v,
+      graft.search.SimpleQueryParser.parse("join | scan | window")))
+      == Some((Seq("join", "scan", "window"), false)))
+    assert(QueryCompiler.kernelChoice(QueryCompiler.rewrite(v,
+      graft.search.SimpleQueryParser.parse("spark + merge")))
+      == Some((Seq("spark", "merge"), true)))
   }
 
   test("json reader: escapes, errors with positions") {
@@ -125,6 +132,38 @@ class JsonApiAndPipelineSpec extends AnyFunSuite {
     intercept[JsonQueryParser.JsonParseException] {
       JsonQueryParser.parseRequest("""{"query": "a", "limit": 2.5}""")
     }
+  }
+
+  test("simple parser: operators, left-assoc fold, never throws") {
+    import graft.search.SimpleQueryParser.{parse => sp}
+    // the entry query's documented fold
+    assert(sp("spark + (join | merge) -dup sl*") == Q.Bool(
+      should = Seq(
+        Q.Bool(must = Seq(Q.Term("spark"),
+          Q.Bool(should = Seq(Q.Term("join"), Q.Term("merge"))))),
+        Q.Prefix("sl")),
+      mustNot = Seq(Q.Term("dup"))))
+    // left-associative, no precedence beyond parens: a | b + c = (a|b)+c
+    assert(sp("a | b + c") == Q.Bool(must = Seq(
+      Q.Bool(should = Seq(Q.Term("a"), Q.Term("b"))), Q.Term("c"))))
+    // AND-chain flattening
+    assert(sp("a + b + c") ==
+      Q.Bool(must = Seq(Q.Term("a"), Q.Term("b"), Q.Term("c"))))
+    // phrase slop, fuzzy default/cap, trailing-star prefix
+    assert(sp("\"hash join\"~2") == Q.Phrase(Seq("hash", "join"), 2))
+    assert(sp("merge~1") == Q.Fuzzy("merge", 1))
+    assert(sp("merge~") == Q.Fuzzy("merge", 2))
+    assert(sp("merge~9") == Q.Fuzzy("merge", 2)) // capped at 2 edits
+    assert(sp("sl*") == Q.Prefix("sl"))
+    // NEVER throws: unterminated phrase, unmatched paren, dangling ops
+    assert(sp("\"unterminated") == Q.Term("unterminated"))
+    assert(sp("a )") == Q.Term("a"))
+    assert(sp("(a | b") == Q.Bool(should = Seq(Q.Term("a"), Q.Term("b"))))
+    assert(sp("a + ") == Q.Term("a"))
+    assert(sp("-dup") == Q.Bool(mustNot = Seq(Q.Term("dup"))))
+    assert(sp("") == Q.Bool())
+    assert(sp("a\\+b") == Q.Term("a+b")) // escape keeps the operator char
+    assert(sp("sl*x") == Q.Term("sl*x")) // mid-term '*' stays literal
   }
 
   test("fieldStages: stop tokens end after lowercase; porter rewrites") {
