@@ -57,6 +57,25 @@ object QueryParser {
             termKey: (Option[String], String) => String = defaultTermKey)
     : Query = new P(q, termKey).parseTop()
 
+  /** Analyzer-normalized phrase of quoted text — ONE shared pipeline
+    * for the classic and simple faces so phrase semantics cannot
+    * drift: lowercase, whitespace-split, keyed; a single surviving
+    * term collapses to a Term; None when nothing survives (each face
+    * applies its own empty-phrase policy — throw vs drop).
+    */
+  private[search] def phraseOf(text: String, slop: Int,
+      field: Option[String],
+      termKey: (Option[String], String) => String): Option[Query] = {
+    val terms = text.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty).toSeq
+      .map(t => termKey(field, t))
+    terms match {
+      case Seq()    => None
+      case Seq(one) => Some(Query.Term(one))
+      case ts       => Some(Query.Phrase(ts, slop))
+    }
+  }
+
   // — implementation —
 
   private sealed trait Occur
@@ -174,17 +193,11 @@ object QueryParser {
       if (i >= s.length) throw ParseException("unclosed phrase", start)
       val text = s.substring(start, i)
       i += 1 // closing quote
-      val terms = text.toLowerCase(java.util.Locale.ROOT)
-        .split("\\s+").filter(_.nonEmpty).toSeq
-        .map(t => termKey(field, t))
       val slop =
         if (eat("~")) { val n = number(); n.toInt }
         else 0
-      val base: Query = terms match {
-        case Seq()    => throw ParseException("empty phrase", start)
-        case Seq(one) => Term(one)
-        case ts       => Phrase(ts, slop)
-      }
+      val base: Query = QueryParser.phraseOf(text, slop, field, termKey)
+        .getOrElse(throw ParseException("empty phrase", start))
       withBoost(base)
     }
 

@@ -61,6 +61,9 @@ object SimpleQueryParser {
               case Some(c) => negAcc ::= c
               case None    => () // dangling '-': tolerance, dropped
             }
+            // a prohibited clause CONSUMES its preceding operator
+            // (otherwise "a + -x b" would leak the '+' onto b)
+            nextOp = '|'
           case _ =>
             clause(depth) match {
               case Some(c) =>
@@ -104,12 +107,32 @@ object SimpleQueryParser {
       case _ => Bool(should = Seq(prev, c))
     }
 
-    /** One positive clause: group, phrase or term. None = degenerate. */
+    /** Nesting cap: beyond it a '(' is ignored (tolerance) so
+      * adversarially deep input cannot overflow the stack — this
+      * parser fronts raw end-user search boxes.
+      */
+    private val MaxDepth = 64
+
+    /** One positive clause: group, phrase or term. None = degenerate
+      * (empty phrase, empty group) — dropped by the caller.
+      */
     private def clause(depth: Int): Option[Query] = {
       skipWs()
+      // at the cap, excess '(' are consumed WITHOUT recursing (their
+      // eventual ')' closes an enclosing group early or is ignored at
+      // the top — tolerance, bounded stack)
+      while (depth >= MaxDepth && i < s.length && s(i) == '(') {
+        i += 1; skipWs()
+      }
       if (i >= s.length) return None
       s(i) match {
-        case '(' => i += 1; Some(parseExpr(depth + 1))
+        case '(' =>
+          i += 1
+          parseExpr(depth + 1) match {
+            // a stray "()" must not become a match-nothing MUST clause
+            case Bool(Nil, Nil, Nil, Nil, 0) => None
+            case q                           => Some(q)
+          }
         case '"' => phrase()
         case _   => term()
       }
@@ -117,21 +140,21 @@ object SimpleQueryParser {
 
     private def phrase(): Option[Query] = {
       i += 1 // opening quote
-      val start = i
-      while (i < s.length && s(i) != '"') i += 1
-      val text = s.substring(start, i)
-      if (i < s.length) i += 1 // closing quote (tolerance: EOF closes)
+      val b = new StringBuilder
+      var closed = false
+      while (!closed && i < s.length) {
+        s(i) match {
+          case '"'  => closed = true; i += 1
+          case '\\' => // escapes work inside phrases too (\" stays in)
+            i += 1
+            if (i < s.length) { b += s(i); i += 1 }
+          case c    => b += c; i += 1
+        }
+      } // tolerance: EOF closes an unterminated phrase
       val slop =
         if (i < s.length && s(i) == '~') { i += 1; digits().getOrElse(0) }
         else 0
-      val terms = text.toLowerCase(java.util.Locale.ROOT)
-        .split("\\s+").filter(_.nonEmpty).toSeq
-        .map(t => termKey(None, t))
-      terms match {
-        case Nil      => None
-        case Seq(one) => Some(Term(one))
-        case many     => Some(Phrase(many, slop))
-      }
+      QueryParser.phraseOf(b.result(), slop, None, termKey)
     }
 
     private def term(): Option[Query] = {
@@ -176,7 +199,10 @@ object SimpleQueryParser {
     private def digits(): Option[Int] = {
       val start = i
       while (i < s.length && s(i).isDigit) i += 1
-      if (i == start) None else Some(s.substring(start, i).toInt)
+      if (i == start) None
+      // never-throws: an absurdly long digit run saturates instead of
+      // overflowing Int (9 digits always fit)
+      else Some(s.substring(start, i).take(9).toInt)
     }
 
     private def skipWs(): Unit =

@@ -164,6 +164,20 @@ class JsonApiAndPipelineSpec extends AnyFunSuite {
     assert(sp("") == Q.Bool())
     assert(sp("a\\+b") == Q.Term("a+b")) // escape keeps the operator char
     assert(sp("sl*x") == Q.Term("sl*x")) // mid-term '*' stays literal
+    // review-pinned tolerances: huge ~N saturates instead of
+    // overflowing, a stray "()" never becomes a match-nothing MUST,
+    // an operator before a prohibited clause is consumed, escapes work
+    // inside phrases, adversarial paren nesting cannot blow the stack
+    assert(sp("merge~99999999999") == Q.Fuzzy("merge", 2))
+    assert(sp("\"hash join\"~99999999999") ==
+      Q.Phrase(Seq("hash", "join"), 999999999))
+    assert(sp("spark + ()") == Q.Term("spark"))
+    assert(sp("spark + -dup join") ==
+      Q.Bool(should = Seq(Q.Term("spark"), Q.Term("join")),
+        mustNot = Seq(Q.Term("dup"))))
+    assert(sp("\"say \\\" now\"") == Q.Phrase(Seq("say", "\"", "now"), 0))
+    assert(sp("(" * 50000 + "a") == Q.Term("a"))
+    assert(sp(")" * 1000 + "a" + ")" * 1000) == Q.Term("a"))
   }
 
   test("fieldStages: stop tokens end after lowercase; porter rewrites") {
