@@ -88,10 +88,23 @@ object JsonQueryParser {
     QueryRequest(toQuery(q, termKey), fq, k)
   }
 
+  /** An embedded classic parse, with its typed error re-raised as THIS
+    * face's exception — the JSON front door surfaces exactly one
+    * error type to callers (a syntax error inside a clause string is
+    * still a request-body error from their point of view).
+    */
+  private def classic(s: String,
+                      termKey: (Option[String], String) => String): Query =
+    try QueryParser.parse(s, termKey)
+    catch {
+      case e: QueryParser.ParseException =>
+        throw JsonParseException(s"bad clause string '$s': ${e.getMessage}", 0)
+    }
+
   private def toQuery(j: J,
                       termKey: (Option[String], String) => String): Query =
     j match {
-      case JStr(s) => QueryParser.parse(s, termKey)
+      case JStr(s) => classic(s, termKey)
       case JObj(Vector((name, body))) => name match {
         case "lucene" =>
           val o = strictObj(body, Set("query", "df"), name)
@@ -103,7 +116,7 @@ object JsonQueryParser {
               (f: Option[String], t: String) =>
                 termKey(f.orElse(Some(df)), t)
           }
-          QueryParser.parse(str(member(body, "query", name)), tk)
+          classic(str(member(body, "query", name)), tk)
         case "bool" =>
           // the reference's BoolQParser rejects unknown properties —
           // a misspelled/duplicate occur key must error, never drop a

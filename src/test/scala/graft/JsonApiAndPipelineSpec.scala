@@ -180,6 +180,40 @@ class JsonApiAndPipelineSpec extends AnyFunSuite {
     assert(sp(")" * 1000 + "a" + ")" * 1000) == Q.Term("a"))
   }
 
+  test("fuzz: simple parser NEVER throws; json throws only its own type") {
+    // deterministic seeded fuzz over an operator-heavy alphabet — the
+    // whole-input-space pin of the two parsers' error contracts
+    val rnd = new scala.util.Random(20260821L)
+    val alphabet = "ab01 +|-()\"~*\\{}[]:, é"
+    def randomString(maxLen: Int): String = {
+      val n = rnd.nextInt(maxLen + 1)
+      val b = new StringBuilder
+      (0 until n).foreach(_ => b += alphabet(rnd.nextInt(alphabet.length)))
+      b.result()
+    }
+    (1 to 20000).foreach { k =>
+      val s = randomString(40)
+      // simple face: never throws, on anything
+      graft.search.SimpleQueryParser.parse(s)
+      // json face: may reject, but ONLY with its own exception type
+      try { JsonQueryParser.parse(s); () }
+      catch { case _: JsonQueryParser.JsonParseException => () }
+      try { JsonQueryParser.parseRequest(s); () }
+      catch { case _: JsonQueryParser.JsonParseException => () }
+      if (k % 5000 == 0) () // keep the loop obviously bounded
+    }
+    // mutated near-valid JSON bodies exercise the deeper reader paths
+    val template =
+      """{"query": {"bool": {"must": ["a", {"lucene": {"query": "b"}}], "filter": "c"}}, "limit": 5}"""
+    (1 to 5000).foreach { _ =>
+      val pos = rnd.nextInt(template.length)
+      val ch = alphabet(rnd.nextInt(alphabet.length))
+      val mutated = template.substring(0, pos) + ch + template.substring(pos + 1)
+      try { JsonQueryParser.parseRequest(mutated); () }
+      catch { case _: JsonQueryParser.JsonParseException => () }
+    }
+  }
+
   test("fieldStages: stop tokens end after lowercase; porter rewrites") {
     assert(operators.AnalysisOps.fieldStages("the")
       == Seq((1, "tokenizer", "the"), (2, "lowercase", "the")))
