@@ -269,7 +269,14 @@ object QueryParser {
       while (i < s.length &&
         (s(i).isDigit || s(i) == '.' || (i == start && s(i) == '-'))) i += 1
       if (i == start) throw ParseException("number expected", i)
-      s.substring(start, i).toDouble
+      val txt = s.substring(start, i)
+      // a bare '-' / '.' / '-.': syntactically accepted above but not a
+      // number — raise the parser's OWN error, never NumberFormatException
+      try txt.toDouble
+      catch {
+        case _: NumberFormatException =>
+          throw ParseException(s"bad number '$txt'", start)
+      }
     }
 
     private def skipWs(): Unit = { while (i < s.length && s(i).isWhitespace) i += 1 }

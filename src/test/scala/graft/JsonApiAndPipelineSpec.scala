@@ -178,6 +178,12 @@ class JsonApiAndPipelineSpec extends AnyFunSuite {
     assert(sp("\"say \\\" now\"") == Q.Phrase(Seq("say", "\"", "now"), 0))
     assert(sp("(" * 50000 + "a") == Q.Term("a"))
     assert(sp(")" * 1000 + "a" + ")" * 1000) == Q.Term("a"))
+    // cross-face consistency: on the shared subset the simple and
+    // classic faces must emit semantically identical trees
+    assert(sp("spark + merge") == QueryParser.parse("spark AND merge"))
+    assert(sp("join | scan") == QueryParser.parse("join OR scan"))
+    assert(sp("\"hash join\"~2") == QueryParser.parse("\"hash join\"~2"))
+    assert(sp("sl*") == QueryParser.parse("sl*"))
   }
 
   test("fuzz: simple parser NEVER throws; json throws only its own type") {
@@ -201,6 +207,12 @@ class JsonApiAndPipelineSpec extends AnyFunSuite {
       try { JsonQueryParser.parseRequest(s); () }
       catch { case _: JsonQueryParser.JsonParseException => () }
       if (k % 5000 == 0) () // keep the loop obviously bounded
+    }
+    // classic face: strict by design, but throws ONLY its typed error
+    (1 to 20000).foreach { _ =>
+      val s = randomString(40)
+      try { graft.search.QueryParser.parse(s); () }
+      catch { case _: graft.search.QueryParser.ParseException => () }
     }
     // mutated near-valid JSON bodies exercise the deeper reader paths
     val template =
