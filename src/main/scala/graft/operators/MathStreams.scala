@@ -106,7 +106,17 @@ object MathStreams {
       ws(); val start = i
       if (peek == '-') i += 1
       while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
-      NumLit(s.substring(start, i).toDouble)
+      val txt = s.substring(start, i)
+      // '-', '1..2' etc. pass the scan but not toDouble — raise the
+      // grammar's own IllegalArgumentException, never a raw
+      // NumberFormatException (same contract as every require above)
+      val v =
+        try txt.toDouble
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"bad number '$txt' at offset $start in: $s")
+        }
+      NumLit(v)
     }
 
     private def parseStr(): MExpr = {

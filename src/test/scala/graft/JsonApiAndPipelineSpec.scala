@@ -214,6 +214,15 @@ class JsonApiAndPipelineSpec extends AnyFunSuite {
       try { graft.search.QueryParser.parse(s); () }
       catch { case _: graft.search.QueryParser.ParseException => () }
     }
+    // math-stream grammar: require-based, so ONLY IllegalArgumentException
+    val mathAlphabet = "ab01(),=\"-. "
+    (1 to 20000).foreach { _ =>
+      val n = rnd.nextInt(31)
+      val b = new StringBuilder
+      (0 until n).foreach(_ => b += mathAlphabet(rnd.nextInt(mathAlphabet.length)))
+      try { operators.MathStreams.parse(b.result()); () }
+      catch { case _: IllegalArgumentException => () }
+    }
     // mutated near-valid JSON bodies exercise the deeper reader paths
     val template =
       """{"query": {"bool": {"must": ["a", {"lucene": {"query": "b"}}], "filter": "c"}}, "limit": 5}"""
