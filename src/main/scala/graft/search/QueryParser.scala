@@ -47,8 +47,12 @@ object QueryParser {
   def parseQf(qf: String): Map[String, Double] =
     qf.trim.split("\\s+").filter(_.nonEmpty).map { part =>
       part.split('^') match {
-        case Array(f)    => f -> 1.0
-        case Array(f, b) => f -> b.toDouble
+        case Array(f) if f.nonEmpty => f -> 1.0
+        case Array(f, b) if f.nonEmpty =>
+          // 'title^x' must raise the parser's own error, not a raw
+          // NumberFormatException
+          f -> b.toDoubleOption.getOrElse(
+            throw ParseException(s"bad qf boost '$part'", 0))
         case _ => throw ParseException(s"bad qf entry '$part'", 0)
       }
     }.toMap

@@ -214,6 +214,14 @@ class JsonApiAndPipelineSpec extends AnyFunSuite {
       try { graft.search.QueryParser.parse(s); () }
       catch { case _: graft.search.QueryParser.ParseException => () }
     }
+    // qf specs and the surround parser: only the classic typed error
+    (1 to 10000).foreach { _ =>
+      val s = randomString(20)
+      try { graft.search.QueryParser.parseQf(s); () }
+      catch { case _: graft.search.QueryParser.ParseException => () }
+      try { graft.search.SurroundParser.parse(s); () }
+      catch { case _: graft.search.QueryParser.ParseException => () }
+    }
     // math-stream grammar: require-based, so ONLY IllegalArgumentException
     val mathAlphabet = "ab01(),=\"-. "
     (1 to 20000).foreach { _ =>
